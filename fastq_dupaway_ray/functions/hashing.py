@@ -1,0 +1,146 @@
+"""Vectorized deterministic hashing primitives (pure numpy / pandas — no Ray).
+
+Plays the role of the reference's base-5 sequence packing + boost hash_combine
+(/root/reference/src/seq_utils.cpp:3-49, /root/reference/src/hash_dup_remover.hpp:43-68):
+a lossy-but-collision-safe 64-bit content fingerprint used as the dedup shuffle key.
+Collisions are handled the same way the reference handles them — by grouping on
+(length, hash) and (for paranoid mode) verifying byte equality inside the group.
+
+All hashes are deterministic across processes and runs (no PYTHONHASHSEED
+dependence, no per-session salts) so Ray task retries reproduce identical blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _pow_vector(base: int, k: int) -> "np.ndarray":
+    """[base^(k-1), ..., base^0] mod 2^64 as uint64 (computed in Python ints
+    to avoid numpy scalar-overflow warnings; array ops wrap silently)."""
+    out = np.empty(k, dtype=np.uint64)
+    p = 1
+    for i in range(k - 1, -1, -1):
+        out[i] = p & 0xFFFFFFFFFFFFFFFF
+        p = (p * base) & 0xFFFFFFFFFFFFFFFF
+    return out
+
+# 8-bit popcount lookup table for Hamming distance on uint64 signatures.
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def hash64(values) -> np.ndarray:
+    """Deterministic 64-bit hash of an array of strings/bytes -> uint64 ndarray.
+
+    Uses pandas' SipHash-based ``hash_array`` with its fixed default key:
+    vectorized in C, stable across processes (verified), suitable as a
+    shuffle/groupby key. Reference analogue: ``seq2hash``
+    (/root/reference/src/seq_utils.cpp:35-49).
+    """
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+def combine_hash64(*columns: np.ndarray) -> np.ndarray:
+    """Combine several uint64 hash columns into one composite key.
+
+    Mirrors the paired-record AND-semantics of ``setRecordPair``
+    (/root/reference/src/hash_dup_remover.cpp:26-33): a composite row is a
+    duplicate only if every component matches. Uses the boost::hash_combine
+    recurrence generalized to 64-bit.
+    """
+    out = np.zeros(len(columns[0]), dtype=np.uint64)
+    golden = np.uint64(0x9E3779B97F4A7C15)
+    for col in columns:
+        col = col.astype(np.uint64, copy=False)
+        out = out ^ (col + golden + ((out << np.uint64(6)) & _MASK64) + (out >> np.uint64(2)))
+    return out
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (vectorized via byte LUT)."""
+    b = x.astype(np.uint64, copy=False).view(np.uint8).reshape(len(x), 8)
+    return _POPCOUNT8[b].sum(axis=1).astype(np.int64)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Bitwise Hamming distance between two uint64 signature arrays."""
+    return popcount64(np.bitwise_xor(a.astype(np.uint64, copy=False), b.astype(np.uint64, copy=False)))
+
+
+def rolling_fingerprint(text: str, window: int = 64, base: int = 1000003) -> int:
+    """Rolling polynomial document fingerprint (Rabin-Karp style), mod 2^64.
+
+    A cheap whole-document fingerprint built from windowed rolling hashes:
+    XOR of the rolling hash at every ``window``-aligned position. Documents
+    shorter than ``window`` hash their full byte content. Deterministic.
+    """
+    data = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8).astype(np.uint64)
+    n = len(data)
+    if n == 0:
+        return 0
+    w = min(window, n)
+    powers = _pow_vector(base, w)
+    windows = np.lib.stride_tricks.sliding_window_view(data, w)
+    hashes = (windows * powers).sum(axis=1, dtype=np.uint64)
+    # sample aligned positions to keep it O(n/window) information, XOR-merged
+    sampled = hashes[:: max(1, w)]
+    out = np.uint64(0)
+    for h in sampled:
+        out ^= h
+    return int(out)
+
+
+def char_ngram_hashes(text: str, k: int = 8, base: int = 1000003) -> np.ndarray:
+    """Unique hashes of all character k-grams (shingles) of ``text`` -> uint64[].
+
+    The web-text generalization of the reference's fixed 17-char base-5 chunk
+    packing (/root/reference/src/seq_utils.cpp:23-33, CHUNKSIZE=17): instead of
+    lossless packing over a 5-letter alphabet, overlapping k-byte windows are
+    polynomial-hashed. Fully vectorized: O(n*k) uint64 ops per document.
+    """
+    data = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8).astype(np.uint64)
+    n = len(data)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        # short doc: one shingle = whole text
+        k = n
+    powers = _pow_vector(base, k)
+    windows = np.lib.stride_tricks.sliding_window_view(data, k)
+    hashes = (windows * powers).sum(axis=1, dtype=np.uint64)
+    return np.unique(hashes)
+
+
+def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Unique hashes of word n-grams (token shingles) -> uint64[]."""
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    if len(toks) < n:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return np.unique(hash64(grams))
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Jaccard similarity of two unique-hash shingle sets."""
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    return inter / union if union else 1.0
+
+
+def containment(small: np.ndarray, big: np.ndarray) -> float:
+    """Shingle containment |small ∩ big| / |small| — the web-text analogue of
+    the reference's loose prefix predicate (/root/reference/src/comparator.cpp:60-74):
+    a document wholly contained in another has containment 1.0."""
+    if len(small) == 0:
+        return 1.0
+    inter = len(np.intersect1d(small, big, assume_unique=True))
+    return inter / len(small)

@@ -1,0 +1,139 @@
+"""MinHash and SimHash sketches (pure numpy — no Ray).
+
+North-rule generalizations of the reference's dedup predicates:
+
+* MinHash over character shingles generalizes set-equality dedup
+  (/root/reference/src/hash_dup_remover.hpp:105-148) to Jaccard near-dup.
+* SimHash with Hamming-ball bucketing generalizes the tail-hamming fuzzy mode
+  (/root/reference/src/comparator.cpp:76-91, --distance, default d=2
+  /root/reference/src/main.cpp:34) to 64-bit signature space.
+
+All randomness is seeded at construction so Ray task retries are deterministic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .hashing import _MASK64, char_ngram_hashes, hash64
+
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+
+
+@dataclass(frozen=True)
+class MinHashParams:
+    """Shared MinHash/LSH configuration.
+
+    num_perms must equal bands * rows_per_band. The LSH match threshold is
+    approximately (1/bands)^(1/rows_per_band); the defaults (16 bands x 8 rows)
+    target Jaccard ~0.7.
+    """
+
+    num_perms: int = 128
+    shingle_k: int = 8
+    bands: int = 16
+    rows_per_band: int = 8
+    seed: int = 0x5EED
+
+    def __post_init__(self):
+        if self.bands * self.rows_per_band != self.num_perms:
+            raise ValueError("bands * rows_per_band must equal num_perms")
+
+    def threshold(self) -> float:
+        return (1.0 / self.bands) ** (1.0 / self.rows_per_band)
+
+
+class MinHasher:
+    """Computes K-permutation MinHash signatures over character shingles.
+
+    Holds the permutation coefficient matrix — load once per actor
+    (stages.minhash wraps this in a map_batches actor-pool class).
+    """
+
+    def __init__(self, params: MinHashParams = MinHashParams()):
+        self.params = params
+        rng = np.random.RandomState(params.seed)
+        # universal hashing h_i(x) = (a_i * x + b_i) mod p, p = 2^61 - 1
+        self.a = rng.randint(1, (1 << 61) - 1, size=params.num_perms, dtype=np.uint64)
+        self.b = rng.randint(0, (1 << 61) - 1, size=params.num_perms, dtype=np.uint64)
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        """uint64[num_perms] MinHash signature of a unique-shingle-hash set."""
+        K = self.params.num_perms
+        if len(shingles) == 0:
+            return np.full(K, _MASK64, dtype=np.uint64)
+        x = (shingles & _MERSENNE61).astype(np.uint64)
+        sig = np.full(K, _MASK64, dtype=np.uint64)
+        # chunk the shingle axis to bound the (K, chunk) broadcast to ~1 MiB
+        step = 1024
+        for i in range(0, len(x), step):
+            chunk = x[i : i + step]
+            vals = (self.a[:, None] * chunk[None, :] + self.b[:, None]) % _MERSENNE61
+            np.minimum(sig, vals.min(axis=1), out=sig)
+        return sig
+
+    def sign_text(self, text: str) -> np.ndarray:
+        return self.signature(char_ngram_hashes(text, self.params.shingle_k))
+
+    def band_keys(self, sig: np.ndarray) -> np.ndarray:
+        """uint64[bands] — one hash per LSH band (band index is folded in so
+        keys from different bands never collide into one groupby bucket)."""
+        p = self.params
+        bands = sig.reshape(p.bands, p.rows_per_band)
+        # polynomial-combine the rows of each band, then mix in the band index
+        out = np.zeros(p.bands, dtype=np.uint64)
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        for r in range(p.rows_per_band):
+            out = (out * mult + bands[:, r]) & _MASK64
+        out ^= (np.arange(p.bands, dtype=np.uint64) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK64
+        return out
+
+
+def minhash_jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """Unbiased Jaccard estimate from two equal-config signatures."""
+    return float(np.mean(sig_a == sig_b))
+
+
+def simhash64(text: str, token_ngram: int = 2) -> int:
+    """64-bit SimHash over word n-gram features.
+
+    The fixed-length fuzzy signature mirroring the reference's same-length
+    Hamming predicate: two near-identical documents differ in few signature
+    bits, so `hamming64(sim_a, sim_b) <= d` plays the role of
+    `hammingDistance(seq_a, seq_b) <= d` (/root/reference/src/seq_utils.cpp:65-72).
+    """
+    toks = text.split()
+    if not toks:
+        return 0
+    if len(toks) < token_ngram:
+        feats = [" ".join(toks)]
+    else:
+        feats = [" ".join(toks[i : i + token_ngram]) for i in range(len(toks) - token_ngram + 1)]
+    h = hash64(feats)
+    bits = np.unpackbits(h.view(np.uint8).reshape(len(h), 8), axis=1, bitorder="little")
+    counts = bits.sum(axis=0, dtype=np.int64) * 2 - len(h)  # (+1/-1 votes)
+    out_bits = (counts >= 0).astype(np.uint8)
+    return int(np.packbits(out_bits, bitorder="little").view(np.uint64)[0])
+
+
+def simhash_chunks(sig: np.ndarray, distance: int) -> np.ndarray:
+    """(n, distance+1) uint64 pigeonhole chunk keys for Hamming-ball bucketing.
+
+    Splitting a 64-bit signature into d+1 chunks guarantees any two signatures
+    within Hamming distance d agree exactly on at least one chunk — the bucket
+    key for the candidate-generation groupby. Chunk index is folded into the key.
+    """
+    n_chunks = distance + 1
+    sig = sig.astype(np.uint64, copy=False)
+    bounds = np.linspace(0, 64, n_chunks + 1).astype(np.uint64)
+    cols = []
+    for c in range(n_chunks):
+        lo, hi = bounds[c], bounds[c + 1]
+        width = hi - lo
+        mask = _MASK64 if width == 64 else np.uint64((1 << int(width)) - 1)
+        chunk = (sig >> lo) & mask
+        chunk ^= np.uint64((c * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF)
+        cols.append(chunk)
+    return np.stack(cols, axis=1)

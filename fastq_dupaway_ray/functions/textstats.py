@@ -1,0 +1,119 @@
+"""Text-analysis scalar functions for training-data pipelines (vectorized, no Ray).
+
+These extend the engine beyond the reference's dedup surface: token counting,
+quality scoring, language ID, normalization. All operate on pyarrow arrays /
+tables so stages can stay in zero-copy ``batch_format="pyarrow"``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# whitespace tokenization used consistently by token_count / the SQL oracle
+_WS_RE = re.compile(r"\s+")
+# BPE-ish word/number/punct splitter for token estimates
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+# tiny per-language stopword inventories for the n-gram/stopword language heuristic
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für", "auf"},
+    "fr": {"le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"},
+    "es": {"el", "la", "de", "que", "y", "los", "en", "un", "por", "con"},
+}
+
+
+def normalize_text(arr: pa.Array) -> pa.Array:
+    """Canonical text normalization: lowercase + whitespace collapse + trim.
+
+    Pure Arrow kernels; deterministic — the hash of the normalized text is the
+    exact-dedup key (reference strips only the trailing newline,
+    /root/reference/src/hash_dup_remover.hpp:124; web text needs more).
+    """
+    x = pc.utf8_lower(arr)
+    x = pc.replace_substring_regex(x, r"\s+", " ")
+    return pc.utf8_trim_whitespace(x)
+
+
+def token_count_ws(arr: pa.Array) -> pa.Array:
+    """Whitespace token count per string (0 for empty/blank), as int64.
+
+    Matches the SQL oracle: len(regexp_split_to_array(trim(text), '\\s+')).
+    """
+    trimmed = pc.utf8_trim_whitespace(arr)
+    # count whitespace runs + 1, except empty string -> 0
+    ws_runs = pc.count_substring_regex(trimmed, r"\s+")
+    n = pc.add(ws_runs, 1)
+    empty = pc.equal(pc.utf8_length(trimmed), 0)
+    return pc.if_else(empty, pa.scalar(0, pa.int64()), pc.cast(n, pa.int64()))
+
+
+def token_count_bpe(texts: np.ndarray) -> np.ndarray:
+    """BPE-ish token estimate: words + numbers + punctuation marks."""
+    return np.fromiter((len(_BPE_RE.findall(t)) for t in texts), dtype=np.int64, count=len(texts))
+
+
+def quality_features(table: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append vectorized quality-scoring columns.
+
+    * n_chars      — utf8 length
+    * n_tokens     — whitespace token count
+    * mean_token_len
+    * punct_ratio  — punctuation chars / chars
+    * digit_ratio  — digit chars / chars
+    * upper_ratio  — uppercase chars / chars
+    * stopword_ratio (en) — en stopword tokens / tokens
+    """
+    arr = table[text_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n_chars = pc.cast(pc.utf8_length(arr), pa.int64())
+    n_tokens = token_count_ws(arr)
+    safe_chars = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+    safe_toks = pc.max_element_wise(n_tokens, pa.scalar(1, pa.int64()))
+
+    def ratio(pattern: str) -> pa.Array:
+        cnt = pc.cast(pc.count_substring_regex(arr, pattern), pa.int64())
+        return pc.divide(pc.cast(cnt, pa.float64()), pc.cast(safe_chars, pa.float64()))
+
+    punct = ratio(r"[\.,;:!\?\-'\"()\[\]]")
+    digit = ratio(r"[0-9]")
+    upper = ratio(r"[A-Z]")
+    mean_tok = pc.divide(pc.cast(n_chars, pa.float64()), pc.cast(safe_toks, pa.float64()))
+    stop = pc.cast(
+        pc.count_substring_regex(
+            pc.utf8_lower(arr), r"\b(" + "|".join(sorted(_LANG_STOPWORDS["en"])) + r")\b"
+        ),
+        pa.float64(),
+    )
+    stop_ratio = pc.divide(stop, pc.cast(safe_toks, pa.float64()))
+    return (
+        table.append_column("n_chars", n_chars)
+        .append_column("n_tokens", n_tokens)
+        .append_column("mean_token_len", mean_tok)
+        .append_column("punct_ratio", punct)
+        .append_column("digit_ratio", digit)
+        .append_column("upper_ratio", upper)
+        .append_column("stopword_ratio", stop_ratio)
+    )
+
+
+def language_id(texts: np.ndarray) -> np.ndarray:
+    """Stopword-vote language heuristic -> array of lang codes ('und' if no vote).
+
+    Deterministic tie-break: highest vote count, then lexicographic code.
+    """
+    out = np.empty(len(texts), dtype=object)
+    for i, t in enumerate(texts):
+        toks = set(_WS_RE.split(t.lower())) if t else set()
+        best_lang, best_n = "und", 0
+        for lang in sorted(_LANG_STOPWORDS):
+            n = len(toks & _LANG_STOPWORDS[lang])
+            if n > best_n:
+                best_lang, best_n = lang, n
+        out[i] = best_lang
+    return out

