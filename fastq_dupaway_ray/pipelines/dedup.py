@@ -1,0 +1,120 @@
+"""Unified dedup pipeline dispatch — the engine's main() analogue.
+
+The reference's ``main`` dispatches on a mode bitmask to one of 8 concrete
+pipelines (/root/reference/src/main.cpp:196-245); here a config dataclass
+selects the stage composition. Every mode returns the same triple:
+
+    DedupOutput(kept: Dataset, clusters: Dataset, metrics: dict)
+
+metrics mirrors the --verbose counters (total / kept / duplicates,
+/root/reference/src/hash_dup_remover.hpp:342-346).
+
+Modes:
+* "exact"        — hash keep-first (reference --fast, A1); composite
+                   ``key_cols`` reproduces paired mode (A2)
+* "tight"/"loose"/"hamming" — sorted-adjacency scans (A3-A5, exact mirrors)
+* "minhash"      — MinHash+LSH near-dup -> components -> representatives
+* "simhash"      — SimHash Hamming-ball near-dup -> components -> representatives
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import ray.data
+
+from ..functions.sketches import MinHashParams
+from ..stages import adjacency as _adj
+from ..stages import components as _comp
+from ..stages import dedup_exact as _exact
+from ..stages import minhash as _mh
+from ..stages import representative as _rep
+from ..stages import simhash as _sh
+
+
+@dataclass
+class DedupConfig:
+    mode: str = "exact"
+    key_cols: tuple = ("text",)  # composite => paired AND-semantics
+    id_col: str = "url"
+    text_col: str = "text"
+    order_cols: tuple = ("warc_ts", "url")
+    distance: int = 2  # hamming / simhash threshold (--distance analogue)
+    minhash: MinHashParams = field(default_factory=MinHashParams)
+    threshold: float | None = None  # jaccard verify threshold (None => from bands)
+    verify: bool = True
+    num_buckets: int = 64
+    emit_clusters: bool = True
+    signer_concurrency: object = (1, 8)
+
+
+@dataclass
+class DedupOutput:
+    kept: ray.data.Dataset
+    clusters: ray.data.Dataset | None
+    metrics: dict
+
+
+def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig = DedupConfig()) -> DedupOutput:
+    total = ds.count()
+    if cfg.mode == "exact":
+        kept = _exact.dedup_exact(
+            ds, key_cols=cfg.key_cols, order_cols=cfg.order_cols, num_buckets=cfg.num_buckets
+        ).materialize()
+        clusters = (
+            _exact.dedup_exact_clusters(
+                ds,
+                key_cols=cfg.key_cols,
+                id_col=cfg.id_col,
+                order_cols=cfg.order_cols,
+                num_buckets=cfg.num_buckets,
+            )
+            if cfg.emit_clusters
+            else None
+        )
+    elif cfg.mode in ("tight", "loose", "hamming"):
+        res = _adj.dedup_adjacency(
+            ds,
+            mode=cfg.mode,
+            distance=cfg.distance,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+            order_cols=cfg.order_cols,
+            emit_clusters=cfg.emit_clusters,
+        )
+        kept = res.kept.materialize()
+        clusters = res.clusters if cfg.emit_clusters else None
+    elif cfg.mode in ("minhash", "simhash"):
+        if cfg.mode == "minhash":
+            edges = _mh.dedup_edges_minhash(
+                ds,
+                params=cfg.minhash,
+                id_col=cfg.id_col,
+                text_col=cfg.text_col,
+                order_cols=cfg.order_cols,
+                verify=cfg.verify,
+                threshold=cfg.threshold,
+                signer_concurrency=cfg.signer_concurrency,
+            )
+        else:
+            edges = _sh.simhash_candidate_edges(
+                ds,
+                distance=cfg.distance,
+                id_col=cfg.id_col,
+                text_col=cfg.text_col,
+                order_cols=cfg.order_cols,
+                signer_concurrency=cfg.signer_concurrency,
+            )
+        labels = _comp.connected_components(edges.materialize()).materialize()
+        kept, clusters = _rep.apply_cluster_labels(
+            ds, labels, id_col=cfg.id_col, order_cols=cfg.order_cols
+        )
+        kept = kept.materialize()
+        if not cfg.emit_clusters:
+            clusters = None
+    else:
+        raise ValueError(f"unknown dedup mode: {cfg.mode}")
+
+    n_kept = kept.count()
+    metrics = {"mode": cfg.mode, "total": total, "kept": n_kept, "duplicates": total - n_kept}
+    return DedupOutput(kept=kept, clusters=clusters, metrics=metrics)

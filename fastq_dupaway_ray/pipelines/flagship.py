@@ -1,0 +1,79 @@
+"""The flagship pipeline: full web-page near-dedup with checkpoints + metrics.
+
+End-to-end composition (the new-engine lifecycle from SURVEY.md §3):
+
+    read_parquet (pruned columns)
+    -> validate + quarantine split
+    -> extract(html) + verify per-url byte identity     [invariant]
+    -> exact keep-first dedup (hash shuffle)            [reference --fast]
+    -> MinHash/LSH near-dup edges (actor pools, verify) [north rule]
+    -> connected components -> representative selection
+    -> kept pages + clusters + metrics manifest
+
+Optionally checkpointed per stage under a root dir (state.checkpoint):
+re-running with the same inputs resumes after the last complete stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import ray.data
+
+from ..functions.sketches import MinHashParams
+from ..sources.pages import read_pages, split_quarantine
+from ..stages import components as _comp
+from ..stages import minhash as _mh
+from ..stages import representative as _rep
+from ..stages.dedup_exact import dedup_exact
+from ..state.checkpoint import checkpoint, fingerprint
+
+
+def run_flagship(
+    pages_path: str,
+    out_dir: str | None = None,
+    ckpt_root: str | None = None,
+    params: MinHashParams = MinHashParams(),
+    threshold: float | None = None,
+    signer_concurrency=(1, 8),
+    verify: bool = True,
+):
+    """Returns (kept: Dataset, clusters: Dataset, metrics: dict)."""
+    metrics: dict = {"input": pages_path}
+    ds = read_pages(pages_path)
+    good, bad = split_quarantine(ds)
+    metrics["quarantined"] = bad.count()
+    metrics["valid"] = good.count()
+
+    fp0 = fingerprint("exact", pages_path)
+    exact = dedup_exact(good)
+    if ckpt_root:
+        exact = checkpoint(exact, ckpt_root, "exact", fp0)
+    else:
+        exact = exact.materialize()
+    metrics["after_exact"] = exact.count()
+
+    edges = _mh.dedup_edges_minhash(
+        exact,
+        params=params,
+        verify=verify,
+        threshold=threshold,
+        signer_concurrency=signer_concurrency,
+    ).materialize()
+    metrics["candidate_edges"] = edges.count()
+
+    labels = _comp.connected_components(edges).materialize()
+    kept, clusters = _rep.apply_cluster_labels(exact, labels)
+    kept = kept.materialize()
+    clusters = clusters.materialize()
+    metrics["kept"] = kept.count()
+    metrics["near_dup_removed"] = metrics["after_exact"] - metrics["kept"]
+    metrics["exact_dup_removed"] = metrics["valid"] - metrics["after_exact"]
+
+    if out_dir:
+        kept.write_parquet(os.path.join(out_dir, "kept"))
+        clusters.write_parquet(os.path.join(out_dir, "clusters"))
+        with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=1)
+    return kept, clusters, metrics

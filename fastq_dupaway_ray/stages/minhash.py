@@ -81,6 +81,37 @@ class BandKeyEmitter:
         return pa.table(cols)
 
 
+class SignAndBand:
+    """Fused actor-pool stage: text -> MinHash -> exploded band-key rows.
+
+    One actor pool instead of two (signer + emitter): at small CPU counts two
+    stacked pools can pin every core and starve the downstream shuffle; fusing
+    also skips materializing the signature column when only bands are needed.
+    """
+
+    def __init__(self, params: MinHashParams = MinHashParams(), text_col: str = "text", id_col: str = "url", order_cols=("warc_ts", "url")):
+        self.hasher = MinHasher(params)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.order_cols = [c for c in order_cols if c != id_col]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p = self.hasher.params
+        texts = batch[self.text_col].to_pylist()
+        n = len(texts)
+        keys = np.empty((n, p.bands), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sig = self.hasher.signature(char_ngram_hashes(t or "", p.shingle_k))
+            keys[i] = self.hasher.band_keys(sig)
+        cols = {
+            "band_key": pa.array(keys.ravel(), pa.uint64()),
+            self.id_col: _repeat_col(batch[self.id_col], p.bands),
+        }
+        for c in self.order_cols:
+            cols[c] = _repeat_col(batch[c], p.bands)
+        return pa.table(cols)
+
+
 def _repeat_col(arr, times: int):
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -194,12 +225,14 @@ def dedup_edges_minhash(
         concurrency=signer_concurrency if signer_concurrency is not None else (1, 8),
     )
     slim = pages.select_columns(sorted(set([id_col, text_col, *order_cols])))
-    signed = slim.map_batches(
-        MinHashSigner, fn_constructor_kwargs={"params": params, "text_col": text_col}, **kwargs
-    )
-    band_rows = signed.map_batches(
-        BandKeyEmitter,
-        fn_constructor_kwargs={"params": params, "id_col": id_col, "order_cols": order_cols},
+    band_rows = slim.map_batches(
+        SignAndBand,
+        fn_constructor_kwargs={
+            "params": params,
+            "text_col": text_col,
+            "id_col": id_col,
+            "order_cols": order_cols,
+        },
         **kwargs,
     )
     edges = lsh_candidate_edges(band_rows, id_col=id_col, order_cols=order_cols, max_bucket=max_bucket)

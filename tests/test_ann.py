@@ -1,0 +1,57 @@
+"""Similarity search + embedding dedup over the driver embeddings table."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from fastq_dupaway_ray.stages.ann import brute_force_topk, embedding_dedup_exact
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    X = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    return ids, X
+
+
+def test_brute_force_topk_matches_numpy_oracle(emb, emb_np):
+    ids, X = emb_np
+    Q, qids = X[:5], ids[:5]
+    got = brute_force_topk(emb, Q, qids, k=10, concurrency=2)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    scores = Xn @ Qn.T
+    for j, qid in enumerate(qids):
+        order = np.lexsort((ids, -scores[:, j]))[:10]
+        expect = set(ids[order])
+        mine = set(got[got["query_id"] == qid]["vec_id"])
+        assert mine == expect
+        # self should be its own nearest neighbor
+        top1 = got[(got["query_id"] == qid) & (got["rank"] == 1)]["vec_id"].iloc[0]
+        assert top1 == qid
+
+
+def test_embedding_dedup_exact(ray_session, emb_np):
+    ids, X = emb_np
+    # plant exact duplicates of the first 3 vectors
+    dup = pd.DataFrame(
+        {"vec_id": [10_000 + i for i in range(3)], "embedding": [X[i].astype(np.float32) for i in range(3)],
+         "label": [0, 0, 0]}
+    )
+    base = pd.DataFrame({"vec_id": ids, "embedding": [x.astype(np.float32) for x in X], "label": 0})
+    ds = rd.from_pandas(pd.concat([base, dup], ignore_index=True))
+    kept = embedding_dedup_exact(ds).to_pandas()
+    assert len(kept) == len(ids)  # dups removed
+    assert set(dup["vec_id"]) & set(kept["vec_id"]) == set()  # originals (min id) kept

@@ -1,0 +1,164 @@
+"""Pure-function layer tests (no Ray)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fastq_dupaway_ray.functions.hashing import (
+    char_ngram_hashes,
+    combine_hash64,
+    containment,
+    hamming64,
+    hash64,
+    jaccard,
+    popcount64,
+    rolling_fingerprint,
+    word_ngram_hashes,
+)
+from fastq_dupaway_ray.functions.sketches import (
+    MinHasher,
+    MinHashParams,
+    minhash_jaccard_estimate,
+    simhash64,
+    simhash_chunks,
+)
+from fastq_dupaway_ray.functions.textstats import (
+    language_id,
+    normalize_text,
+    quality_features,
+    token_count_bpe,
+    token_count_ws,
+)
+
+
+def test_hash64_deterministic_and_distinct():
+    a = hash64(["alpha", "beta", "alpha"])
+    assert a.dtype == np.uint64
+    assert a[0] == a[2] != a[1]
+    assert (hash64(["alpha"]) == a[0]).all()  # cross-call stability
+
+
+def test_combine_hash64_order_and_composite():
+    x = hash64(["a", "b"])
+    y = hash64(["c", "d"])
+    c1 = combine_hash64(x, y)
+    c2 = combine_hash64(y, x)
+    assert c1[0] != c2[0]  # order-sensitive (left/right mates differ)
+    assert len(np.unique(c1)) == 2
+
+
+def test_popcount_and_hamming():
+    x = np.array([0, 0xFF, 1 << 63], dtype=np.uint64)
+    assert popcount64(x).tolist() == [0, 8, 1]
+    a = np.array([0b1010], dtype=np.uint64)
+    b = np.array([0b0110], dtype=np.uint64)
+    assert hamming64(a, b)[0] == 2
+
+
+def test_char_ngram_hashes_props():
+    s = char_ngram_hashes("abcdefgh", 4)
+    assert len(s) == 5  # 8-4+1 windows, all distinct here
+    assert len(char_ngram_hashes("", 4)) == 0
+    assert len(char_ngram_hashes("ab", 4)) == 1  # short doc -> whole-text shingle
+    # identical text => identical shingles
+    assert (char_ngram_hashes("same text", 4) == char_ngram_hashes("same text", 4)).all()
+
+
+def test_jaccard_and_containment():
+    a = char_ngram_hashes("the quick brown fox", 4)
+    assert jaccard(a, a) == 1.0
+    sup = char_ngram_hashes("the quick brown fox jumps over", 4)
+    assert containment(a, sup) == 1.0  # prefix fully contained
+    assert jaccard(a, sup) < 1.0
+
+
+def test_rolling_fingerprint_deterministic():
+    assert rolling_fingerprint("hello world " * 20) == rolling_fingerprint("hello world " * 20)
+    assert rolling_fingerprint("hello") != rolling_fingerprint("hellp")
+    assert rolling_fingerprint("") == 0
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(MinHashParams(num_perms=128, shingle_k=5, bands=16, rows_per_band=8))
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "hazy")
+    far = "entirely different content with no overlap whatsoever " * 5
+    sa, sb, sc = mh.sign_text(base), mh.sign_text(near), mh.sign_text(far)
+    true_ab = jaccard(char_ngram_hashes(base, 5), char_ngram_hashes(near, 5))
+    est_ab = minhash_jaccard_estimate(sa, sb)
+    assert abs(est_ab - true_ab) < 0.15
+    assert minhash_jaccard_estimate(sa, sc) < 0.1
+    assert minhash_jaccard_estimate(sa, mh.sign_text(base)) == 1.0
+
+
+def test_band_keys_fold_band_index():
+    mh = MinHasher()
+    sig = mh.sign_text("some document text here")
+    keys = mh.band_keys(sig)
+    assert len(keys) == mh.params.bands
+    assert len(np.unique(keys)) == len(keys)  # same rows, different band index
+
+
+def test_minhash_params_validation():
+    with pytest.raises(ValueError):
+        MinHashParams(num_perms=100, bands=16, rows_per_band=8)
+
+
+def test_simhash_near_far():
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("dog", "cat")
+    far = "completely unrelated quarterly fiscal report content " * 3
+    s = np.array([simhash64(base), simhash64(near), simhash64(far)], dtype=np.uint64)
+    d_near = hamming64(s[:1], s[1:2])[0]
+    d_far = hamming64(s[:1], s[2:3])[0]
+    assert d_near < d_far
+    assert simhash64(base) == simhash64(base)
+
+
+def test_simhash_chunks_pigeonhole():
+    # two sigs within distance d MUST share at least one chunk key
+    rng = np.random.RandomState(0)
+    for d in (1, 2, 3):
+        for _ in range(50):
+            a = rng.randint(0, 1 << 63, dtype=np.uint64)
+            flip = rng.choice(64, size=d, replace=False)
+            b = a
+            for f in flip:
+                b = np.uint64(b) ^ (np.uint64(1) << np.uint64(f))
+            ka = simhash_chunks(np.array([a], dtype=np.uint64), d)[0]
+            kb = simhash_chunks(np.array([b], dtype=np.uint64), d)[0]
+            assert (ka == kb).any()
+
+
+def test_token_counts():
+    arr = pa.array(["a b c", "", "   ", "one", "x  y"])
+    assert token_count_ws(arr).to_pylist() == [3, 0, 0, 1, 2]
+    assert token_count_bpe(np.array(["hello, world 42"], dtype=object))[0] == 4
+
+
+def test_normalize_text():
+    out = normalize_text(pa.array(["  Hello   WORLD \t x "]))
+    assert out[0].as_py() == "hello world x"
+
+
+def test_quality_features_columns():
+    t = quality_features(pa.table({"text": ["Hello, World! 42", ""]}))
+    for c in ("n_chars", "n_tokens", "mean_token_len", "punct_ratio", "digit_ratio", "upper_ratio", "stopword_ratio"):
+        assert c in t.schema.names
+    assert t["n_chars"][1].as_py() == 0
+
+
+def test_language_id():
+    out = language_id(
+        np.array(
+            ["the cat and the dog of it to a in", "der hund und die katze ist nicht", "zzz qqq"],
+            dtype=object,
+        )
+    )
+    assert list(out) == ["en", "de", "und"]
+
+
+def test_word_ngram_hashes():
+    assert len(word_ngram_hashes("a b c d", 2)) == 3
+    assert len(word_ngram_hashes("", 2)) == 0
+    assert len(word_ngram_hashes("one", 3)) == 1

@@ -1,0 +1,117 @@
+"""Pipeline dispatch, flagship run, checkpoint/resume, extraction invariant,
+quarantine and multimodal plumbing."""
+
+import datetime
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import ray.data as rd
+
+from fastq_dupaway_ray.pipelines.dedup import DedupConfig, run_dedup
+from fastq_dupaway_ray.pipelines.flagship import run_flagship
+from fastq_dupaway_ray.sources.pages import split_quarantine
+from fastq_dupaway_ray.stages.extract import extract_text_batch, verify_extraction_batch
+from fastq_dupaway_ray.state.checkpoint import checkpoint, fingerprint, read_manifest
+
+
+@pytest.fixture(scope="module")
+def ds(ray_session, pages_corpus):
+    path, _ = pages_corpus
+    return rd.read_parquet(path)
+
+
+def test_extraction_invariant_whole_corpus(ds):
+    """extract(html) == text byte-identically per url (input_hint invariant)."""
+    v = ds.map_batches(verify_extraction_batch, batch_format="pyarrow")
+    assert v.count() == ds.count()
+    bad = v.map_batches(lambda t: t.filter(pc.invert(t["matches"])), batch_format="pyarrow")
+    assert bad.count() == 0
+
+
+def test_quarantine_split(ray_session):
+    t = pa.table(
+        {
+            "url": ["", "https://ok.example/1", None],
+            "warc_ts": pa.array([datetime.datetime(2025, 1, 1)] * 3, pa.timestamp("us")),
+            "html": pa.array([b"x", b"y", b"z"], pa.binary()),
+            "text": ["a", "b", "c"],
+            "lang": ["en"] * 3,
+        }
+    )
+    good, bad = split_quarantine(rd.from_arrow(t))
+    assert good.count() == 1
+    assert bad.count() == 2
+
+
+@pytest.mark.parametrize("mode", ["exact", "tight", "loose", "minhash"])
+def test_run_dedup_modes(ds, mode):
+    out = run_dedup(ds, DedupConfig(mode=mode, signer_concurrency=2))
+    m = out.metrics
+    assert m["total"] == ds.count()
+    assert m["kept"] + m["duplicates"] == m["total"]
+    assert m["duplicates"] > 0  # corpus plants duplicates for every mode
+    assert out.kept.count() == m["kept"]
+    if out.clusters is not None:
+        cdf = out.clusters.to_pandas()
+        assert set(cdf.columns) == {"cluster_id", "member", "is_representative"}
+
+
+def test_flagship_with_checkpoint_resume(pages_corpus, tmp_path, ray_session):
+    path, _ = pages_corpus
+    ck = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    kept, clusters, metrics = run_flagship(path, out_dir=out, ckpt_root=ck, signer_concurrency=2)
+    assert metrics["kept"] < metrics["valid"]
+    assert os.path.exists(os.path.join(out, "metrics.json"))
+    man = read_manifest(ck, "exact")
+    assert man is not None and man["complete"] and man["rows"] == metrics["after_exact"]
+    # resume: second run must reuse the exact checkpoint (same fingerprint)
+    kept2, _, metrics2 = run_flagship(path, ckpt_root=ck, signer_concurrency=2)
+    assert metrics2["after_exact"] == metrics["after_exact"]
+    assert metrics2["kept"] == metrics["kept"]
+
+
+def test_checkpoint_skips_and_invalidates(ds, tmp_path):
+    root = str(tmp_path)
+    fp = fingerprint("stage-a", "cfg1")
+    out1 = checkpoint(ds.select_columns(["url"]), root, "a", fp)
+    n = out1.count()
+    man1 = read_manifest(root, "a")
+    assert man1["rows"] == n
+    # same fingerprint: no rewrite (manifest identity preserved)
+    out2 = checkpoint(ds.select_columns(["url"]), root, "a", fp)
+    assert read_manifest(root, "a") == man1
+    assert out2.count() == n
+    # changed fingerprint: stage re-runs
+    out3 = checkpoint(ds.select_columns(["url", "lang"]), root, "a", fingerprint("stage-a", "cfg2"))
+    assert read_manifest(root, "a")["fingerprint"] != fp
+    assert set(out3.schema().names) == {"url", "lang"}
+
+
+def test_multimodal_plumbing(ds):
+    from fastq_dupaway_ray.stages.multimodal import FrameSampler, image_pipeline
+
+    small = ds.limit(32).map_batches(
+        lambda t: t.select(["url", "html"]).rename_columns(["url", "payload"]),
+        batch_format="pyarrow",
+    )
+    feats = image_pipeline(small, concurrency=2)
+    t = feats.take_batch(32, batch_format="pyarrow")
+    assert "image_feat" in t.schema.names and "width" in t.schema.names
+    assert t["image_feat"].type.list_size == 16
+    frames = small.map_batches(
+        FrameSampler, fn_constructor_kwargs={"k": 4}, batch_format="pyarrow",
+        batch_size=16, concurrency=2,
+    ).take_batch(8, batch_format="pyarrow")
+    assert frames["frame_offsets"].type.list_size == 4
+
+
+def test_multimodal_require_real_raises():
+    from fastq_dupaway_ray.stages.multimodal import ImageFeatures
+
+    with pytest.raises(NotImplementedError):
+        ImageFeatures(require_real=True)
