@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in fastq_dupaway_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data extras); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible one (same column names on both sides).
 """
 
 from __future__ import annotations
@@ -18,27 +13,31 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from fastq_dupaway_ray.queries import REGISTRY
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: pages-shaped near-dedup.
+
+    documents lifted to the (url, warc_ts, html, text, lang) pages schema ->
+    validate/quarantine -> exact keep-first dedup -> MinHash/LSH near-dup ->
+    connected components -> representative selection. Returns the kept pages.
+    """
+    import ray.data as rd
+
+    from fastq_dupaway_ray.corpus import pages_from_documents
+    from fastq_dupaway_ray.pipelines.dedup import DedupConfig, run_dedup
+    from fastq_dupaway_ray.sources.pages import split_quarantine
+
+    table = pages_from_documents("/root/testdata/sf0.001")
+    good, _bad = split_quarantine(rd.from_arrow(table))
+    out = run_dedup(good, DedupConfig(mode="minhash", signer_concurrency=2))
+    return out.kept
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

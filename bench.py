@@ -1,0 +1,165 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ..., "bench_rows": ...}
+
+--scaling: runs the plain bench twice in fresh processes (num_cpus=8 then 32)
+on the same input and prints throughput at both + scaling efficiency
+(the sandbox stand-in for the north rule's N vs 4N node clusters).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_PAGES = "/tmp/fdr_bench_pages"
+
+
+def _sf_tag(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def build_bench_corpus(sf_dir: str) -> str:
+    """Deterministic pages corpus sized to the scale factor (cached in /tmp)."""
+    from fastq_dupaway_ray.corpus import CorpusSpec, write_pages
+
+    n_base = max(2_000, int(400_000 * _sf_tag(sf_dir)))  # sf0.1 -> 40k base docs
+    spec = CorpusSpec(n_base=n_base, seed=1234)
+    path = os.path.join(BENCH_PAGES, f"sf{_sf_tag(sf_dir)}")
+    return write_pages(path, spec, shards=32)
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from fastq_dupaway_ray.pipelines.dedup import DedupConfig, run_dedup
+    from fastq_dupaway_ray.queries import REGISTRY, augmented_docs
+
+    pages_path = build_bench_corpus(SF_DIR)
+    # warm the page cache so we measure compute + shuffle, not first-touch IO
+    _ = rd.read_parquet(pages_path).count()
+    n_pages = _
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    sc = max(2, NUM_CPUS // 2)  # actor pool size for signer stages
+
+    # headline: flagship minhash near-dedup over the pages corpus
+    def flagship():
+        ds = rd.read_parquet(pages_path)
+        return run_dedup(
+            ds, DedupConfig(mode="minhash", signer_concurrency=sc, emit_clusters=False)
+        ).metrics
+
+    m_flag = timed("flagship_minhash", flagship)
+
+    def exact():
+        ds = rd.read_parquet(pages_path)
+        return run_dedup(
+            ds, DedupConfig(mode="exact", emit_clusters=False, num_buckets=max(64, NUM_CPUS * 2))
+        ).metrics
+
+    m_exact = timed("exact_dedup", exact)
+
+    def simhash():
+        ds = rd.read_parquet(pages_path)
+        return run_dedup(
+            ds,
+            DedupConfig(mode="simhash", distance=3, signer_concurrency=sc, emit_clusters=False),
+        ).metrics
+
+    timed("simhash_dedup", simhash)
+
+    def loose():
+        ds = rd.read_parquet(pages_path)
+        return run_dedup(ds, DedupConfig(mode="loose", emit_clusters=False)).metrics
+
+    timed("loose_adjacency", loose)
+
+    # driver-table pipelines (oracle-checked ones)
+    timed("lineitem_agg", lambda: REGISTRY["lineitem_agg"][0](SF_DIR))
+    timed("join_orders_customer", lambda: REGISTRY["join_orders_customer"][0](SF_DIR).count())
+    timed("ann_topk", lambda: REGISTRY["ann_topk"][0](SF_DIR))
+    timed("events_window", lambda: REGISTRY["events_window"][0](SF_DIR))
+
+    headline = timings["flagship_minhash"]
+    result = {
+        "metric": "flagship_minhash_neardup_sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_tag(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "bench_rows": n_pages,
+        "docs_per_sec": round(n_pages / headline, 1),
+        "flagship_metrics": m_flag,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes (N vs 4N)."""
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        out[ncpu] = json.loads(p.stdout.strip().splitlines()[-1])
+    t8, t32 = out[8]["value"], out[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "sec_8": t8,
+        "sec_32": t32,
+        "docs_per_sec_8": out[8]["docs_per_sec"],
+        "docs_per_sec_32": out[32]["docs_per_sec"],
+        "speedup": round(t8 / t32, 3),
+        "scaling_efficiency": round(eff, 3),
+        "sf": out[32]["sf"],
+        "bench_rows": out[32]["bench_rows"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_benchmarks()))

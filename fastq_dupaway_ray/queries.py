@@ -1,0 +1,513 @@
+"""Driver-contract query implementations + their DuckDB oracle SQL.
+
+Each entry runs one operator/pipeline from SURVEY.md §2 over the driver's
+testdata tables and (where SQL-expressible) has a DuckDB oracle producing the
+same rows with the same column names — the correctness gate.
+
+The driver's documents table has no planted duplicates, so dedup queries build
+a deterministic augmented table first — a union of documents with exact copies
+(every 10th doc) and prefix extensions (every 7th doc) — expressed identically
+in Ray and in the oracle SQL (same arithmetic, no randomness).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+# deterministic duplicate injection, mirrored exactly in _AUGMENT_SQL
+EXACT_COPY_MOD = 10
+EXACT_COPY_OFFSET = 1_000_000
+PREFIX_MOD = 7
+PREFIX_OFFSET = 2_000_000
+PREFIX_SUFFIX = " appended continuation section"
+
+_AUGMENT_SQL = f"""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + {EXACT_COPY_OFFSET}, text, lang, source, n_chars
+    FROM documents WHERE doc_id % {EXACT_COPY_MOD} = 0
+    UNION ALL
+    SELECT doc_id + {PREFIX_OFFSET}, text || '{PREFIX_SUFFIX}', lang, source,
+           n_chars + {len(PREFIX_SUFFIX)}
+    FROM documents WHERE doc_id % {PREFIX_MOD} = 0
+"""
+
+
+def _docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=DOC_COLS)
+
+
+def augmented_docs(sf_dir: str) -> rd.Dataset:
+    """documents ∪ exact copies ∪ prefix extensions (deterministic)."""
+    ds = _docs(sf_dir)
+
+    def _mod_filter(t: pa.Table, mod: int) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return t.filter(pa.array(ids % mod == 0))  # pyarrow 16 lacks pc.modulo
+
+    def exact_copies(t: pa.Table) -> pa.Table:
+        m = _mod_filter(t, EXACT_COPY_MOD)
+        return m.set_column(0, "doc_id", pc.add(m["doc_id"], EXACT_COPY_OFFSET))
+
+    def prefix_exts(t: pa.Table) -> pa.Table:
+        m = _mod_filter(t, PREFIX_MOD)
+        new_text = pc.binary_join_element_wise(
+            m["text"].combine_chunks(), pa.scalar(PREFIX_SUFFIX), ""
+        )
+        m = m.set_column(0, "doc_id", pc.add(m["doc_id"], PREFIX_OFFSET))
+        m = m.set_column(m.schema.get_field_index("text"), "text", new_text)
+        return m.set_column(
+            m.schema.get_field_index("n_chars"), "n_chars", pc.add(m["n_chars"], len(PREFIX_SUFFIX))
+        )
+
+    return ds.union(
+        ds.map_batches(exact_copies, batch_format="pyarrow"),
+        ds.map_batches(prefix_exts, batch_format="pyarrow"),
+    )
+
+
+# ----------------------------------------------------------------- dedup: exact
+
+def q_dedup_exact_docs(sf_dir: str):
+    """Hash-exact keep-first dedup (reference --fast, SURVEY.md A1)."""
+    from .stages.dedup_exact import dedup_exact
+
+    return dedup_exact(augmented_docs(sf_dir), key_cols=("text",), order_cols=("doc_id",))
+
+
+SQL_DEDUP_EXACT_DOCS = f"""
+    WITH aug AS ({_AUGMENT_SQL})
+    SELECT doc_id, text, lang, source, n_chars FROM aug
+    QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""
+
+
+def q_dedup_exact_composite_docs(sf_dir: str):
+    """Composite-key dedup = paired-mode AND semantics (SURVEY.md A2)."""
+    from .stages.dedup_exact import dedup_exact
+
+    return dedup_exact(
+        augmented_docs(sf_dir), key_cols=("text", "lang"), order_cols=("doc_id",)
+    )
+
+
+SQL_DEDUP_EXACT_COMPOSITE_DOCS = f"""
+    WITH aug AS ({_AUGMENT_SQL})
+    SELECT doc_id, text, lang, source, n_chars FROM aug
+    QUALIFY row_number() OVER (PARTITION BY text, lang ORDER BY doc_id) = 1
+"""
+
+
+def q_clusters_exact_docs(sf_dir: str):
+    """Duplicate-cluster emission (--write-clusters, SURVEY.md A6/S9)."""
+    from .stages.dedup_exact import dedup_exact_clusters
+
+    return dedup_exact_clusters(
+        augmented_docs(sf_dir), key_cols=("text",), id_col="doc_id", order_cols=("doc_id",)
+    )
+
+
+SQL_CLUSTERS_EXACT_DOCS = f"""
+    WITH aug AS ({_AUGMENT_SQL})
+    SELECT min(doc_id) OVER (PARTITION BY text) AS cluster_id,
+           doc_id AS member,
+           doc_id = min(doc_id) OVER (PARTITION BY text) AS is_representative
+    FROM aug
+"""
+
+
+def q_dedup_counts_docs(sf_dir: str):
+    """Run-summary counters (--verbose, SURVEY.md A7)."""
+    ds = augmented_docs(sf_dir)
+    total = ds.count()
+    kept = ds.unique("text")
+    n_kept = len(kept)
+    return pd.DataFrame(
+        {"total": [total], "kept": [n_kept], "duplicates": [total - n_kept]}
+    )
+
+
+SQL_DEDUP_COUNTS_DOCS = f"""
+    WITH aug AS ({_AUGMENT_SQL})
+    SELECT count(*) AS total,
+           count(DISTINCT text) AS kept,
+           count(*) - count(DISTINCT text) AS duplicates
+    FROM aug
+"""
+
+
+# ------------------------------------------------------- dedup: loose adjacency
+
+def q_dedup_loose_docs(sf_dir: str):
+    """Prefix-containment dedup, sorted-adjacency LAG semantics (SURVEY.md A4).
+
+    Exact mirror of the reference loose scan (see stages.adjacency docstring
+    for why the scan reduces to a LAG predicate).
+    """
+    from .stages.adjacency import dedup_adjacency
+
+    res = dedup_adjacency(
+        augmented_docs(sf_dir), mode="loose", text_col="text", id_col="doc_id", order_cols=("doc_id",)
+    )
+    return res.kept
+
+
+SQL_DEDUP_LOOSE_DOCS = f"""
+    WITH aug AS ({_AUGMENT_SQL}),
+    lagged AS (
+        SELECT *, lag(text) OVER (ORDER BY text, doc_id) AS prev FROM aug
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM lagged
+    WHERE prev IS NULL OR NOT starts_with(text, prev)
+"""
+
+
+# ------------------------------------------------------------------------ joins
+
+def q_join_orders_customer(sf_dir: str):
+    """Keyed inner join with first-per-key semantics (--unordered, SURVEY.md J1)."""
+    from .stages.join import join_unordered
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    cust = cust.rename_columns({"c_custkey": "key"})
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    ).rename_columns({"o_custkey": "key"})
+    res = join_unordered(cust, orders, key="key", order_cols=("o_orderkey",))
+    return res.pairs.select_columns(["key", "c_name", "o_orderkey", "o_totalprice"])
+
+
+SQL_JOIN_ORDERS_CUSTOMER = """
+    SELECT c.c_custkey AS key, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    JOIN (SELECT * FROM orders
+          QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1) o
+      ON c.c_custkey = o.o_custkey
+"""
+
+
+def q_join_unmatched_counts(sf_dir: str):
+    """Matched/unmatched accounting of the unordered join (unmatch_reads)."""
+    from .stages.join import join_unordered
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    cust = cust.rename_columns({"c_custkey": "key"})
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+    ).rename_columns({"o_custkey": "key"})
+    res = join_unordered(cust, orders, key="key", order_cols=("o_orderkey",))
+    return pd.DataFrame(
+        {
+            "matched": [res.matched],
+            "unmatched": [res.unmatched],
+            "left_total": [res.left_total],
+            "right_total": [res.right_total],
+        }
+    )
+
+
+SQL_JOIN_UNMATCHED_COUNTS = """
+    WITH l AS (SELECT DISTINCT c_custkey AS key FROM customer),
+         r AS (SELECT DISTINCT o_custkey AS key FROM orders),
+         m AS (SELECT count(*) AS matched FROM l JOIN r USING (key))
+    SELECT m.matched,
+           (SELECT count(*) FROM l) + (SELECT count(*) FROM r) - 2 * m.matched AS unmatched,
+           (SELECT count(*) FROM l) AS left_total,
+           (SELECT count(*) FROM r) AS right_total
+    FROM m
+"""
+
+
+# ---------------------------------------------------------------- text analysis
+
+def q_token_counts_docs(sf_dir: str):
+    """Whitespace token counting (training-data text analysis)."""
+    from .functions.textstats import token_count_ws
+
+    def add(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": token_count_ws(t["text"])})
+
+    return _docs(sf_dir).map_batches(add, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNTS_DOCS = r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+    FROM documents
+"""
+
+
+def q_quality_scores_docs(sf_dir: str):
+    """Quality scoring features (length/punct/digit ratios)."""
+    from .functions.textstats import quality_features
+
+    def add(t: pa.Table) -> pa.Table:
+        out = quality_features(t)
+        return out.select(["doc_id", "n_chars", "n_tokens", "punct_ratio", "digit_ratio"])
+
+    # documents has its own n_chars column; recompute under the same name and
+    # keep ours (drop the input column first to avoid ambiguity)
+    ds = _docs(sf_dir).drop_columns(["n_chars"])
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+SQL_QUALITY_SCORES_DOCS = r"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '[\.,;:!\?\-''"()\[\]]')) /
+               greatest(length(text), 1)::DOUBLE AS punct_ratio,
+           len(regexp_extract_all(text, '[0-9]')) /
+               greatest(length(text), 1)::DOUBLE AS digit_ratio
+    FROM documents
+"""
+
+
+def q_lang_id_docs(sf_dir: str):
+    """Stopword-vote language ID (heuristic; rows-only check)."""
+    from .functions.textstats import language_id
+
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "lang_pred": language_id(df["text"].to_numpy(dtype=object))}
+        )
+
+    return _docs(sf_dir).map_batches(add, batch_format="pandas")
+
+
+def q_fingerprint_docs(sf_dir: str):
+    """Rolling-hash document fingerprinting (rows-only: not SQL-expressible)."""
+    from .functions.hashing import rolling_fingerprint
+
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "fingerprint": [int(rolling_fingerprint(t)) for t in df["text"]],
+            }
+        )
+
+    return _docs(sf_dir).map_batches(add, batch_format="pandas")
+
+
+# ----------------------------------------------------------------- near-dup (rows-only)
+
+def q_minhash_dedup_docs(sf_dir: str):
+    """MinHash-LSH near-dup dedup over the augmented docs (north rule core).
+
+    Rows-only driver check (LSH not SQL-expressible); pytest validates recall
+    against planted classes separately.
+    """
+    from .pipelines.dedup import DedupConfig, run_dedup
+
+    out = run_dedup(
+        augmented_docs(sf_dir),
+        DedupConfig(
+            mode="minhash",
+            id_col="doc_id",
+            order_cols=("doc_id",),
+            signer_concurrency=2,
+            emit_clusters=False,
+        ),
+    )
+    return out.kept
+
+
+def q_simhash_dedup_docs(sf_dir: str):
+    """SimHash Hamming-ball near-dup dedup (--distance analogue; rows-only)."""
+    from .pipelines.dedup import DedupConfig, run_dedup
+
+    out = run_dedup(
+        augmented_docs(sf_dir),
+        DedupConfig(
+            mode="simhash",
+            id_col="doc_id",
+            order_cols=("doc_id",),
+            distance=3,
+            signer_concurrency=2,
+            emit_clusters=False,
+        ),
+    )
+    return out.kept
+
+
+# -------------------------------------------------------------------- similarity
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k similarity search over embeddings."""
+    import pyarrow.parquet as pq
+
+    from .stages.ann import brute_force_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    qidx = order[:5]
+    Q = np.stack([t["embedding"][int(i)].as_py() for i in qidx])
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    got = brute_force_topk(emb, Q, ids[qidx], k=10, concurrency=2)
+    return got[["query_id", "vec_id", "rank"]]
+
+
+SQL_ANN_TOPK = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings ORDER BY vec_id LIMIT 5)
+    SELECT query_id, vec_id, rank FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+               ) AS rank
+        FROM embeddings e CROSS JOIN q
+    ) WHERE rank <= 10
+"""
+
+
+def q_embedding_dedup(sf_dir: str):
+    """Exact embedding dedup (byte-identical vectors, keep min id)."""
+    from .stages.ann import embedding_dedup_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    kept = embedding_dedup_exact(ds)
+    return kept.select_columns(["vec_id", "label"])
+
+
+SQL_EMBEDDING_DEDUP = """
+    SELECT vec_id, label FROM embeddings
+    QUALIFY row_number() OVER (PARTITION BY embedding ORDER BY vec_id) = 1
+"""
+
+
+# ------------------------------------------------------------------- aggregates
+
+def q_lineitem_agg(sf_dir: str):
+    """Grouped aggregate with in-batch pre-aggregation (combiner pattern)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pcc
+
+        rev = pcc.multiply(t["l_extendedprice"], pcc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("revenue", rev)
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_rev=("revenue", "sum"),
+            n=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("sum_rev", alias_name="sum_rev"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_rev"] = out["sum_rev"].round(2)
+    return out
+
+
+SQL_LINEITEM_AGG = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window aggregate per user (streaming-shaped workload)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    # two-level bucketing: Ray's native aggregate is slow with ~n distinct
+    # groups; hash-partition by user into coarse buckets and run ONE vectorized
+    # pandas groupby per bucket (co-locating each user's windows)
+    from .stages.minhash import _default_shuffle_buckets
+
+    B = _default_shuffle_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(window_start=df["ts"].dt.floor("h"))
+        out = df.groupby(["user_id", "window_start"], as_index=False).agg(
+            sum_value=("value", "sum"), n_events=("value", "size")
+        )
+        out["_bkt"] = out["user_id"].to_numpy() % B
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["user_id", "window_start"], as_index=False).agg(
+            sum_value=("sum_value", "sum"), n_events=("n_events", "sum")
+        )
+        return out
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(6)
+    return out
+
+
+SQL_EVENTS_WINDOW = """
+    SELECT user_id, date_trunc('hour', ts) AS window_start,
+           round(sum(value), 6) AS sum_value, count(*) AS n_events
+    FROM events
+    GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+# ----------------------------------------------------------------------- pages
+
+def q_pages_flagship(sf_dir: str):
+    """Flagship pages pipeline over documents lifted to the pages schema
+    (rows-only: html/extraction not SQL-expressible)."""
+    from .corpus import pages_from_documents
+    from .pipelines.dedup import DedupConfig, run_dedup
+    from .sources.pages import split_quarantine
+
+    table = pages_from_documents(sf_dir)
+    good, _bad = split_quarantine(rd.from_arrow(table))
+    out = run_dedup(good, DedupConfig(mode="minhash", signer_concurrency=2, emit_clusters=False))
+    return out.kept.select_columns(["url", "lang"])
+
+
+REGISTRY = {
+    "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
+    "dedup_exact_composite_docs": (q_dedup_exact_composite_docs, SQL_DEDUP_EXACT_COMPOSITE_DOCS),
+    "clusters_exact_docs": (q_clusters_exact_docs, SQL_CLUSTERS_EXACT_DOCS),
+    "dedup_counts_docs": (q_dedup_counts_docs, SQL_DEDUP_COUNTS_DOCS),
+    "dedup_loose_docs": (q_dedup_loose_docs, SQL_DEDUP_LOOSE_DOCS),
+    "join_orders_customer": (q_join_orders_customer, SQL_JOIN_ORDERS_CUSTOMER),
+    "join_unmatched_counts": (q_join_unmatched_counts, SQL_JOIN_UNMATCHED_COUNTS),
+    "token_counts_docs": (q_token_counts_docs, SQL_TOKEN_COUNTS_DOCS),
+    "quality_scores_docs": (q_quality_scores_docs, SQL_QUALITY_SCORES_DOCS),
+    "lang_id_docs": (q_lang_id_docs, None),
+    "fingerprint_docs": (q_fingerprint_docs, None),
+    "minhash_dedup_docs": (q_minhash_dedup_docs, None),
+    "simhash_dedup_docs": (q_simhash_dedup_docs, None),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
+    "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+    "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+    "pages_flagship": (q_pages_flagship, None),
+}

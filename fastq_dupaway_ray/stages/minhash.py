@@ -124,8 +124,9 @@ def lsh_candidate_edges(
     id_col: str = "url",
     order_cols=("warc_ts", "url"),
     max_bucket: int = 256,
+    num_shuffle_buckets: int | None = None,
 ) -> ray.data.Dataset:
-    """groupby(band_key) -> star candidate edges (a, b) with a = bucket head.
+    """band rows -> star candidate edges (a, b) with a = LSH-bucket head.
 
     Star emission keeps hot buckets linear: a bucket of n rows yields n-1
     edges against the bucket's first-by-order member, which is exactly what
@@ -134,19 +135,42 @@ def lsh_candidate_edges(
     to the first ``max_bucket`` members by order — a documented recall/cost
     knob for pathological boilerplate keys (the dropped members are still
     covered by their other b-1 bands).
+
+    Shuffle shape: two-level bucketing. A direct groupby(band_key).map_groups
+    would pay one Python call per band bucket (millions); instead rows are
+    hash-partitioned into ``num_shuffle_buckets`` coarse buckets (the shuffle
+    width) and each bucket runs ONE vectorized pandas groupby over all its
+    band keys.
     """
-    order_cols = list(order_cols)
+    order_cols = [c for c in order_cols]
+    B = num_shuffle_buckets or _default_shuffle_buckets()
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        bkt = (t["band_key"].to_numpy() % np.uint64(B)).astype(np.int64)
+        return t.append_column("_bkt", pa.array(bkt, pa.int64()))
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"a": [], "b": []}, dtype=object)
-        df = df.sort_values(order_cols, kind="mergesort").head(max_bucket)
-        ids = df[id_col].to_numpy()
-        head = ids[0]
-        members = ids[1:]
-        return pd.DataFrame({"a": np.full(len(members), head, dtype=object), "b": members})
+        df = df.sort_values(["band_key", *order_cols], kind="mergesort")
+        g = df.groupby("band_key", sort=False)
+        head = g[id_col].transform("first")
+        rank = g.cumcount()
+        sel = (rank > 0) & (rank < max_bucket)
+        return pd.DataFrame({"a": head[sel].to_numpy(), "b": df.loc[sel, id_col].to_numpy()})
 
-    return band_rows.groupby("band_key").map_groups(per_bucket, batch_format="pandas")
+    return (
+        band_rows.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def _default_shuffle_buckets(mult: int = 4) -> int:
+    try:
+        import ray
+
+        return max(8, int(ray.cluster_resources().get("CPU", 8)) * mult)
+    except Exception:
+        return 32
 
 
 def verify_edges_jaccard(

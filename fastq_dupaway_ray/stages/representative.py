@@ -10,18 +10,29 @@ first in arrival order, i.e. min (warc_ts, url)
 
     clusters(cluster_id = representative id, member, is_representative)
 
-Rows that never appeared in any candidate edge are singleton clusters (their
-own representative) and are kept untouched — they skip the label join entirely.
+Shuffle shape (this matters at 100 TB): the heavy page payload NEVER enters a
+shuffle. The label table is the set of *clustered members only* (the
+duplicates — small relative to the corpus), so it is broadcast via ``ray.put``
+and applied inside streaming ``map_batches`` passes:
+
+1. one slim pass over (id, order) columns attaches labels -> bucketed
+   vectorized representative pick -> clusters table;
+2. the non-representative member ids (the drop set) are broadcast and the full
+   payload streams through a single filter pass — no join, no payload shuffle.
+
+Scale note: if the drop set outgrew driver/worker memory (extreme dup rates at
+10^12 docs), swap step 2 for a bucket-wise semi-join of ids with the payload
+re-read per kept bucket; the broadcast form is the right call whenever the
+drop list fits in a few GB, which covers typical web dedup ratios at any
+corpus size a single job partition handles.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
+import ray
 import ray.data
-
-from ..util import default_join_partitions
 
 DEFAULT_ORDER = ("warc_ts", "url")
 
@@ -31,62 +42,67 @@ def apply_cluster_labels(
     labels: ray.data.Dataset,
     id_col: str = "url",
     order_cols=DEFAULT_ORDER,
-    num_partitions: int | None = None,
+    num_partitions: int | None = None,  # kept for API stability; unused (join-free path)
 ):
-    """Returns (kept_pages, clusters) — both lazy Datasets.
+    """Returns (kept_pages, clusters) — both lazy Datasets."""
+    order_cols = [c for c in order_cols]
+    label_df = labels.to_pandas()  # clustered members only — the small side
+    if len(label_df) == 0:
+        empty = pd.DataFrame(
+            {
+                "cluster_id": pd.Series([], dtype=object),
+                "member": pd.Series([], dtype=object),
+                "is_representative": pd.Series([], dtype=bool),
+            }
+        )
+        return pages, ray.data.from_pandas(empty)
 
-    kept_pages: all singleton rows + the min-order member of every labeled
-    cluster. clusters: one row per labeled member (+ representatives flagged).
+    label_ref = ray.put(dict(zip(label_df["node"], label_df["label"])))
+    slim_cols = sorted(set([id_col, *order_cols]))
 
-    Shuffle shape: the label table is slim (two id columns); the join is hash
-    partitioned on the row id; representative selection shuffles only the slim
-    (label, id, order) projection, then a final semi-join pulls the full
-    payload rows of winners — the html payload crosses the wire at most once.
-    """
-    num_partitions = num_partitions or default_join_partitions()
-    order_cols = list(order_cols)
-    labeled = pages.join(
-        labels, "left_outer", num_partitions=num_partitions, on=(id_col,), right_on=("node",)
-    )
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df[id_col].map(ray.get(label_ref))
+        out = df.loc[lab.notna(), slim_cols].copy()
+        out["label"] = lab[lab.notna()]
+        return out
 
-    slim_cols = sorted(set([id_col, *order_cols, "label"]))
+    members = pages.select_columns(slim_cols).map_batches(attach, batch_format="pandas")
 
-    def slim(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["label"].notna()][slim_cols]
+    # two-level bucketing: hash-partition clusters into coarse buckets, then
+    # ONE vectorized pandas groupby per bucket (not one Python call per cluster)
+    from .minhash import _default_shuffle_buckets
 
-    members = labeled.map_batches(slim, batch_format="pandas")
+    B = _default_shuffle_buckets()
 
-    def pick_rep(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(order_cols, kind="mergesort")
-        rep = df[id_col].iloc[0]
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bkt"] = pd.util.hash_array(df["label"].to_numpy()) % B
+        return df
+
+    def pick_reps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["label", *order_cols], kind="mergesort")
+        rep = df.groupby("label", sort=False)[id_col].transform("first")
         return pd.DataFrame(
             {
-                "cluster_id": np.full(len(df), rep, dtype=object),
+                "cluster_id": rep.to_numpy(),
                 "member": df[id_col].to_numpy(),
-                "is_representative": (df[id_col] == rep).to_numpy(),
+                "is_representative": (rep.to_numpy() == df[id_col].to_numpy()),
             }
         )
 
-    clusters = members.groupby("label").map_groups(pick_rep, batch_format="pandas")
-
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        # singletons (no label) always kept; labeled rows kept iff representative
-        return df
-
-    reps = clusters.map_batches(
-        lambda df: df[df["is_representative"]][["member"]].rename(columns={"member": "_rep_id"}),
-        batch_format="pandas",
+    clusters = (
+        members.map_batches(bucketize, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(pick_reps, batch_format="pandas")
+        .materialize()
     )
-    kept = _semi_join_keep(labeled, reps, id_col=id_col, num_partitions=num_partitions)
+
+    cdf = clusters.to_pandas()
+    drop_ref = ray.put(set(cdf.loc[~cdf["is_representative"], "member"]))
+
+    def keep_filter(df: pd.DataFrame) -> pd.DataFrame:
+        drops = ray.get(drop_ref)
+        return df[~df[id_col].isin(drops)]
+
+    kept = pages.map_batches(keep_filter, batch_format="pandas")
     return kept, clusters
-
-
-def _semi_join_keep(labeled, reps, id_col: str, num_partitions: int):
-    """Keep unlabeled rows + rows whose id is in reps (hash semi-join)."""
-    singletons = labeled.map_batches(
-        lambda df: df[df["label"].isna()].drop(columns=["label"]), batch_format="pandas"
-    )
-    rep_rows = labeled.join(
-        reps, "inner", num_partitions=num_partitions, on=(id_col,), right_on=("_rep_id",)
-    ).map_batches(lambda df: df.drop(columns=["label"], errors="ignore"), batch_format="pandas")
-    return singletons.union(rep_rows)

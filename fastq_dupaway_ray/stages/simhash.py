@@ -96,31 +96,66 @@ def simhash_candidate_edges(
         batch_format="pyarrow",
     )
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": pd.Series([], dtype=np.int64)})
-        df = df.sort_values(order_cols, kind="mergesort").head(max_bucket)
-        # one id may appear once per chunk bucket only; dedup defensively
-        df = df.drop_duplicates(subset=[id_col])
-        ids = df[id_col].to_numpy()
-        sigs = df[SIMHASH_COL].to_numpy().astype(np.uint64)
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": pd.Series([], dtype=np.int64)})
-        if n <= 64:
-            # dense all-pairs verify (vectorized XOR+popcount over the cross)
-            ai, bi = np.triu_indices(n, k=1)
-            d = hamming64(sigs[ai], sigs[bi])
-            keep = d <= distance
-            return pd.DataFrame({"a": ids[ai[keep]], "b": ids[bi[keep]], "hamming": d[keep].astype(np.int64)})
-        # large bucket: star verify against the head (linear)
-        d = hamming64(sigs[1:], np.broadcast_to(sigs[0], (n - 1,)).copy())
-        keep = d <= distance
-        return pd.DataFrame(
-            {"a": np.full(int(keep.sum()), ids[0], dtype=object), "b": ids[1:][keep], "hamming": d[keep].astype(np.int64)}
-        )
+    from .minhash import _default_shuffle_buckets
 
-    edges = chunk_rows.groupby("chunk_key").map_groups(per_bucket, batch_format="pandas")
+    B = _default_shuffle_buckets()
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        bkt = (t["chunk_key"].to_numpy() % np.uint64(B)).astype(np.int64)
+        return t.append_column("_bkt", pa.array(bkt, pa.int64()))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """One coarse shuffle bucket: vectorized star verify over ALL chunk
+        groups at once; dense all-pairs only for small multi-member groups
+        (those are the actual duplicate clusters — rare by construction)."""
+        df = df.sort_values(["chunk_key", *order_cols], kind="mergesort")
+        df = df.drop_duplicates(subset=["chunk_key", id_col])
+        g = df.groupby("chunk_key", sort=False)
+        size = g[id_col].transform("size")
+        df = df[size > 1]
+        if len(df) == 0:
+            return pd.DataFrame({"a": [], "b": [], "hamming": pd.Series([], dtype=np.int64)})
+        g = df.groupby("chunk_key", sort=False)
+        rank = g.cumcount()
+        df = df[rank < max_bucket]
+        g = df.groupby("chunk_key", sort=False)
+        head_id = g[id_col].transform("first")
+        sigs = df[SIMHASH_COL].to_numpy().astype(np.uint64)
+        head_sig_idx = g[SIMHASH_COL].transform("first").to_numpy().astype(np.uint64)
+        d = hamming64(sigs, head_sig_idx)
+        star = (df[id_col].to_numpy() != head_id.to_numpy()) & (d <= distance)
+        parts = [
+            pd.DataFrame(
+                {
+                    "a": head_id.to_numpy()[star],
+                    "b": df[id_col].to_numpy()[star],
+                    "hamming": d[star].astype(np.int64),
+                }
+            )
+        ]
+        # dense pass: groups of 3..64 members can hold pairs the head misses
+        size2 = g[id_col].transform("size").to_numpy()
+        dense_mask = (size2 >= 3) & (size2 <= 64)
+        if dense_mask.any():
+            for _, sub in df[dense_mask].groupby("chunk_key", sort=False):
+                ids_s = sub[id_col].to_numpy()
+                sig_s = sub[SIMHASH_COL].to_numpy().astype(np.uint64)
+                ai, bi = np.triu_indices(len(ids_s), k=1)
+                dd = hamming64(sig_s[ai], sig_s[bi])
+                keep = dd <= distance
+                if keep.any():
+                    parts.append(
+                        pd.DataFrame(
+                            {"a": ids_s[ai[keep]], "b": ids_s[bi[keep]], "hamming": dd[keep].astype(np.int64)}
+                        )
+                    )
+        return pd.concat(parts, ignore_index=True)
+
+    edges = (
+        chunk_rows.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
     return dedup_edge_list(edges)
 
 
