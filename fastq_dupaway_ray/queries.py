@@ -168,6 +168,184 @@ SQL_DEDUP_LOOSE_DOCS = f"""
 """
 
 
+def q_dedup_tight_adjacency_docs(sf_dir: str):
+    """Sorted tight adjacency (SURVEY.md A3) — same kept set as hash exact,
+    computed via the sort path; oracle shared with dedup_exact_docs."""
+    from .stages.adjacency import dedup_adjacency
+
+    res = dedup_adjacency(
+        augmented_docs(sf_dir), mode="tight", text_col="text", id_col="doc_id", order_cols=("doc_id",)
+    )
+    return res.kept
+
+
+def q_containment_docs(sf_dir: str):
+    """Substring-containment pairs (a=container, b=contained) — the
+    suffix-pass generalization of loose mode (north rule)."""
+    import pyarrow as _pa
+
+    from .stages.containment import containment_edges
+
+    edges = containment_edges(
+        augmented_docs(sf_dir), anchors=None, id_col="doc_id", signer_concurrency=2
+    )
+
+    def cast(t: _pa.Table) -> _pa.Table:
+        return _pa.table(
+            {"a": t["a"].cast(_pa.int64()), "b": t["b"].cast(_pa.int64())}
+        )
+
+    return edges.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_CONTAINMENT_DOCS = f"""
+    WITH aug AS ({_AUGMENT_SQL})
+    SELECT big.doc_id AS a, small.doc_id AS b
+    FROM aug big JOIN aug small
+      ON length(big.text) > length(small.text)
+     AND position(small.text IN big.text) > 0
+"""
+
+
+def q_quality_filter_docs(sf_dir: str):
+    """Quality-threshold filtering (training-data pipeline stage)."""
+    from .functions.textstats import quality_features
+
+    def f(t: pa.Table) -> pa.Table:
+        q = quality_features(t)
+        mask = pc.and_(
+            pc.greater_equal(q["n_tokens"], 5), pc.less(q["digit_ratio"], 0.2)
+        )
+        return q.filter(mask).select(["doc_id", "n_tokens", "digit_ratio"])
+
+    return _docs(sf_dir).drop_columns(["n_chars"]).map_batches(f, batch_format="pyarrow")
+
+
+SQL_QUALITY_FILTER_DOCS = r"""
+    WITH q AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+               len(regexp_extract_all(text, '[0-9]')) /
+                   greatest(length(text), 1)::DOUBLE AS digit_ratio
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, digit_ratio FROM q
+    WHERE n_tokens >= 5 AND digit_ratio < 0.2
+"""
+
+
+def q_lang_dist_docs(sf_dir: str):
+    """Per-language corpus counts (A7-style class counters)."""
+    from ray.data.aggregate import Count
+
+    out = (
+        _docs(sf_dir)
+        .select_columns(["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    return out
+
+
+SQL_LANG_DIST_DOCS = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+
+def q_top_tokens_docs(sf_dir: str):
+    """Top-50 tokens by frequency: explode -> partial counts -> merge -> top-k."""
+    from .stages.minhash import _default_shuffle_buckets
+
+    B = _default_shuffle_buckets()
+
+    def explode_count(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split()
+        flat = pd.Series(np.concatenate(toks.to_numpy())) if len(df) else pd.Series([], dtype=object)
+        cnt = flat.value_counts()
+        out = pd.DataFrame({"token": cnt.index, "n": cnt.to_numpy()})
+        out["_bkt"] = pd.util.hash_array(out["token"].to_numpy(dtype=object)) % B
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("token", as_index=False).agg(n=("n", "sum"))
+
+    counts = (
+        _docs(sf_dir)
+        .select_columns(["text"])
+        .map_batches(explode_count, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    counts = counts.sort_values(["n", "token"], ascending=[False, True], kind="mergesort").head(50)
+    return counts.reset_index(drop=True)
+
+
+SQL_TOP_TOKENS_DOCS = r"""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+          FROM documents WHERE trim(text) <> '')
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 50
+"""
+
+
+def q_events_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user — streaming-shaped
+    stateful windowing done per-key inside hash buckets."""
+    from .stages.minhash import _default_shuffle_buckets
+
+    B = _default_shuffle_buckets()
+    GAP = pd.Timedelta(minutes=30)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bkt"] = df["user_id"].to_numpy() % B
+        return df
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        new_sess = (df["ts"] - df.groupby("user_id")["ts"].shift()).gt(GAP) | df[
+            "user_id"
+        ].ne(df["user_id"].shift())
+        df = df.assign(_sess=new_sess.cumsum())
+        out = df.groupby(["user_id", "_sess"], as_index=False).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+            sum_value=("value", "sum"),
+        )
+        out["sum_value"] = out["sum_value"].round(6)
+        return out[["user_id", "session_start", "session_end", "n_events", "sum_value"]]
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(sessionize, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 6) AS sum_value
+    FROM sess GROUP BY user_id, sess_id
+"""
+
+
 # ------------------------------------------------------------------------ joins
 
 def q_join_orders_customer(sf_dir: str):
@@ -493,6 +671,12 @@ def q_pages_flagship(sf_dir: str):
 
 REGISTRY = {
     "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
+    "dedup_tight_adjacency_docs": (q_dedup_tight_adjacency_docs, SQL_DEDUP_EXACT_DOCS),
+    "containment_docs": (q_containment_docs, SQL_CONTAINMENT_DOCS),
+    "quality_filter_docs": (q_quality_filter_docs, SQL_QUALITY_FILTER_DOCS),
+    "lang_dist_docs": (q_lang_dist_docs, SQL_LANG_DIST_DOCS),
+    "top_tokens_docs": (q_top_tokens_docs, SQL_TOP_TOKENS_DOCS),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "dedup_exact_composite_docs": (q_dedup_exact_composite_docs, SQL_DEDUP_EXACT_COMPOSITE_DOCS),
     "clusters_exact_docs": (q_clusters_exact_docs, SQL_CLUSTERS_EXACT_DOCS),
     "dedup_counts_docs": (q_dedup_counts_docs, SQL_DEDUP_COUNTS_DOCS),
