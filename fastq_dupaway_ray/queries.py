@@ -549,6 +549,24 @@ SQL_ANN_TOPK = """
 """
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF-partitioned cosine top-k run at nprobe == nlist (exhaustive probing
+    -> exact results, shared oracle with ann_topk); nprobe < nlist is the
+    tested approximate scale path."""
+    import pyarrow.parquet as pq
+
+    from .stages.ann import ivf_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    qidx = order[:5]
+    Q = np.stack([t["embedding"][int(i)].as_py() for i in qidx])
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    got = ivf_topk(emb, Q, ids[qidx], k=10, nlist=16, nprobe=16, concurrency=2)
+    return got[["query_id", "vec_id", "rank"]]
+
+
 def q_embedding_dedup(sf_dir: str):
     """Exact embedding dedup (byte-identical vectors, keep min id)."""
     from .stages.ann import embedding_dedup_exact
@@ -690,6 +708,7 @@ REGISTRY = {
     "minhash_dedup_docs": (q_minhash_dedup_docs, None),
     "simhash_dedup_docs": (q_simhash_dedup_docs, None),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_TOPK),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),

@@ -5,9 +5,13 @@ broadcast once via ``ray.put`` and every ``map_batches`` task computes a
 vectorized batch x query matmul, emitting only its local top-k per query —
 so the final reduce sees num_blocks * k candidates per query, not the corpus.
 
-Scale path: ``lsh_bucketed_topk`` prunes with random-hyperplane sign buckets
-(the embedding analogue of SimHash) so each query only scans candidate rows
-sharing >= 1 of its band keys — same pigeonhole structure as stages.simhash.
+Scale path: ``ivf_topk`` — spherical-k-means coarse quantizer trained on a
+driver-side sample, centroids broadcast once (``ray.put``); each task assigns
+its rows to cells vectorized and scores them only against the queries probing
+that cell (``nprobe`` nearest cells per query). ``nprobe == nlist`` degrades
+gracefully to exact brute force (used as the oracle-checked configuration).
+``HyperplaneSigner`` provides the alternative random-hyperplane sign buckets
+(the embedding analogue of SimHash) for LSH-style pruning.
 
 Also: exact embedding dedup (byte-identical vectors) via the same bucketed
 keep-first pattern as stages.dedup_exact.
@@ -97,6 +101,136 @@ def brute_force_topk(
         concurrency=concurrency,
     )
     # final reduce: num_blocks*k rows per query — driver-small by construction
+    df = partial.to_pandas()
+    df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True], kind="mergesort")
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df
+
+
+def train_ivf_centroids(
+    vectors: ray.data.Dataset,
+    nlist: int = 64,
+    train_size: int = 10_000,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 0x1F,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer on a bounded driver-side sample.
+
+    The sample is ``limit(train_size)`` — deterministic, streams only the
+    needed blocks. Centroids are unit-norm so cosine assignment is a dot
+    product. Returns (nlist, dim) float64; at 100 TB the sample stays
+    ``train_size`` rows, the train cost is constant.
+    """
+    sample = vectors.select_columns([vec_col]).limit(train_size).to_pandas()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    nlist = min(nlist, len(X))
+    C = X[rng.choice(len(X), size=nlist, replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(nlist):
+            m = assign == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                C[j] = c / max(float(np.linalg.norm(c)), 1e-12)
+    return C
+
+
+class IVFTopK:
+    """Actor-pool callable: IVF-pruned cosine top-k.
+
+    ``state_ref`` is a ``ray.put`` handle to (query_ids, Q, centroids,
+    nprobe) — fetched once per actor. __init__ precomputes the inverted
+    probe map cell -> query indices; __call__ assigns batch rows to cells
+    (one matmul) and scores each cell's rows only against the queries that
+    probe it. Emits per-(cell, query) local top-k partials; the driver
+    reduce is identical to brute force.
+    """
+
+    def __init__(self, state_ref, k: int, vec_col: str = "embedding", id_col: str = "vec_id"):
+        state = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
+        self.query_ids, Q, C, nprobe = state
+        Q = np.asarray(Q, dtype=np.float64)
+        self.Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        self.C = np.asarray(C, dtype=np.float64)
+        nlist = len(self.C)
+        nprobe = min(nprobe, nlist)
+        # top-nprobe cells per query, inverted to cell -> query rows
+        probe = np.argsort(-(self.Qn @ self.C.T), axis=1)[:, :nprobe]
+        self.cell_queries: dict[int, np.ndarray] = {}
+        for cell in np.unique(probe):
+            qrows = np.nonzero((probe == cell).any(axis=1))[0]
+            self.cell_queries[int(cell)] = qrows
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _batch_embeddings(batch, self.vec_col).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        cells = (Xn @ self.C.T).argmax(axis=1)
+        out_q, out_id, out_s = [], [], []
+        for cell in np.unique(cells):
+            qrows = self.cell_queries.get(int(cell))
+            if qrows is None:
+                continue
+            rows = np.nonzero(cells == cell)[0]
+            scores = Xn[rows] @ self.Qn[qrows].T  # (n_cell, n_probing_q)
+            k = min(self.k, len(rows))
+            top = np.argpartition(-scores, kth=k - 1, axis=0)[:k]
+            for jj, qj in enumerate(qrows):
+                r = top[:, jj]
+                out_q.append(np.full(k, self.query_ids[qj]))
+                out_id.append(ids[rows[r]])
+                out_s.append(scores[r, jj])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    self.id_col: pa.array([], batch[self.id_col].type),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                self.id_col: pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def ivf_topk(
+    vectors: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids,
+    k: int = 10,
+    nlist: int = 64,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency=(1, 8),
+    centroids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """IVF-pruned cosine top-k (approximate; exact when nprobe >= nlist).
+
+    Same output contract as ``brute_force_topk``. Pass precomputed
+    ``centroids`` to skip training (e.g. a quantizer trained once and reused
+    across query rounds).
+    """
+    C = centroids if centroids is not None else train_ivf_centroids(vectors, nlist=nlist, vec_col=vec_col)
+    ref = ray.put((np.asarray(query_ids), np.asarray(queries), C, int(nprobe)))
+    partial = vectors.map_batches(
+        IVFTopK,
+        fn_constructor_kwargs={"state_ref": ref, "k": k, "vec_col": vec_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
     df = partial.to_pandas()
     df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True], kind="mergesort")
     df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)

@@ -55,3 +55,32 @@ def test_embedding_dedup_exact(ray_session, emb_np):
     kept = embedding_dedup_exact(ds).to_pandas()
     assert len(kept) == len(ids)  # dups removed
     assert set(dup["vec_id"]) & set(kept["vec_id"]) == set()  # originals (min id) kept
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(emb, emb_np):
+    """nprobe == nlist probes every cell -> must reproduce brute force exactly."""
+    from fastq_dupaway_ray.stages.ann import ivf_topk
+
+    ids, X = emb_np
+    Q, qids = X[:4], ids[:4]
+    bf = brute_force_topk(emb, Q, qids, k=8, concurrency=2)
+    ivf = ivf_topk(emb, Q, qids, k=8, nlist=12, nprobe=12, concurrency=2)
+    pd.testing.assert_frame_equal(
+        bf[["query_id", "vec_id", "rank"]].reset_index(drop=True),
+        ivf[["query_id", "vec_id", "rank"]].reset_index(drop=True),
+    )
+
+
+def test_ivf_pruned_recall(emb, emb_np):
+    """Approximate scale path: recall@10 vs brute force stays high with
+    nprobe = nlist/2 on the driver embeddings."""
+    from fastq_dupaway_ray.stages.ann import ivf_topk
+
+    ids, X = emb_np
+    Q, qids = X[:8], ids[:8]
+    bf = brute_force_topk(emb, Q, qids, k=10, concurrency=2)
+    ivf = ivf_topk(emb, Q, qids, k=10, nlist=16, nprobe=8, concurrency=2)
+    truth = set(zip(bf["query_id"], bf["vec_id"]))
+    got = set(zip(ivf["query_id"], ivf["vec_id"]))
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.7, recall
