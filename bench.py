@@ -30,13 +30,14 @@ def _sf_tag(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
-def build_bench_corpus(sf_dir: str) -> str:
+def build_bench_corpus(sf_dir: str, mult: int = 1) -> str:
     """Deterministic pages corpus sized to the scale factor (cached in /tmp)."""
     from fastq_dupaway_ray.corpus import CorpusSpec, write_pages
 
-    n_base = max(2_000, int(400_000 * _sf_tag(sf_dir)))  # sf0.1 -> 40k base docs
+    n_base = max(2_000, int(400_000 * _sf_tag(sf_dir))) * mult  # sf0.1 -> 40k base docs
     spec = CorpusSpec(n_base=n_base, seed=1234)
-    path = os.path.join(BENCH_PAGES, f"sf{_sf_tag(sf_dir)}")
+    tag = f"sf{_sf_tag(sf_dir)}" + (f"x{mult}" if mult > 1 else "")
+    path = os.path.join(BENCH_PAGES, tag)
     return write_pages(path, spec, shards=32)
 
 
@@ -74,13 +75,11 @@ def run_benchmarks() -> dict:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    sc = max(2, NUM_CPUS // 2)  # actor pool size for signer stages
-
     # headline: flagship minhash near-dedup over the pages corpus
     def flagship():
         ds = rd.read_parquet(pages_path)
         return run_dedup(
-            ds, DedupConfig(mode="minhash", signer_concurrency=sc, emit_clusters=False)
+            ds, DedupConfig(mode="minhash", emit_clusters=False)
         ).metrics
 
     m_flag = timed("flagship_minhash", flagship)
@@ -97,7 +96,7 @@ def run_benchmarks() -> dict:
         ds = rd.read_parquet(pages_path)
         return run_dedup(
             ds,
-            DedupConfig(mode="simhash", distance=3, signer_concurrency=sc, emit_clusters=False),
+            DedupConfig(mode="simhash", distance=3, emit_clusters=False),
         ).metrics
 
     timed("simhash_dedup", simhash)
@@ -130,36 +129,77 @@ def run_benchmarks() -> dict:
     return result
 
 
+SCALING_MULT = int(os.environ.get("GRAFT_SCALING_MULT", "4"))
+
+
+def _scaling_worker(ncpu: int) -> None:
+    """One parallelism level: warm run (pays worker spawn + import + numpy
+    first-touch once, like a long-lived cluster) then the timed run."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=ncpu, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from fastq_dupaway_ray.pipelines.dedup import DedupConfig, run_dedup
+
+    path = build_bench_corpus(SF_DIR, mult=SCALING_MULT)
+    n = rd.read_parquet(path).count()
+
+    def once() -> float:
+        t0 = time.time()
+        run_dedup(
+            rd.read_parquet(path), DedupConfig(mode="minhash", emit_clusters=False)
+        )
+        return time.time() - t0
+
+    warm = once()
+    timed = once()
+    print(json.dumps({"sec": round(timed, 3), "warm_sec": round(warm, 3), "rows": n}))
+    ray.shutdown()
+
+
 def run_scaling() -> dict:
-    """Same job at two parallelism levels in fresh processes (N vs 4N)."""
+    """Same job, same input, two parallelism levels in fresh processes —
+    the sandbox stand-in for the north rule's N vs 4N node clusters."""
     out = {}
     for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
         p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(ncpu)],
+            env=dict(os.environ),
             capture_output=True,
             text=True,
             check=True,
         )
         out[ncpu] = json.loads(p.stdout.strip().splitlines()[-1])
-    t8, t32 = out[8]["value"], out[32]["value"]
+    t8, t32 = out[8]["sec"], out[32]["sec"]
+    rows = out[32]["rows"]
     eff = (t8 / t32) / (32 / 8)
     return {
         "metric": "scaling_efficiency_8_to_32_cpus",
         "sec_8": t8,
         "sec_32": t32,
-        "docs_per_sec_8": out[8]["docs_per_sec"],
-        "docs_per_sec_32": out[32]["docs_per_sec"],
+        "docs_per_sec_8": round(rows / t8, 1),
+        "docs_per_sec_32": round(rows / t32, 1),
         "speedup": round(t8 / t32, 3),
         "scaling_efficiency": round(eff, 3),
-        "sf": out[32]["sf"],
-        "bench_rows": out[32]["bench_rows"],
+        "sf": _sf_tag(SF_DIR),
+        "bench_rows": rows,
+        "note": "flagship minhash dedup; warm run excluded (worker spawn/import)",
     }
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-worker" in sys.argv:
+        _scaling_worker(int(sys.argv[sys.argv.index("--scaling-worker") + 1]))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_benchmarks()))

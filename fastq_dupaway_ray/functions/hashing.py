@@ -115,6 +115,53 @@ def char_ngram_hashes(text: str, k: int = 8, base: int = 1000003) -> np.ndarray:
     return np.unique(hashes)
 
 
+def char_ngram_hashes_batch(texts, k: int = 8, base: int = 1000003):
+    """Batch shingling: one vectorized pass over the concatenation of all texts.
+
+    Returns ``(values, starts, counts)`` where ``values`` is the uint64 hash of
+    every k-gram window of every doc (duplicates kept — MinHash minima are
+    unaffected by multiplicity), and doc i's windows are
+    ``values[starts[i] : starts[i] + counts[i]]``. Docs shorter than k
+    contribute their single whole-text shingle (same semantics as
+    ``char_ngram_hashes``); empty docs contribute zero windows.
+
+    Hash values are identical to per-doc ``char_ngram_hashes`` (same
+    polynomial), so sketches built from either path agree.
+    """
+    enc = [(t or "").encode("utf-8", "surrogatepass") for t in texts]
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    counts = np.where(lens == 0, 0, np.maximum(lens - k + 1, 1))
+    starts = np.zeros(len(enc), dtype=np.int64)
+    if len(enc):
+        starts[1:] = np.cumsum(counts)[:-1]
+    total = int(counts.sum())
+    values = np.empty(total, dtype=np.uint64)
+    if total == 0:
+        return values, starts, counts
+    data = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    offsets = np.zeros(len(enc), dtype=np.int64)
+    offsets[1:] = np.cumsum(lens)[:-1]
+    if len(data) >= k:
+        powers = _pow_vector(base, k)
+        sliding = np.lib.stride_tricks.sliding_window_view(data, k)
+        all_hashes = (sliding * powers).sum(axis=1, dtype=np.uint64)
+    else:
+        all_hashes = np.empty(0, dtype=np.uint64)
+    for i in range(len(enc)):
+        n = lens[i]
+        if n == 0:
+            continue
+        s = starts[i]
+        if n >= k:
+            values[s : s + counts[i]] = all_hashes[offsets[i] : offsets[i] + n - k + 1]
+        else:
+            # short doc: one shingle over the whole text (k' = n)
+            p = _pow_vector(base, int(n))
+            seg = data[offsets[i] : offsets[i] + n]
+            values[s] = (seg * p).sum(dtype=np.uint64)
+    return values, starts, counts
+
+
 def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
     """Unique hashes of word n-grams (token shingles) -> uint64[]."""
     toks = text.split()

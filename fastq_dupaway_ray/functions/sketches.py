@@ -55,8 +55,11 @@ class MinHasher:
     def __init__(self, params: MinHashParams = MinHashParams()):
         self.params = params
         rng = np.random.RandomState(params.seed)
-        # universal hashing h_i(x) = (a_i * x + b_i) mod p, p = 2^61 - 1
-        self.a = rng.randint(1, (1 << 61) - 1, size=params.num_perms, dtype=np.uint64)
+        # multiply-shift family h_i(x) = a_i * x + b_i with uint64 wraparound
+        # (odd a_i): the MIN is decided by the well-mixed high bits, so this
+        # matches mod-Mersenne universal hashing in minhash quality at ~10x
+        # the throughput (no SIMD-hostile 64-bit modulo in the hot loop).
+        self.a = (rng.randint(1, (1 << 61) - 1, size=params.num_perms, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
         self.b = rng.randint(0, (1 << 61) - 1, size=params.num_perms, dtype=np.uint64)
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
@@ -64,18 +67,46 @@ class MinHasher:
         K = self.params.num_perms
         if len(shingles) == 0:
             return np.full(K, _MASK64, dtype=np.uint64)
-        x = (shingles & _MERSENNE61).astype(np.uint64)
+        x = shingles.astype(np.uint64, copy=False)
         sig = np.full(K, _MASK64, dtype=np.uint64)
         # chunk the shingle axis to bound the (K, chunk) broadcast to ~1 MiB
         step = 1024
         for i in range(0, len(x), step):
             chunk = x[i : i + step]
-            vals = (self.a[:, None] * chunk[None, :] + self.b[:, None]) % _MERSENNE61
+            vals = self.a[:, None] * chunk[None, :] + self.b[:, None]
             np.minimum(sig, vals.min(axis=1), out=sig)
         return sig
 
     def sign_text(self, text: str) -> np.ndarray:
         return self.signature(char_ngram_hashes(text, self.params.shingle_k))
+
+    def signatures_batch(self, texts) -> np.ndarray:
+        """(n_docs, num_perms) signatures for a batch of texts.
+
+        Per-doc loop over ``sign_text`` — measured faster than a
+        reduceat-over-concatenated-shingles formulation on both random and
+        templated web text, because the per-doc ``np.unique`` shrinks the
+        (perms x shingles) work and small-array numpy overhead is dwarfed by
+        the hashing itself. Kept as the single entry point so the hot path
+        has one place to optimize.
+        """
+        K = self.params.num_perms
+        n = len(texts)
+        sig = np.empty((n, K), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sig[i] = self.sign_text(t or "")
+        return sig
+
+    def band_keys_batch(self, sigs: np.ndarray) -> np.ndarray:
+        """(n_docs, bands) band keys — same recurrence as ``band_keys``."""
+        p = self.params
+        bands = sigs.reshape(len(sigs), p.bands, p.rows_per_band)
+        out = np.zeros((len(sigs), p.bands), dtype=np.uint64)
+        mult = np.uint64(0x9E3779B97F4A7C15)
+        for r in range(p.rows_per_band):
+            out = (out * mult + bands[:, :, r]) & _MASK64
+        out ^= (np.arange(p.bands, dtype=np.uint64) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK64
+        return out
 
     def band_keys(self, sig: np.ndarray) -> np.ndarray:
         """uint64[bands] — one hash per LSH band (band index is folded in so
@@ -116,6 +147,44 @@ def simhash64(text: str, token_ngram: int = 2) -> int:
     counts = bits.sum(axis=0, dtype=np.int64) * 2 - len(h)  # (+1/-1 votes)
     out_bits = (counts >= 0).astype(np.uint8)
     return int(np.packbits(out_bits, bitorder="little").view(np.uint64)[0])
+
+
+def simhash64_batch(texts, token_ngram: int = 2) -> np.ndarray:
+    """uint64[n] SimHash signatures, bit-identical to per-doc ``simhash64``.
+
+    One ``hash64`` call over the concatenation of every doc's features (the
+    per-doc call overhead of pandas' hash_array dominates the serial path),
+    then per-doc bit votes via ``np.add.reduceat`` segment sums.
+    """
+    feats: list = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        toks = (text or "").split()
+        if not toks:
+            continue
+        if len(toks) < token_ngram:
+            f = [" ".join(toks)]
+        else:
+            f = [" ".join(toks[j : j + token_ngram]) for j in range(len(toks) - token_ngram + 1)]
+        feats.extend(f)
+        counts[i] = len(f)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    nz = np.nonzero(counts)[0]
+    if len(nz) == 0:
+        return out
+    h = hash64(feats)
+    bits = np.unpackbits(h.view(np.uint8).reshape(len(h), 8), axis=1, bitorder="little")
+    # segment sums via one cumsum + end-column differencing (segments tile
+    # the feature axis contiguously). Work transposed so the scan runs along
+    # the contiguous axis — axis-0 cumsum on (F, 64) is stride-hostile.
+    csum = np.cumsum(np.ascontiguousarray(bits.T), axis=1, dtype=np.int64)  # (64, F)
+    ends = np.cumsum(counts[nz]) - 1
+    sums = csum[:, ends].T.copy()  # (n_nz, 64)
+    sums[1:] -= csum[:, ends[:-1]].T
+    votes = sums * 2 - counts[nz][:, None]  # (+1/-1 votes)
+    out_bits = (votes >= 0).astype(np.uint8)
+    out[nz] = np.packbits(out_bits, axis=1, bitorder="little").view(np.uint64).ravel()
+    return out
 
 
 def simhash_chunks(sig: np.ndarray, distance: int) -> np.ndarray:

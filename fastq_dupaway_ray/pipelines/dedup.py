@@ -45,7 +45,7 @@ class DedupConfig:
     verify: bool = True
     num_buckets: int = 64
     emit_clusters: bool = True
-    signer_concurrency: object = (1, 8)
+    signer_concurrency: object = None  # None => elastic task pool
 
 
 @dataclass

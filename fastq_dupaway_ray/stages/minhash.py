@@ -81,12 +81,55 @@ class BandKeyEmitter:
         return pa.table(cols)
 
 
+_HASHER_CACHE: dict = {}
+
+
+def _cached_hasher(params: MinHashParams) -> MinHasher:
+    """Once-per-worker-process MinHasher (permutation matrix) — the setup
+    cost lives here so the signer can run as an elastic TASK pool instead of
+    a fixed-size actor pool (tasks scale to whatever CPUs are free, with no
+    actor-startup latency; the state is cheap to build and pure-functional)."""
+    h = _HASHER_CACHE.get(params)
+    if h is None:
+        h = _HASHER_CACHE.setdefault(params, MinHasher(params))
+    return h
+
+
+def _sign_and_band_table(
+    batch: pa.Table, hasher: MinHasher, text_col: str, id_col: str, order_cols
+) -> pa.Table:
+    p = hasher.params
+    texts = batch[text_col].to_pylist()
+    sigs = hasher.signatures_batch(texts)
+    keys = hasher.band_keys_batch(sigs)
+    cols = {
+        "band_key": pa.array(keys.ravel(), pa.uint64()),
+        id_col: _repeat_col(batch[id_col], p.bands),
+    }
+    for c in order_cols:
+        cols[c] = _repeat_col(batch[c], p.bands)
+    return pa.table(cols)
+
+
+def sign_and_band(
+    batch: pa.Table,
+    params: MinHashParams = MinHashParams(),
+    text_col: str = "text",
+    id_col: str = "url",
+    order_cols=("warc_ts", "url"),
+) -> pa.Table:
+    """Stateless task form of the signer — the default hot path."""
+    order_cols = [c for c in order_cols if c != id_col]
+    return _sign_and_band_table(batch, _cached_hasher(params), text_col, id_col, order_cols)
+
+
 class SignAndBand:
     """Fused actor-pool stage: text -> MinHash -> exploded band-key rows.
 
-    One actor pool instead of two (signer + emitter): at small CPU counts two
+    One pool instead of two (signer + emitter): at small CPU counts two
     stacked pools can pin every core and starve the downstream shuffle; fusing
     also skips materializing the signature column when only bands are needed.
+    Prefer the task form (``sign_and_band``) unless you need a bounded pool.
     """
 
     def __init__(self, params: MinHashParams = MinHashParams(), text_col: str = "text", id_col: str = "url", order_cols=("warc_ts", "url")):
@@ -96,20 +139,7 @@ class SignAndBand:
         self.order_cols = [c for c in order_cols if c != id_col]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        p = self.hasher.params
-        texts = batch[self.text_col].to_pylist()
-        n = len(texts)
-        keys = np.empty((n, p.bands), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sig = self.hasher.signature(char_ngram_hashes(t or "", p.shingle_k))
-            keys[i] = self.hasher.band_keys(sig)
-        cols = {
-            "band_key": pa.array(keys.ravel(), pa.uint64()),
-            self.id_col: _repeat_col(batch[self.id_col], p.bands),
-        }
-        for c in self.order_cols:
-            cols[c] = _repeat_col(batch[c], p.bands)
-        return pa.table(cols)
+        return _sign_and_band_table(batch, self.hasher, self.text_col, self.id_col, self.order_cols)
 
 
 def _repeat_col(arr, times: int):
@@ -173,6 +203,54 @@ def _default_shuffle_buckets(mult: int = 4) -> int:
         return 32
 
 
+_OBJ_CACHE: dict = {}
+
+
+def _fetch_cached(ref, build=None):
+    """Once-per-worker-process ray.get (+ optional index build) — avoids
+    re-deserializing a broadcast object on every batch of a task-pool stage.
+
+    Broadcast PYTHON containers (dict/set of strings) deserialize slowly and
+    do so once per worker — at high parallelism that fixed cost scales WITH
+    the worker count and inverts scaling. Broadcast Arrow tables/arrays
+    instead (zero-copy from plasma) and pass ``build`` to construct the
+    worker-local dict/set exactly once."""
+    key = ref.hex()
+    val = _OBJ_CACHE.get(key)
+    if val is None:
+        obj = ray.get(ref)
+        val = _OBJ_CACHE.setdefault(key, build(obj) if build is not None else obj)
+    return val
+
+
+def _build_text_map(t: pa.Table) -> dict:
+    return dict(zip(t.column(0).to_pylist(), t.column(1).to_pylist()))
+
+
+def _verify_score_batch(df: pd.DataFrame, texts_ref, k: int, threshold: float) -> pd.DataFrame:
+    texts = _fetch_cached(texts_ref, _build_text_map)  # id -> text per endpoint
+    shingle_cache: dict = {}
+
+    def sh(i):
+        s = shingle_cache.get(i)
+        if s is None:
+            s = shingle_cache.setdefault(i, char_ngram_hashes(texts.get(i) or "", k))
+        return s
+
+    jac = np.empty(len(df), dtype=np.float64)
+    for pos, (ia, ib) in enumerate(zip(df["a"], df["b"])):
+        sa, sb = sh(ia), sh(ib)
+        if len(sa) == 0 and len(sb) == 0:
+            jac[pos] = 1.0
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        jac[pos] = inter / union if union else 1.0
+    out = df[["a", "b"]].copy()
+    out["jaccard"] = jac
+    return out[out["jaccard"] >= threshold]
+
+
 def verify_edges_jaccard(
     edges: ray.data.Dataset,
     pages: ray.data.Dataset,
@@ -181,13 +259,68 @@ def verify_edges_jaccard(
     id_col: str = "url",
     text_col: str = "text",
     num_partitions: int | None = None,
+    broadcast_edge_budget: int = 500_000,
 ) -> ray.data.Dataset:
     """Exact-Jaccard verification of candidate edges against the real shingles.
 
+    Dispatch on edge-list size (the candidate relation is a few % of the
+    corpus by LSH design):
+
+    * small side (default): collect the edge endpoints, stream ONE filter
+      pass over the corpus to pull just their texts, broadcast that id->text
+      map via ``ray.put``, and score edges in an elastic task pool — zero
+      shuffles, no join actors. This is the fast path at every scale where
+      the endpoint text map fits the object store (~GBs).
+    * fallback: two distributed hash joins (the original formulation) when
+      the edge list exceeds ``broadcast_edge_budget``.
+
+    Returns edges with a ``jaccard`` column filtered to >= threshold.
+    ``edges`` should be materialized by the caller (it is counted here).
+    """
+    n_edges = edges.count()
+    if n_edges <= broadcast_edge_budget:
+        edf = edges.to_pandas()
+        endpoints = pd.unique(np.concatenate([edf["a"].to_numpy(), edf["b"].to_numpy()]))
+        ep_ref = ray.put(pa.array(endpoints))
+
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            eps = _fetch_cached(ep_ref, lambda a: set(a.to_pylist()))
+            return df.loc[df[id_col].isin(eps), [id_col, text_col]]
+
+        tdf = pages.select_columns([id_col, text_col]).map_batches(
+            pick, batch_format="pandas"
+        ).to_pandas()
+        texts_ref = ray.put(
+            pa.table({"id": pa.array(tdf[id_col]), "text": pa.array(tdf[text_col])})
+        )
+        # scoring parallelism = block count; the edge list often lands in a
+        # handful of groupby output blocks, so spread it before the pool
+        n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        return edges.repartition(n_blocks).map_batches(
+            _verify_score_batch,
+            fn_kwargs={"texts_ref": texts_ref, "k": params.shingle_k, "threshold": threshold},
+            batch_format="pandas",
+        )
+    return _verify_edges_join(
+        edges, pages, threshold, params=params, id_col=id_col,
+        text_col=text_col, num_partitions=num_partitions,
+    )
+
+
+def _verify_edges_join(
+    edges: ray.data.Dataset,
+    pages: ray.data.Dataset,
+    threshold: float,
+    params: MinHashParams = MinHashParams(),
+    id_col: str = "url",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Join-based verify (the >broadcast-budget path).
+
     Joins the slim edge list back to text twice (a side, b side) via Ray's
     hash join, then recomputes true shingle Jaccard per pair — the analogue of
-    the reference comparing actual bytes after hash routing. Returns edges
-    with a ``jaccard`` column filtered to >= threshold.
+    the reference comparing actual bytes after hash routing.
 
     Callers should pass a *materialized* ``edges`` dataset: chaining the
     upstream actor pools + sort + two hash joins into one lazy plan can
@@ -241,24 +374,26 @@ def dedup_edges_minhash(
     stages.components.connected_components and stages.representative.
     """
     threshold = params.threshold() if threshold is None else threshold
-    # callable classes REQUIRE concurrency (actor pool size); default to a
-    # small autoscaling pool — callers size it to the cluster
-    kwargs = dict(
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=signer_concurrency if signer_concurrency is not None else (1, 8),
-    )
     slim = pages.select_columns(sorted(set([id_col, text_col, *order_cols])))
-    band_rows = slim.map_batches(
-        SignAndBand,
-        fn_constructor_kwargs={
-            "params": params,
-            "text_col": text_col,
-            "id_col": id_col,
-            "order_cols": order_cols,
-        },
-        **kwargs,
-    )
+    sign_kwargs = {
+        "params": params,
+        "text_col": text_col,
+        "id_col": id_col,
+        "order_cols": order_cols,
+    }
+    if signer_concurrency is None:
+        # default: elastic task pool — scales to free CPUs, no actor startup
+        band_rows = slim.map_batches(
+            sign_and_band, fn_kwargs=sign_kwargs, batch_format="pyarrow", batch_size=2048
+        )
+    else:
+        band_rows = slim.map_batches(
+            SignAndBand,
+            fn_constructor_kwargs=sign_kwargs,
+            batch_format="pyarrow",
+            batch_size=2048,
+            concurrency=signer_concurrency,
+        )
     edges = lsh_candidate_edges(band_rows, id_col=id_col, order_cols=order_cols, max_bucket=max_bucket)
     # the same (a, b) pair can surface from several bands — dedup the slim
     # edge list (bucketed vectorized pass) before the expensive verify join.
@@ -269,8 +404,7 @@ def dedup_edges_minhash(
 
     edges = dedup_edge_list(edges).materialize()
     if verify:
-        texts = pages.select_columns([id_col, text_col]).materialize()
         edges = verify_edges_jaccard(
-            edges, texts, threshold, params=params, id_col=id_col, text_col=text_col
+            edges, pages, threshold, params=params, id_col=id_col, text_col=text_col
         )
     return edges

@@ -57,11 +57,20 @@ def apply_cluster_labels(
         )
         return pages, ray.data.from_pandas(empty)
 
-    label_ref = ray.put(dict(zip(label_df["node"], label_df["label"])))
+    import pyarrow as pa
+
+    from .minhash import _build_text_map, _fetch_cached
+
+    # broadcast as zero-copy Arrow; each worker builds its dict ONCE (a
+    # python-dict broadcast re-pays deserialization per worker process,
+    # a fixed cost that grows with parallelism)
+    label_ref = ray.put(
+        pa.table({"node": pa.array(label_df["node"]), "label": pa.array(label_df["label"])})
+    )
     slim_cols = sorted(set([id_col, *order_cols]))
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
-        lab = df[id_col].map(ray.get(label_ref))
+        lab = df[id_col].map(_fetch_cached(label_ref, _build_text_map))
         out = df.loc[lab.notna(), slim_cols].copy()
         out["label"] = lab[lab.notna()]
         return out
@@ -98,10 +107,10 @@ def apply_cluster_labels(
     )
 
     cdf = clusters.to_pandas()
-    drop_ref = ray.put(set(cdf.loc[~cdf["is_representative"], "member"]))
+    drop_ref = ray.put(pa.array(cdf.loc[~cdf["is_representative"], "member"]))
 
     def keep_filter(df: pd.DataFrame) -> pd.DataFrame:
-        drops = ray.get(drop_ref)
+        drops = _fetch_cached(drop_ref, lambda a: set(a.to_pylist()))
         return df[~df[id_col].isin(drops)]
 
     kept = pages.map_batches(keep_filter, batch_format="pandas")

@@ -25,19 +25,27 @@ from ..functions.sketches import simhash64, simhash_chunks
 SIMHASH_COL = "simhash64"
 
 
+def sign_simhash(batch: pa.Table, text_col: str = "text", token_ngram: int = 2) -> pa.Table:
+    """Stateless task form: text -> 64-bit SimHash column (batch-vectorized
+    feature hashing — one hash_array call per batch, segment-summed votes)."""
+    from ..functions.sketches import simhash64_batch
+
+    sigs = simhash64_batch(batch[text_col].to_pylist(), token_ngram)
+    return batch.append_column(SIMHASH_COL, pa.array(sigs, pa.uint64()))
+
+
 class SimHashSigner:
-    """Actor-pool callable: text -> 64-bit SimHash column."""
+    """Actor-pool callable: text -> 64-bit SimHash column.
+
+    Prefer the task form (``sign_simhash``) — kept for callers that need a
+    bounded pool."""
 
     def __init__(self, text_col: str = "text", token_ngram: int = 2):
         self.text_col = text_col
         self.token_ngram = token_ngram
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        sigs = np.fromiter(
-            (simhash64(t or "", self.token_ngram) for t in texts), dtype=np.uint64, count=len(texts)
-        )
-        return batch.append_column(SIMHASH_COL, pa.array(sigs, pa.uint64()))
+        return sign_simhash(batch, self.text_col, self.token_ngram)
 
 
 def emit_chunk_keys(batch: pa.Table, distance: int, id_col: str = "url", order_cols=("warc_ts",)) -> pa.Table:
@@ -82,15 +90,22 @@ def simhash_candidate_edges(
     when the head itself is not a near-dup of them.
     """
     order_cols = [c for c in order_cols]
-    kwargs = dict(
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=signer_concurrency if signer_concurrency is not None else (1, 8),
-    )
     slim = pages.select_columns(sorted(set([id_col, text_col, *order_cols])))
-    signed = slim.map_batches(
-        SimHashSigner, fn_constructor_kwargs={"text_col": text_col, "token_ngram": token_ngram}, **kwargs
-    ).drop_columns([text_col])
+    sign_kwargs = {"text_col": text_col, "token_ngram": token_ngram}
+    if signer_concurrency is None:
+        # default: elastic task pool — scales to free CPUs, no actor startup
+        signed = slim.map_batches(
+            sign_simhash, fn_kwargs=sign_kwargs, batch_format="pyarrow", batch_size=4096
+        )
+    else:
+        signed = slim.map_batches(
+            SimHashSigner,
+            fn_constructor_kwargs=sign_kwargs,
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=signer_concurrency,
+        )
+    signed = signed.drop_columns([text_col])
     chunk_rows = signed.map_batches(
         lambda t: emit_chunk_keys(t, distance, id_col=id_col, order_cols=order_cols),
         batch_format="pyarrow",
