@@ -17,7 +17,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .hashing import _MASK64, char_ngram_hashes, hash64
+from .hashing import _MASK64, char_ngram_hashes, hash64, word_ngram_hashes
 
 _MERSENNE61 = np.uint64((1 << 61) - 1)
 
@@ -29,6 +29,10 @@ class MinHashParams:
     num_perms must equal bands * rows_per_band. The LSH match threshold is
     approximately (1/bands)^(1/rows_per_band); the defaults (16 bands x 8 rows)
     target Jaccard ~0.7.
+
+    ``shingle`` selects the feature space: "char" = character k-grams
+    (shingle_k), "word" = word n-grams (word_n) — the n-gram-Jaccard dedup
+    variant; both signature and exact-Jaccard verify use the same space.
     """
 
     num_perms: int = 128
@@ -36,6 +40,13 @@ class MinHashParams:
     bands: int = 16
     rows_per_band: int = 8
     seed: int = 0x5EED
+    shingle: str = "char"
+    word_n: int = 3
+
+    def shingles_of(self, text: str) -> "np.ndarray":
+        if self.shingle == "word":
+            return word_ngram_hashes(text, self.word_n)
+        return char_ngram_hashes(text, self.shingle_k)
 
     def __post_init__(self):
         if self.bands * self.rows_per_band != self.num_perms:
@@ -78,7 +89,7 @@ class MinHasher:
         return sig
 
     def sign_text(self, text: str) -> np.ndarray:
-        return self.signature(char_ngram_hashes(text, self.params.shingle_k))
+        return self.signature(self.params.shingles_of(text))
 
     def signatures_batch(self, texts) -> np.ndarray:
         """(n_docs, num_perms) signatures for a batch of texts.

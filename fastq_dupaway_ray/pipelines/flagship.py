@@ -36,7 +36,7 @@ def run_flagship(
     ckpt_root: str | None = None,
     params: MinHashParams = MinHashParams(),
     threshold: float | None = None,
-    signer_concurrency=(1, 8),
+    signer_concurrency=None,
     verify: bool = True,
 ):
     """Returns (kept: Dataset, clusters: Dataset, metrics: dict)."""

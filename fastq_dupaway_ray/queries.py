@@ -499,6 +499,27 @@ def q_minhash_dedup_docs(sf_dir: str):
     return out.kept
 
 
+def q_ngram_jaccard_dedup_docs(sf_dir: str):
+    """Word-n-gram Jaccard near-dup dedup: MinHash/LSH candidates over word
+    3-gram shingles, exact word-Jaccard verify at 0.6 (rows-only: not
+    SQL-expressible; pytest checks the word-Jaccard predicate directly)."""
+    from .functions.sketches import MinHashParams
+    from .pipelines.dedup import DedupConfig, run_dedup
+
+    out = run_dedup(
+        augmented_docs(sf_dir),
+        DedupConfig(
+            mode="minhash",
+            minhash=MinHashParams(shingle="word", word_n=3),
+            threshold=0.6,
+            id_col="doc_id",
+            order_cols=("doc_id",),
+            emit_clusters=False,
+        ),
+    )
+    return out.kept.select_columns(["doc_id", "lang"])
+
+
 def q_simhash_dedup_docs(sf_dir: str):
     """SimHash Hamming-ball near-dup dedup (--distance analogue; rows-only)."""
     from .pipelines.dedup import DedupConfig, run_dedup
@@ -706,6 +727,7 @@ REGISTRY = {
     "lang_id_docs": (q_lang_id_docs, None),
     "fingerprint_docs": (q_fingerprint_docs, None),
     "minhash_dedup_docs": (q_minhash_dedup_docs, None),
+    "ngram_jaccard_dedup_docs": (q_ngram_jaccard_dedup_docs, None),
     "simhash_dedup_docs": (q_simhash_dedup_docs, None),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_TOPK),

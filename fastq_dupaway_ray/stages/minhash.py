@@ -25,7 +25,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..functions.hashing import char_ngram_hashes, hash64
+from ..functions.hashing import char_ngram_hashes, word_ngram_hashes, hash64
 from ..functions.sketches import MinHasher, MinHashParams
 from ..util import default_join_partitions
 
@@ -227,14 +227,23 @@ def _build_text_map(t: pa.Table) -> dict:
     return dict(zip(t.column(0).to_pylist(), t.column(1).to_pylist()))
 
 
-def _verify_score_batch(df: pd.DataFrame, texts_ref, k: int, threshold: float) -> pd.DataFrame:
+def _shingle_fn(spec):
+    """spec = ("char", k) | ("word", n) -> text -> uint64[] unique shingles."""
+    mode, size = spec
+    if mode == "word":
+        return lambda t: word_ngram_hashes(t, size)
+    return lambda t: char_ngram_hashes(t, size)
+
+
+def _verify_score_batch(df: pd.DataFrame, texts_ref, spec, threshold: float) -> pd.DataFrame:
     texts = _fetch_cached(texts_ref, _build_text_map)  # id -> text per endpoint
+    shingles = _shingle_fn(spec)
     shingle_cache: dict = {}
 
     def sh(i):
         s = shingle_cache.get(i)
         if s is None:
-            s = shingle_cache.setdefault(i, char_ngram_hashes(texts.get(i) or "", k))
+            s = shingle_cache.setdefault(i, shingles(texts.get(i) or ""))
         return s
 
     jac = np.empty(len(df), dtype=np.float64)
@@ -298,7 +307,11 @@ def verify_edges_jaccard(
         n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
         return edges.repartition(n_blocks).map_batches(
             _verify_score_batch,
-            fn_kwargs={"texts_ref": texts_ref, "k": params.shingle_k, "threshold": threshold},
+            fn_kwargs={
+                "texts_ref": texts_ref,
+                "spec": (params.shingle, params.word_n if params.shingle == "word" else params.shingle_k),
+                "threshold": threshold,
+            },
             batch_format="pandas",
         )
     return _verify_edges_join(
@@ -337,13 +350,14 @@ def _verify_edges_join(
         texts, "inner", num_partitions=num_partitions, on=("b",), right_on=(id_col,)
     ).rename_columns({text_col: "_text_b"})
 
-    k = params.shingle_k
+    spec = (params.shingle, params.word_n if params.shingle == "word" else params.shingle_k)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
+        shingles = _shingle_fn(spec)
         jac = np.empty(len(df), dtype=np.float64)
         for i, (ta, tb) in enumerate(zip(df["_text_a"], df["_text_b"])):
-            sa = char_ngram_hashes(ta or "", k)
-            sb = char_ngram_hashes(tb or "", k)
+            sa = shingles(ta or "")
+            sb = shingles(tb or "")
             if len(sa) == 0 and len(sb) == 0:
                 jac[i] = 1.0
                 continue

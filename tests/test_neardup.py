@@ -108,3 +108,36 @@ def test_components_distributed_label_propagation(ray_session):
     labels = _connected_components_distributed(eds, max_rounds=10).to_pandas()
     got = dict(zip(labels["node"], labels["label"]))
     assert got == refmodel.union_find_components(edges)
+
+
+def test_word_ngram_jaccard_mode(ray_session):
+    """MinHash/LSH over word 3-gram shingles with exact word-Jaccard verify:
+    edge jaccard values must equal the direct word-shingle computation."""
+    import numpy as np
+
+    from fastq_dupaway_ray.functions.hashing import word_ngram_hashes
+    from fastq_dupaway_ray.stages.minhash import dedup_edges_minhash
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango ")
+    rows = []
+    for i in range(30):
+        rows.append({"url": f"u/{i}", "warc_ts": i, "text": base + f"uniq{i} marker{i} tail{i}"})
+    rows.append({"url": "u/dup", "warc_ts": 99, "text": base + "uniq0 marker0 tail0"})  # exact dup of u/0
+    rows.append({"url": "u/near", "warc_ts": 100, "text": base + "uniq1 marker1 CHANGED"})  # near dup of u/1
+    ds = rd.from_pandas(pd.DataFrame(rows))
+
+    params = MinHashParams(shingle="word", word_n=3)
+    edges = dedup_edges_minhash(
+        ds, params=params, verify=True, threshold=0.6, order_cols=("warc_ts", "url")
+    ).to_pandas()
+    texts = {r["url"]: r["text"] for r in rows}
+    pairs = set(zip(edges["a"], edges["b"]))
+    assert ("u/0", "u/dup") in pairs or ("u/dup", "u/0") in pairs
+    for _, e in edges.iterrows():
+        sa = word_ngram_hashes(texts[e["a"]], 3)
+        sb = word_ngram_hashes(texts[e["b"]], 3)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        truth = inter / (len(sa) + len(sb) - inter)
+        assert abs(truth - e["jaccard"]) < 1e-12
+        assert e["jaccard"] >= 0.6
