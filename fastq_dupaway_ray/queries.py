@@ -588,6 +588,81 @@ def q_ann_ivf_topk(sf_dir: str):
     return got[["query_id", "vec_id", "rank"]]
 
 
+EMB_EXACT_MOD = 10
+EMB_EXACT_OFFSET = 10_000
+EMB_PERT_MOD = 7
+EMB_PERT_OFFSET = 20_000
+EMB_PERT_DELTA = 0.5
+
+_AUGMENT_EMB_SQL = f"""
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + {EMB_EXACT_OFFSET}, embedding
+    FROM embeddings WHERE vec_id % {EMB_EXACT_MOD} = 0
+    UNION ALL
+    SELECT vec_id + {EMB_PERT_OFFSET},
+           list_prepend(embedding[1] + {EMB_PERT_DELTA}, embedding[2:])
+    FROM embeddings WHERE vec_id % {EMB_PERT_MOD} = 0
+"""
+
+
+def augmented_embeddings(sf_dir: str) -> rd.Dataset:
+    """embeddings ∪ exact copies ∪ first-element-perturbed copies — the
+    deterministic near-dup planting, mirrored exactly in _AUGMENT_EMB_SQL.
+    All arithmetic float32 -> float64 in both engines so values agree."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def exact_copies(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["vec_id"] % EMB_EXACT_MOD == 0].copy()
+        m["vec_id"] = m["vec_id"] + EMB_EXACT_OFFSET
+        m["embedding"] = m["embedding"].map(lambda v: np.asarray(v, np.float64))
+        return m
+
+    def perturbed(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["vec_id"] % EMB_PERT_MOD == 0].copy()
+        m["vec_id"] = m["vec_id"] + EMB_PERT_OFFSET
+
+        def pert(v):
+            x = np.asarray(v, np.float64).copy()
+            x[0] = x[0] + EMB_PERT_DELTA
+            return x
+
+        m["embedding"] = m["embedding"].map(pert)
+        return m
+
+    def as64(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["embedding"] = df["embedding"].map(lambda v: np.asarray(v, np.float64))
+        return df
+
+    return (
+        ds.map_batches(as64, batch_format="pandas")
+        .union(ds.map_batches(exact_copies, batch_format="pandas"))
+        .union(ds.map_batches(perturbed, batch_format="pandas"))
+    )
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (exact all-pairs path) over the
+    augmented embeddings; oracle = the same cosine join in DuckDB."""
+    from .stages.ann import embedding_neardup_exact
+
+    edges = embedding_neardup_exact(augmented_embeddings(sf_dir), threshold=0.95)
+    df = edges.to_pandas()
+    df["a"] = df["a"].astype("int64")
+    df["b"] = df["b"].astype("int64")
+    return df
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+    WITH aug AS ({_AUGMENT_EMB_SQL})
+    SELECT x.vec_id AS a, y.vec_id AS b,
+           round(list_cosine_similarity(x.embedding, y.embedding), 6) AS cos_sim
+    FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+     AND list_cosine_similarity(x.embedding, y.embedding) >= 0.95
+"""
+
+
 def q_embedding_dedup(sf_dir: str):
     """Exact embedding dedup (byte-identical vectors, keep min id)."""
     from .stages.ann import embedding_dedup_exact
@@ -732,6 +807,7 @@ REGISTRY = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_TOPK),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "pages_flagship": (q_pages_flagship, None),

@@ -30,6 +30,10 @@ def _batch_embeddings(batch: pa.Table, vec_col: str) -> np.ndarray:
     col = batch[vec_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if isinstance(col.type, pa.ExtensionType):
+        # Ray tensor extension (ndarray column after a pandas stage)
+        arr = col.to_numpy(zero_copy_only=False)
+        return np.stack(arr) if arr.dtype == object else np.asarray(arr)
     if pa.types.is_fixed_size_list(col.type):
         dim = col.type.list_size
         return col.values.to_numpy(zero_copy_only=False).reshape(len(col), dim)
@@ -279,4 +283,144 @@ def embedding_dedup_exact(
         vectors.map_batches(prep, batch_format="pandas")
         .groupby("_vbucket")
         .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def embedding_neardup_exact(
+    vectors: ray.data.Dataset,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """All-pairs cosine near-dup edges (a < b, cos_sim >= threshold).
+
+    Exact formulation: the full (ids, matrix) is broadcast once (``ray.put``)
+    and every task scores its rows against it in one float64 matmul —
+    distributed over blocks, O(n^2/B) per task. Use for corpora whose matrix
+    fits the object store (n*d*8 bytes); beyond that use
+    ``embedding_neardup_lsh`` (hyperplane-bucketed, tested recall).
+    """
+    df = vectors.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = df[id_col].to_numpy()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
+    norms = np.linalg.norm(X, axis=1)
+    ref = ray.put((ids_all, X, norms))
+
+    from .minhash import _fetch_cached
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_a, Xa, norms_a = _fetch_cached(ref)
+        Xb = _batch_embeddings(batch, vec_col).astype(np.float64)
+        ids_b = batch[id_col].to_numpy(zero_copy_only=False)
+        nb = np.linalg.norm(Xb, axis=1)
+        sims = (Xb @ Xa.T) / np.maximum(np.outer(nb, norms_a), 1e-300)
+        mask = (sims >= threshold) & (ids_b[:, None] < ids_a[None, :])
+        bi, ai = np.nonzero(mask)
+        return pa.table(
+            {
+                "a": pa.array(ids_b[bi]),
+                "b": pa.array(ids_a[ai]),
+                "cos_sim": pa.array(np.round(sims[bi, ai], 6), pa.float64()),
+            }
+        )
+
+    return vectors.map_batches(score, batch_format="pyarrow", batch_size=2048)
+
+
+def embedding_neardup_lsh(
+    vectors: ray.data.Dataset,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 64,
+    bands: int = 8,
+    seed: int = 0xA5,
+    max_bucket: int = 1024,
+    num_shuffle_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Hyperplane-LSH cosine near-dup: the 10^12-row scale path.
+
+    Random-hyperplane sign bits (the embedding SimHash) split into ``bands``
+    sub-keys; vectors agreeing on >= 1 band co-locate, then exact cosine
+    verifies inside the bucket. P[band match] = (1 - theta/pi)^(planes/bands)
+    per band — recall vs ``embedding_neardup_exact`` is tested, not assumed.
+    Shuffle carries the vector once per band (bands * d * 4 bytes/row).
+    """
+    from .minhash import _default_shuffle_buckets
+
+    B = num_shuffle_buckets or _default_shuffle_buckets()
+    bits_per_band = planes // bands
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        rng = np.random.RandomState(seed)
+        X = _batch_embeddings(batch, vec_col).astype(np.float64)
+        H = rng.normal(size=(X.shape[1], planes))
+        bits = (X @ H >= 0).astype(np.uint64)  # (n, planes)
+        n = len(bits)
+        keys = np.zeros((n, bands), dtype=np.uint64)
+        for b in range(bands):
+            seg = bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+            key = np.zeros(n, dtype=np.uint64)
+            for j in range(bits_per_band):
+                key = (key << np.uint64(1)) | seg[:, j]
+            keys[:, b] = key ^ np.uint64((b * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        idx = np.repeat(np.arange(n, dtype=np.int64), bands)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        vec = batch[vec_col]
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        take = pa.array(idx)
+        return pa.table(
+            {
+                "band_key": pa.array(keys.ravel(), pa.uint64()),
+                id_col: ids.take(take),
+                vec_col: vec.take(take),
+                "_bkt": pa.array((keys.ravel() % np.uint64(B)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_s = [], [], []
+        for _, grp in df.groupby("band_key", sort=False):
+            grp = grp.drop_duplicates(subset=[id_col])
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values(id_col, kind="mergesort").head(max_bucket)
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in grp[vec_col]])
+            ids = grp[id_col].to_numpy()
+            norms = np.maximum(np.linalg.norm(X, axis=1), 1e-300)
+            sims = (X @ X.T) / np.outer(norms, norms)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            m = sims[iu, ju] >= threshold
+            out_a.append(ids[iu[m]])
+            out_b.append(ids[ju[m]])
+            out_s.append(np.round(sims[iu[m], ju[m]], 6))
+        if not out_a:
+            return pd.DataFrame({"a": [], "b": [], "cos_sim": []})
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_s),
+            }
+        )
+
+    edges = (
+        vectors.select_columns([id_col, vec_col])
+        .map_batches(band_rows, batch_format="pyarrow", batch_size=4096)
+        .groupby("_bkt")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    # same pair can surface from several bands — bucketed keep-first dedup
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pbkt"] = pd.util.hash_pandas_object(df["a"], index=False).to_numpy() % B
+        return df
+
+    return (
+        edges.map_batches(bucket_pairs, batch_format="pandas")
+        .groupby("_pbkt")
+        .map_groups(lambda d: d.drop_duplicates(subset=["a", "b"]).drop(columns=["_pbkt"]), batch_format="pandas")
     )

@@ -84,3 +84,20 @@ def test_ivf_pruned_recall(emb, emb_np):
     got = set(zip(ivf["query_id"], ivf["vec_id"]))
     recall = len(truth & got) / len(truth)
     assert recall >= 0.7, recall
+
+
+def test_embedding_neardup_lsh_recall(ray_session):
+    """Hyperplane-LSH near-dup (scale path): finds the planted high-cosine
+    pairs that the exact all-pairs path finds."""
+    from fastq_dupaway_ray.queries import augmented_embeddings
+    from fastq_dupaway_ray.stages.ann import embedding_neardup_exact, embedding_neardup_lsh
+
+    aug = augmented_embeddings(SF).materialize()
+    exact = embedding_neardup_exact(aug, threshold=0.95).to_pandas()
+    lsh = embedding_neardup_lsh(aug, threshold=0.95, planes=64, bands=16).to_pandas()
+    truth = set(zip(exact["a"], exact["b"]))
+    got = set(zip(lsh["a"], lsh["b"]))
+    assert truth, "corpus must plant near-dup pairs"
+    assert got <= truth  # verify step is exact -> no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.99, recall
