@@ -159,12 +159,13 @@ def lsh_candidate_edges(
     """band rows -> star candidate edges (a, b) with a = LSH-bucket head.
 
     Star emission keeps hot buckets linear: a bucket of n rows yields n-1
-    edges against the bucket's first-by-order member, which is exactly what
-    connected components needs to union the bucket (pairwise edges add no
-    information for clustering). Buckets above ``max_bucket`` are truncated
-    to the first ``max_bucket`` members by order — a documented recall/cost
-    knob for pathological boilerplate keys (the dropped members are still
-    covered by their other b-1 bands).
+    edges against a head member, which is exactly what connected components
+    needs to union the bucket (pairwise edges add no information for
+    clustering). Buckets above ``max_bucket`` are SALTED: the sorted bucket
+    is chunked into ``max_bucket``-sized salt groups, each emitting a local
+    star, and the salt-group heads chain to the global head — full bucket
+    connectivity at O(n) edges with no per-head hot spot and no recall loss
+    (the north rule's salted-band-keys requirement).
 
     Shuffle shape: two-level bucketing. A direct groupby(band_key).map_groups
     would pay one Python call per band bucket (millions); instead rows are
@@ -182,10 +183,28 @@ def lsh_candidate_edges(
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["band_key", *order_cols], kind="mergesort")
         g = df.groupby("band_key", sort=False)
-        head = g[id_col].transform("first")
-        rank = g.cumcount()
-        sel = (rank > 0) & (rank < max_bucket)
-        return pd.DataFrame({"a": head[sel].to_numpy(), "b": df.loc[sel, id_col].to_numpy()})
+        rank = g.cumcount().to_numpy()
+        # salt group = rank // max_bucket; local head = first row of the group
+        salt = rank // max_bucket
+        local_head_sel = rank % max_bucket == 0
+        ids = df[id_col].to_numpy()
+        # head id per (band_key, salt) via forward-fill of local heads
+        head_pos = np.where(local_head_sel, np.arange(len(df)), -1)
+        head_pos = np.maximum.accumulate(head_pos)
+        head_ids = ids[head_pos]
+        # star edges within each salt group (skip the local head itself)
+        member = ~local_head_sel
+        a = head_ids[member]
+        b = ids[member]
+        # chain salt-group heads to the bucket's global head (salt > 0)
+        chain_sel = local_head_sel & (salt > 0)
+        global_head_pos = np.where(local_head_sel & (salt == 0), np.arange(len(df)), -1)
+        global_head_pos = np.maximum.accumulate(global_head_pos)
+        ca = ids[global_head_pos[chain_sel]]
+        cb = ids[chain_sel]
+        return pd.DataFrame(
+            {"a": np.concatenate([a, ca]), "b": np.concatenate([b, cb])}
+        )
 
     return (
         band_rows.map_batches(bucketize, batch_format="pyarrow")

@@ -141,3 +141,47 @@ def test_word_ngram_jaccard_mode(ray_session):
         truth = inter / (len(sa) + len(sb) - inter)
         assert abs(truth - e["jaccard"]) < 1e-12
         assert e["jaccard"] >= 0.6
+
+
+def test_hot_bucket_salting_preserves_connectivity(ray_session):
+    """A band bucket larger than max_bucket must still union into ONE
+    component (salt groups chained to the global head), with O(n) edges."""
+    from fastq_dupaway_ray.stages.minhash import lsh_candidate_edges
+
+    n = 50
+    rows = pd.DataFrame(
+        {
+            "band_key": np.full(n, 7, dtype=np.uint64),
+            "url": [f"u/{i:03d}" for i in range(n)],
+            "warc_ts": np.arange(n),
+        }
+    )
+    edges = lsh_candidate_edges(
+        rd.from_pandas(rows), max_bucket=8, order_cols=("warc_ts", "url")
+    ).to_pandas()
+    # O(n) edge count: one per member + one per extra salt-group head
+    assert len(edges) == (n - 1)
+    comp = refmodel.union_find_components(list(zip(edges["a"], edges["b"])))
+    labels = {comp.get(f"u/{i:03d}") for i in range(n)}
+    assert len(labels) == 1
+
+
+def test_north_rule_dup_pair_recall_vs_reference_assignments(minhash_edges, pages_rows):
+    """North rule: dup-pair recall >= 0.99 vs the REFERENCE's own cluster
+    assignments at the same config. The reference's fuzzy mode is tail-hamming
+    sorted adjacency (--distance, /root/reference/src/comparator.cpp:76-91);
+    refmodel.dedup_sorted mirrors it serially. Every (head, member) dup pair
+    the reference finds must land in one engine cluster."""
+    ref = refmodel.dedup_sorted(pages_rows, mode="hamming", distance=3)
+    ref_pairs = [
+        (head, m) for head, members in ref.clusters.items() for m in members if m != head
+    ]
+    assert len(ref_pairs) >= 20, "corpus must plant enough reference dup pairs"
+
+    edf = minhash_edges.to_pandas()
+    comp = refmodel.union_find_components(list(zip(edf["a"], edf["b"])))
+    hit = sum(
+        1 for h, m in ref_pairs if comp.get(h) is not None and comp.get(h) == comp.get(m)
+    )
+    recall = hit / len(ref_pairs)
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f} over {len(ref_pairs)} pairs"
