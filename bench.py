@@ -111,7 +111,12 @@ def run_benchmarks() -> dict:
     timed("lineitem_agg", lambda: REGISTRY["lineitem_agg"][0](SF_DIR))
     timed("join_orders_customer", lambda: REGISTRY["join_orders_customer"][0](SF_DIR).count())
     timed("ann_topk", lambda: REGISTRY["ann_topk"][0](SF_DIR))
+    timed("ann_ivf_topk", lambda: REGISTRY["ann_ivf_topk"][0](SF_DIR))
     timed("events_window", lambda: REGISTRY["events_window"][0](SF_DIR))
+    timed("events_sessionize", lambda: REGISTRY["events_sessionize"][0](SF_DIR).count())
+    timed("containment_docs", lambda: REGISTRY["containment_docs"][0](SF_DIR).count())
+    timed("embedding_neardup", lambda: REGISTRY["embedding_neardup"][0](SF_DIR))
+    timed("ngram_jaccard_dedup", lambda: REGISTRY["ngram_jaccard_dedup_docs"][0](SF_DIR).count())
 
     headline = timings["flagship_minhash"]
     result = {

@@ -149,41 +149,56 @@ def simhash64(text: str, token_ngram: int = 2) -> int:
     toks = text.split()
     if not toks:
         return 0
-    if len(toks) < token_ngram:
-        feats = [" ".join(toks)]
-    else:
-        feats = [" ".join(toks[i : i + token_ngram]) for i in range(len(toks) - token_ngram + 1)]
-    h = hash64(feats)
+    h = _ngram_feature_hashes(hash64(toks), token_ngram)
     bits = np.unpackbits(h.view(np.uint8).reshape(len(h), 8), axis=1, bitorder="little")
     counts = bits.sum(axis=0, dtype=np.int64) * 2 - len(h)  # (+1/-1 votes)
     out_bits = (counts >= 0).astype(np.uint8)
     return int(np.packbits(out_bits, bitorder="little").view(np.uint64)[0])
 
 
+_NGRAM_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _ngram_feature_hashes(tok_hashes: np.ndarray, n: int) -> np.ndarray:
+    """Token-hash windows combined arithmetically (no string joins).
+
+    feature_i = sum_j tok_hash[i+j] * MULT^(n-1-j) with uint64 wraparound —
+    order-sensitive like the string join it replaces, ~10x cheaper. Docs with
+    fewer than n tokens yield one feature over all their tokens.
+    """
+    m = len(tok_hashes)
+    k = min(n, m)
+    out = np.zeros(m - k + 1, dtype=np.uint64)
+    for j in range(k):
+        out = out * _NGRAM_MULT + tok_hashes[j : m - k + 1 + j]
+    return out
+
+
 def simhash64_batch(texts, token_ngram: int = 2) -> np.ndarray:
     """uint64[n] SimHash signatures, bit-identical to per-doc ``simhash64``.
 
-    One ``hash64`` call over the concatenation of every doc's features (the
-    per-doc call overhead of pandas' hash_array dominates the serial path),
-    then per-doc bit votes via ``np.add.reduceat`` segment sums.
+    One ``hash64`` call over every TOKEN in the batch, n-gram features
+    combined arithmetically (``_ngram_feature_hashes`` — no string joins),
+    then per-doc bit votes via a transposed-cumsum segment sum.
     """
-    feats: list = []
-    counts = np.zeros(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        toks = (text or "").split()
-        if not toks:
-            continue
-        if len(toks) < token_ngram:
-            f = [" ".join(toks)]
-        else:
-            f = [" ".join(toks[j : j + token_ngram]) for j in range(len(toks) - token_ngram + 1)]
-        feats.extend(f)
-        counts[i] = len(f)
+    tok_lists = [(t or "").split() for t in texts]
+    counts = np.array([max(len(tl) - token_ngram + 1, 1) if tl else 0 for tl in tok_lists], dtype=np.int64)
     out = np.zeros(len(texts), dtype=np.uint64)
     nz = np.nonzero(counts)[0]
     if len(nz) == 0:
         return out
-    h = hash64(feats)
+    all_toks: list = []
+    for i in nz:
+        all_toks.extend(tok_lists[i])
+    th = hash64(all_toks)  # ONE vectorized hash over every token in the batch
+    h = np.empty(int(counts[nz].sum()), dtype=np.uint64)
+    tpos = fpos = 0
+    for i in nz:
+        m = len(tok_lists[i])
+        c = counts[i]
+        h[fpos : fpos + c] = _ngram_feature_hashes(th[tpos : tpos + m], token_ngram)
+        tpos += m
+        fpos += c
     bits = np.unpackbits(h.view(np.uint8).reshape(len(h), 8), axis=1, bitorder="little")
     # segment sums via one cumsum + end-column differencing (segments tile
     # the feature axis contiguously). Work transposed so the scan runs along
