@@ -770,6 +770,27 @@ SQL_EVENTS_WINDOW = """
 
 # ----------------------------------------------------------------------- pages
 
+def q_multimodal_features(sf_dir: str):
+    """Multimodal plumbing over the pages html binary column: image-feature
+    + frame-sample + audio-energy stages (decode stubbed deterministically;
+    rows-only — binary feature extraction is not SQL-expressible)."""
+    from .corpus import pages_from_documents
+    from .stages.multimodal import AudioFeatures, FrameSampler, image_pipeline
+
+    table = pages_from_documents(sf_dir)
+    ds = rd.from_arrow(table.select(["url", "html"]))
+    out = image_pipeline(ds, bin_col="html", concurrency=2, batch_size=64)
+    out = out.map_batches(
+        FrameSampler, fn_constructor_kwargs={"bin_col": "html", "k": 4},
+        batch_format="pyarrow", batch_size=64, concurrency=2,
+    )
+    out = out.map_batches(
+        AudioFeatures, fn_constructor_kwargs={"bin_col": "html"},
+        batch_format="pyarrow", batch_size=64, concurrency=2,
+    )
+    return out.select_columns(["url", "width", "height", "n_bytes"])
+
+
 def q_pages_flagship(sf_dir: str):
     """Flagship pages pipeline over documents lifted to the pages schema
     (rows-only: html/extraction not SQL-expressible)."""
@@ -811,4 +832,5 @@ REGISTRY = {
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "pages_flagship": (q_pages_flagship, None),
+    "multimodal_features": (q_multimodal_features, None),
 }

@@ -106,3 +106,61 @@ def image_pipeline(ds, bin_col: str = "payload", concurrency=(1, 4), batch_size:
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class AudioFeatures:
+    """Actor-pool callable: binary audio -> (n_samples, k-bin energy profile).
+
+    Real decode is stubbed (no audio libs in this container); the profile is
+    computed over the RAW bytes in k equal windows — deterministic, cheap,
+    and exercises the exact batch/schema path a real spectrogram stage uses.
+    """
+
+    BINS = 8
+
+    def __init__(self, bin_col: str = "payload", require_real: bool = False):
+        self.bin_col = bin_col
+        if require_real:
+            raise NotImplementedError(
+                "real audio decode requires an audio lib not available here"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.bin_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        feats = np.zeros((n, self.BINS), dtype=np.float32)
+        sizes = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            b = col[i].as_py() or b""
+            sizes[i] = len(b)
+            if not b:
+                continue
+            arr = np.frombuffer(b, dtype=np.uint8).astype(np.float32)
+            bounds = np.linspace(0, len(arr), self.BINS + 1).astype(np.int64)
+            for j in range(self.BINS):
+                seg = arr[bounds[j] : bounds[j + 1]]
+                feats[i, j] = float(np.sqrt(np.mean(seg**2))) if len(seg) else 0.0
+        feat = pa.FixedSizeListArray.from_arrays(pa.array(feats.ravel(), pa.float32()), self.BINS)
+        return (
+            batch.append_column("n_bytes", pa.array(sizes, pa.int64()))
+            .append_column("audio_energy", feat)
+        )
+
+
+def resize_images(ds, bin_col: str = "payload", width: int = 224, height: int = 224,
+                  concurrency=(1, 4), batch_size: int = 64):
+    """Resize stage wiring (decode+resize stubbed behind ImageFeatures'
+    pseudo-dims): emits the target (width, height) plus the feature column —
+    the schema/batch contract a real resize stage satisfies."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return batch.append_column(
+            "resized_to", pa.array([[width, height]] * n, pa.list_(pa.int32(), 2))
+        )
+
+    return image_pipeline(ds, bin_col=bin_col, concurrency=concurrency, batch_size=batch_size).map_batches(
+        tag, batch_format="pyarrow"
+    )

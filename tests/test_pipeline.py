@@ -115,3 +115,20 @@ def test_multimodal_require_real_raises():
 
     with pytest.raises(NotImplementedError):
         ImageFeatures(require_real=True)
+
+
+def test_audio_and_resize_stages(ds):
+    from fastq_dupaway_ray.stages.multimodal import AudioFeatures, resize_images
+
+    out = ds.map_batches(
+        AudioFeatures, fn_constructor_kwargs={"bin_col": "html"},
+        batch_format="pyarrow", batch_size=64, concurrency=2,
+    ).take(5)
+    for r in out:
+        assert r["n_bytes"] > 0
+        assert len(r["audio_energy"]) == 8
+        assert all(v >= 0 for v in r["audio_energy"])
+    rz = resize_images(ds, bin_col="html", width=64, height=48, concurrency=2).take(3)
+    for r in rz:
+        assert list(r["resized_to"]) == [64, 48]
+        assert len(r["image_feat"]) == 16
