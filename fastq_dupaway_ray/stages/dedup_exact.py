@@ -17,8 +17,18 @@ shared mutable state. Instead:
 3. one vectorized pandas pass per bucket keeps the first row per identity in
    arrival order (order key = (warc_ts, url) — "first in file order").
 
-Hash collisions cannot corrupt results: the hash only routes rows to buckets;
-the keep-first decision inside a bucket compares the actual key-column values.
+Shuffle shape at 100 TB: the heavy payload NEVER enters the shuffle. A slim
+projection (128-bit identity hash + order key) is shuffled to decide which
+rows LOSE keep-first; the drop set — the duplicates, the small side by
+definition — is broadcast and the full payload streams through one filter
+pass (same pattern as stages.representative). When the drop set exceeds the
+broadcast budget, the classic payload-shuffle path takes over (its local
+combiner still pre-drops within-batch losers first).
+
+Identity: two independent 64-bit hashes + per-column lengths (~2^-128
+collision odds per pair — at 10^12 rows the expected collision count is
+~1e-14; the reference's packed-sequence equality is exact, this is the
+distributed-size tradeoff, documented).
 """
 
 from __future__ import annotations
@@ -26,11 +36,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data
 
 from ..functions.hashing import combine_hash64, hash64
 
 DEFAULT_ORDER = ("warc_ts", "url")
+_SALT2 = np.uint64(0xD6E8FEB86659FD93)
 
 
 def add_identity_columns(
@@ -62,27 +74,110 @@ def _local_keep_first(df: pd.DataFrame, key_cols, order_cols) -> pd.DataFrame:
     return df.drop_duplicates(subset=list(key_cols), keep="first")
 
 
+def _identity128(batch: pa.Table, key_cols) -> tuple:
+    """Two independent 64-bit identity hashes + folded lengths."""
+    parts = []
+    for col in key_cols:
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = arr.to_numpy(zero_copy_only=False).astype(object)
+        h = hash64(vals)
+        lens = np.fromiter(
+            (len(v) if v is not None else 0 for v in vals), dtype=np.uint64, count=len(vals)
+        )
+        parts.append(h)
+        parts.append(lens)
+    k1 = combine_hash64(*parts)
+    k2 = combine_hash64(*parts, np.full(len(k1), _SALT2, dtype=np.uint64))
+    return k1, k2
+
+
 def dedup_exact(
     ds: ray.data.Dataset,
     key_cols=("text",),
     order_cols=DEFAULT_ORDER,
     num_buckets: int = 64,
+    drop_broadcast_budget: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Distributed exact keep-first dedup; returns the kept rows (lazy).
 
     ``key_cols`` with several entries reproduces paired-mode AND-semantics.
-    ``num_buckets`` is the shuffle width — size it ~2-4x total cores; at
-    100 TB raise it so each bucket fits a worker's heap (rows per bucket
-    ~ N/num_buckets; skew is no concern because bucketing is by uniform hash).
+    ``order_cols`` must uniquely identify a row (the reference's arrival key
+    is unique by construction — file position).
+
+    Default path: slim identity shuffle -> drop-set broadcast -> payload
+    filter pass (see module docstring). ``num_buckets`` is the shuffle
+    width — size it ~2-4x total cores; skew is no concern because bucketing
+    is by uniform hash. Falls back to the payload-shuffle path when the
+    drop set exceeds ``drop_broadcast_budget`` rows.
     """
     key_cols = list(key_cols)
     order_cols = list(order_cols)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        k1, k2 = _identity128(batch, key_cols)
+        cols = {c: batch[c] for c in order_cols}
+        cols["_k1"] = pa.array(k1, pa.uint64())
+        cols["_k2"] = pa.array(k2, pa.uint64())
+        cols["_bucket"] = pa.array((k1 % np.uint64(num_buckets)).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # local combiner: within-batch losers never reach the shuffle
+        df = df.sort_values(order_cols, kind="mergesort")
+        return df.drop_duplicates(subset=["_k1", "_k2"], keep="first")
+
+    def bucket_drops(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, kind="mergesort")
+        lose = df.duplicated(subset=["_k1", "_k2"], keep="first")
+        return df.loc[lose, order_cols]
+
+    drops = (
+        ds.map_batches(slim, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(bucket_drops, batch_format="pandas")
+        .materialize()
+    )
+    n_drops = drops.count()
+    if n_drops > drop_broadcast_budget:
+        return _dedup_exact_shuffle(ds, key_cols, order_cols, num_buckets)
+
+    from .minhash import _fetch_cached
+
+    ddf = drops.to_pandas()
+    if len(order_cols) == 1:
+        drop_ref = ray.put(pa.array(ddf[order_cols[0]]))
+
+        def keep_filter(df: pd.DataFrame) -> pd.DataFrame:
+            dset = _fetch_cached(drop_ref, lambda a: set(a.to_pylist()))
+            return df[~df[order_cols[0]].isin(dset)]
+
+    else:
+        drop_ref = ray.put(pa.table({c: pa.array(ddf[c]) for c in order_cols}))
+
+        def keep_filter(df: pd.DataFrame) -> pd.DataFrame:
+            dlist = _fetch_cached(
+                drop_ref, lambda t: list(zip(*(t[c].to_pylist() for c in order_cols)))
+            )
+            idx = pd.MultiIndex.from_arrays([df[c] for c in order_cols])
+            return df[~idx.isin(dlist)]
+
+    return ds.map_batches(keep_filter, batch_format="pandas")
+
+
+def _dedup_exact_shuffle(
+    ds: ray.data.Dataset, key_cols, order_cols, num_buckets: int
+) -> ray.data.Dataset:
+    """Payload-shuffle fallback (drop set too large to broadcast). The local
+    combiner pre-drops within-batch losers so their payload never shuffles;
+    keep-first compares actual key values (collision-exact)."""
 
     def prepare(batch: pa.Table) -> pa.Table:
         return add_identity_columns(batch, key_cols, num_buckets=num_buckets)
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        # local combiner: drop rows that already lose within this batch
         return _local_keep_first(df, key_cols, order_cols)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
