@@ -346,6 +346,95 @@ SQL_EVENTS_SESSIONIZE = """
 """
 
 
+# ------------------------------------------------------------- set ops / sort
+
+def q_set_intersect_docs(sf_dir: str):
+    """Intersect-by-key (SURVEY.md 2.7: the --unordered merge doubles as
+    intersect): texts present in BOTH the short-doc and en-lang subsets,
+    via one bucketed groupby with side tags (single shuffle, no join)."""
+    from .stages.minhash import _default_shuffle_buckets
+
+    B = _default_shuffle_buckets()
+    ds = _docs(sf_dir)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        short = df[df["n_chars"] < 200][["text"]].assign(_side=0)
+        en = df[df["lang"] == "en"][["text"]].assign(_side=1)
+        out = pd.concat([short, en], ignore_index=True)
+        out["_bkt"] = pd.util.hash_array(out["text"].to_numpy(dtype=object)) % B
+        return out
+
+    def intersect(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("text")["_side"].agg(["min", "max"])
+        both = g[(g["min"] == 0) & (g["max"] == 1)].index
+        return pd.DataFrame({"text": sorted(both)})
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(intersect, batch_format="pandas")
+    )
+
+
+SQL_SET_INTERSECT_DOCS = """
+    SELECT text FROM documents WHERE n_chars < 200
+    INTERSECT
+    SELECT text FROM documents WHERE lang = 'en'
+"""
+
+
+def q_set_except_docs(sf_dir: str):
+    """Except-by-key (counted anti-join residue analogue): short-doc texts
+    NOT in the en-lang subset."""
+    from .stages.minhash import _default_shuffle_buckets
+
+    B = _default_shuffle_buckets()
+    ds = _docs(sf_dir)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        short = df[df["n_chars"] < 200][["text"]].assign(_side=0)
+        en = df[df["lang"] == "en"][["text"]].assign(_side=1)
+        out = pd.concat([short, en], ignore_index=True)
+        out["_bkt"] = pd.util.hash_array(out["text"].to_numpy(dtype=object)) % B
+        return out
+
+    def except_(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("text")["_side"].max()
+        only_short = g[g == 0].index
+        return pd.DataFrame({"text": sorted(only_short)})
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(except_, batch_format="pandas")
+    )
+
+
+SQL_SET_EXCEPT_DOCS = """
+    SELECT text FROM documents WHERE n_chars < 200
+    EXCEPT
+    SELECT text FROM documents WHERE lang = 'en'
+"""
+
+
+def q_sort_topn_docs(sf_dir: str):
+    """Distributed sort + limit (SURVEY.md O1: the external merge sort's Ray
+    analogue — sample -> range partition -> per-partition sort)."""
+    out = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "n_chars", "lang"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(100)
+    )
+    return out
+
+
+SQL_SORT_TOPN_DOCS = """
+    SELECT doc_id, n_chars, lang FROM documents
+    ORDER BY n_chars DESC, doc_id ASC LIMIT 100
+"""
+
+
 # ------------------------------------------------------------------------ joins
 
 def q_join_orders_customer(sf_dir: str):
@@ -816,6 +905,9 @@ REGISTRY = {
     "clusters_exact_docs": (q_clusters_exact_docs, SQL_CLUSTERS_EXACT_DOCS),
     "dedup_counts_docs": (q_dedup_counts_docs, SQL_DEDUP_COUNTS_DOCS),
     "dedup_loose_docs": (q_dedup_loose_docs, SQL_DEDUP_LOOSE_DOCS),
+    "set_intersect_docs": (q_set_intersect_docs, SQL_SET_INTERSECT_DOCS),
+    "set_except_docs": (q_set_except_docs, SQL_SET_EXCEPT_DOCS),
+    "sort_topn_docs": (q_sort_topn_docs, SQL_SORT_TOPN_DOCS),
     "join_orders_customer": (q_join_orders_customer, SQL_JOIN_ORDERS_CUSTOMER),
     "join_unmatched_counts": (q_join_unmatched_counts, SQL_JOIN_UNMATCHED_COUNTS),
     "token_counts_docs": (q_token_counts_docs, SQL_TOKEN_COUNTS_DOCS),
