@@ -123,11 +123,39 @@ SQL_CLUSTERS_EXACT_DOCS = f"""
 
 
 def q_dedup_counts_docs(sf_dir: str):
-    """Run-summary counters (--verbose, SURVEY.md A7)."""
+    """Run-summary counters (--verbose, SURVEY.md A7).
+
+    Count-distinct via the slim 128-bit identity: per-batch partial distinct
+    counts shuffle only (k1, k2) pairs — the text payload never moves (a
+    ``ds.unique("text")`` would shuffle every document body)."""
+    from .stages.dedup_exact import _identity128
+    from .stages.minhash import _default_shuffle_buckets
+
+    B = _default_shuffle_buckets()
     ds = augmented_docs(sf_dir)
     total = ds.count()
-    kept = ds.unique("text")
-    n_kept = len(kept)
+
+    def slim(t: pa.Table) -> pa.Table:
+        k1, k2 = _identity128(t, ["text"])
+        keep = pd.DataFrame({"k1": k1, "k2": k2}).drop_duplicates()
+        return pa.table(
+            {
+                "k1": pa.array(keep["k1"].to_numpy(), pa.uint64()),
+                "k2": pa.array(keep["k2"].to_numpy(), pa.uint64()),
+                "_bkt": pa.array((keep["k1"].to_numpy() % np.uint64(B)).astype(np.int64)),
+            }
+        )
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [df.drop_duplicates(subset=["k1", "k2"]).shape[0]]})
+
+    parts = (
+        ds.map_batches(slim, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(count_distinct, batch_format="pandas")
+        .to_pandas()
+    )
+    n_kept = int(parts["n"].sum())
     return pd.DataFrame(
         {"total": [total], "kept": [n_kept], "duplicates": [total - n_kept]}
     )
