@@ -68,56 +68,131 @@ def connected_components(
 
 
 def _connected_components_distributed(edges: ray.data.Dataset, max_rounds: int) -> ray.data.Dataset:
-    """Min-label propagation with per-round convergence check.
+    """Join-free min-label propagation with exact convergence detection.
 
-    labels: (node, label). Round: for each edge (u,v) propose label(v) to u and
-    label(u) to v; labels = groupby(node).min(proposals ∪ current).
-    Convergence: the global sum of labels is strictly decreasing; stop when it
-    stops changing. Every round shuffles only the slim (node,label) pairs.
+    State: labels(node, label). Per round, two bucket shuffles of slim tables
+    (the same two-level groupby pattern as every other stage — NO
+    ``Dataset.join``, which pins aggregator actors and risks plan deadlock):
+
+    1. adjacency ∪ labels co-partitioned by hash(node) -> per-bucket pandas
+       merge emits proposals (peer, label) and passes the label rows through;
+    2. proposals ∪ labels co-partitioned by hash(node) -> per-bucket min per
+       node, flagging nodes whose label shrank.
+
+    Pointer doubling: the current label links (u <-> label(u)) are fed back
+    into the adjacency each round, so a node also learns label(label(u)) —
+    reach doubles per round and convergence is O(log diameter) instead of
+    O(diameter) (the HashMin-with-shortcutting formulation; cf. the
+    large-star/small-star family). Stops when no label changed (exact —
+    works for any orderable id type).
     """
-    from ray.data.aggregate import Min, Sum
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "node": np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]),
                 "peer": np.concatenate([df["b"].to_numpy(), df["a"].to_numpy()]),
             }
         )
+        out["_bkt"] = pd.util.hash_array(out["node"].to_numpy()) % _B()
+        return out
+
+    def _B() -> int:
+        from .minhash import _default_shuffle_buckets
+
+        return _default_shuffle_buckets()
 
     bi = edges.map_batches(explode, batch_format="pandas").materialize()
-    # initial label = min(self, neighbors)
-    labels = (
-        bi.map_batches(
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node")["peer"].min()
+        lab = np.minimum(g.index.to_numpy(), g.to_numpy())
+        return pd.DataFrame({"node": g.index.to_numpy(), "label": lab})
+
+    labels = bi.groupby("_bkt").map_groups(init_labels, batch_format="pandas").materialize()
+
+    for _ in range(max_rounds):
+        # identical schemas (node, peer, label, _bkt, _is_lab) so union is valid
+        lab_tagged = labels.map_batches(
             lambda df: pd.DataFrame(
-                {"node": df["node"], "label": np.minimum(df["node"].to_numpy(), df["peer"].to_numpy())}
+                {
+                    "node": df["node"],
+                    "peer": df["node"],  # placeholder, ignored for label rows
+                    "label": df["label"],
+                    "_bkt": pd.util.hash_array(df["node"].to_numpy()) % _B(),
+                    "_is_lab": True,
+                }
             ),
             batch_format="pandas",
         )
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
-    )
-
-    prev_sum = None
-    for _ in range(max_rounds):
-        # proposals: each edge endpoint offers its current label to its peer
-        prop = bi.join(
-            labels,
-            "inner",
-            num_partitions=default_join_partitions(),
-            on=("node",),
-            right_on=("node",),
-        )
-        prop = prop.map_batches(
-            lambda df: pd.DataFrame({"node": df["peer"], "label": df["label"]}),
+        adj_tagged = bi.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "node": df["node"],
+                    "peer": df["peer"],
+                    "label": df["node"],  # placeholder, ignored for adj rows
+                    "_bkt": df["_bkt"],
+                    "_is_lab": False,
+                }
+            ),
             batch_format="pandas",
         )
-        labels = (
-            labels.union(prop).groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+
+        def label_links(df: pd.DataFrame) -> pd.DataFrame:
+            # shortcut edges u <-> label(u): deliver label(label(u)) next round
+            m = df[df["node"] != df["label"]]
+            node = np.concatenate([m["node"].to_numpy(), m["label"].to_numpy()])
+            peer = np.concatenate([m["label"].to_numpy(), m["node"].to_numpy()])
+            return pd.DataFrame(
+                {
+                    "node": node,
+                    "peer": peer,
+                    "label": node,  # placeholder
+                    "_bkt": pd.util.hash_array(node) % _B(),
+                    "_is_lab": np.zeros(len(node), dtype=bool),
+                }
+            )
+
+        shortcut = labels.map_batches(label_links, batch_format="pandas")
+
+        def propose(df: pd.DataFrame) -> pd.DataFrame:
+            labs = df[df["_is_lab"]][["node", "label"]]
+            adj = df[~df["_is_lab"]][["node", "peer"]]
+            props = adj.merge(labs, on="node", how="inner")
+            out = pd.concat(
+                [
+                    pd.DataFrame(
+                        {"node": props["peer"], "label": props["label"], "_is_lab": False}
+                    ),
+                    labs.assign(_is_lab=True),
+                ],
+                ignore_index=True,
+            )
+            out["_bkt2"] = pd.util.hash_array(out["node"].to_numpy()) % _B()
+            return out
+
+        def reduce_min(df: pd.DataFrame) -> pd.DataFrame:
+            new = df.groupby("node")["label"].min()
+            old = df[df["_is_lab"]].set_index("node")["label"]
+            changed = new.lt(old.reindex(new.index))
+            return pd.DataFrame(
+                {
+                    "node": new.index.to_numpy(),
+                    "label": new.to_numpy(),
+                    "_changed": changed.to_numpy(),
+                }
+            )
+
+        stepped = (
+            lab_tagged.union(adj_tagged, shortcut)
+            .groupby("_bkt")
+            .map_groups(propose, batch_format="pandas")
+            .groupby("_bkt2")
+            .map_groups(reduce_min, batch_format="pandas")
+            .materialize()
         )
-        s = labels.aggregate(Sum("label"))["sum(label)"]
-        if prev_sum is not None and s == prev_sum:
+        n_changed = stepped.sum("_changed")
+        labels = stepped.drop_columns(["_changed"]).materialize()
+        if not n_changed:
             break
-        prev_sum = s
     return labels

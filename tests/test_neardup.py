@@ -110,6 +110,20 @@ def test_components_distributed_label_propagation(ray_session):
     assert got == refmodel.union_find_components(edges)
 
 
+def test_components_distributed_long_chain_and_random(ray_session):
+    """Multi-round convergence: a 40-node chain (diameter 39 but min-label
+    doubles reach per round) + a random graph, vs driver union-find."""
+    from fastq_dupaway_ray.stages.components import _connected_components_distributed
+
+    rng = np.random.default_rng(3)
+    edges = [(i, i + 1) for i in range(39)]  # one long chain 0..39
+    edges += [(int(a) + 100, int(b) + 100) for a, b in rng.integers(0, 60, size=(80, 2)) if a != b]
+    eds = rd.from_pandas(pd.DataFrame(edges, columns=["a", "b"]))
+    labels = _connected_components_distributed(eds, max_rounds=64).to_pandas()
+    got = dict(zip(labels["node"], labels["label"]))
+    assert got == refmodel.union_find_components(edges)
+
+
 def test_word_ngram_jaccard_mode(ray_session):
     """MinHash/LSH over word 3-gram shingles with exact word-Jaccard verify:
     edge jaccard values must equal the direct word-shingle computation."""
