@@ -1,0 +1,56 @@
+"""Streaming sharded dedup index (raw-actor ST1 variant): set semantics,
+incremental cross-slice dedup, shard partitioning."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data as rd
+
+from fastq_dupaway_ray.stages.streaming import make_index, streaming_dedup_exact
+
+
+def _slice(texts, start):
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "url": [f"u/{start + i}" for i in range(len(texts))],
+                "text": texts,
+            }
+        )
+    )
+
+
+def test_streaming_dedup_within_one_slice(ray_session):
+    texts = [f"doc {i % 40}" for i in range(400)]  # each distinct text 10x
+    kept, index = streaming_dedup_exact(_slice(texts, 0), n_shards=4, concurrency=2)
+    out = kept.to_pandas()
+    assert len(out) == 40
+    assert sorted(out["text"].unique()) == sorted(set(texts))
+    assert sum(ray.get([s.size.remote() for s in index])) == 40
+
+
+def test_streaming_dedup_incremental_across_slices(ray_session):
+    """Second slice dedups against the index built by the first slice."""
+    index = make_index(n_shards=4)
+    first = [f"base {i}" for i in range(50)]
+    kept1, index = streaming_dedup_exact(_slice(first, 0), index=index, concurrency=2)
+    assert kept1.count() == 50
+    # second slice: 30 repeats of slice-1 texts + 20 new
+    second = [f"base {i}" for i in range(30)] + [f"new {i}" for i in range(20)]
+    kept2, index = streaming_dedup_exact(_slice(second, 1000), index=index, concurrency=2)
+    out2 = kept2.to_pandas()
+    assert len(out2) == 20
+    assert all(t.startswith("new ") for t in out2["text"])
+    assert sum(ray.get([s.size.remote() for s in index])) == 70
+
+
+def test_streaming_shards_partition_identity_space(ray_session):
+    index = make_index(n_shards=4)
+    texts = [f"t{i}" for i in range(97)]
+    kept, index = streaming_dedup_exact(_slice(texts, 0), index=index, concurrency=2)
+    assert kept.count() == 97
+    sizes = ray.get([s.size.remote() for s in index])
+    assert sum(sizes) == 97
+    assert all(s > 0 for s in sizes)  # uniform hash spreads across shards
