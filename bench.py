@@ -84,6 +84,17 @@ def run_benchmarks() -> dict:
 
     m_flag = timed("flagship_minhash", flagship)
 
+    def flagship_oph():
+        from fastq_dupaway_ray.functions.sketches import MinHashParams
+
+        ds = rd.read_parquet(pages_path)
+        return run_dedup(
+            ds,
+            DedupConfig(mode="minhash", minhash=MinHashParams(scheme="oph"), emit_clusters=False),
+        ).metrics
+
+    timed("flagship_minhash_oph", flagship_oph)
+
     def exact():
         ds = rd.read_parquet(pages_path)
         return run_dedup(

@@ -199,3 +199,21 @@ def test_north_rule_dup_pair_recall_vs_reference_assignments(minhash_edges, page
     )
     recall = hit / len(ref_pairs)
     assert recall >= 0.99, f"dup-pair recall {recall:.4f} over {len(ref_pairs)} pairs"
+
+
+def test_oph_scheme_recall_and_precision(ds, pages_rows):
+    """One-permutation + densification signer: same planted-class recall as
+    the K-permutation default through the full LSH pipeline."""
+    from fastq_dupaway_ray.functions.sketches import MinHashParams
+    from fastq_dupaway_ray.stages.minhash import dedup_edges_minhash
+
+    edges = dedup_edges_minhash(
+        ds, params=MinHashParams(scheme="oph"), verify=True, threshold=0.7
+    ).to_pandas()
+    covered = set(edges["a"]) | set(edges["b"])
+    planted = [r["url"] for r in pages_rows if "/dup/exact/" in r["url"] or "/dup/jac095/" in r["url"]]
+    assert planted
+    hit = sum(1 for u in planted if u in covered)
+    assert hit / len(planted) >= 0.99
+    # verify step is exact jaccard -> precision holds regardless of scheme
+    assert (edges["jaccard"] >= 0.7).all()
