@@ -54,16 +54,27 @@ def run_flagship(
         exact = exact.materialize()
     metrics["after_exact"] = exact.count()
 
+    # fingerprints chain: editing params/threshold invalidates downstream
+    fp1 = fingerprint("edges", fp0, params, threshold, verify)
     edges = _mh.dedup_edges_minhash(
         exact,
         params=params,
         verify=verify,
         threshold=threshold,
         signer_concurrency=signer_concurrency,
-    ).materialize()
+    )
+    if ckpt_root:
+        edges = checkpoint(edges, ckpt_root, "edges", fp1)
+    else:
+        edges = edges.materialize()
     metrics["candidate_edges"] = edges.count()
 
-    labels = _comp.connected_components(edges).materialize()
+    fp2 = fingerprint("labels", fp1)
+    labels = _comp.connected_components(edges)
+    if ckpt_root:
+        labels = checkpoint(labels, ckpt_root, "labels", fp2)
+    else:
+        labels = labels.materialize()
     kept, clusters = _rep.apply_cluster_labels(exact, labels)
     kept = kept.materialize()
     clusters = clusters.materialize()

@@ -70,13 +70,23 @@ def checkpoint(
         kwargs["min_rows_per_file"] = min_rows_per_file
     ds.write_parquet(tmp_dir, **kwargs)
     files = sorted(f for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
+    # per-partition lineage: row count per part file from parquet footers
+    # (no data read) so a monitoring/resume job can account for every
+    # partition individually (north-rule per-partition lineage + metrics)
+    import pyarrow.parquet as pq
+
+    partitions = [
+        {"file": f, "rows": pq.ParquetFile(os.path.join(tmp_dir, f)).metadata.num_rows}
+        for f in files
+    ]
+    n = int(sum(p["rows"] for p in partitions))
     out = ray.data.read_parquet(tmp_dir, file_extensions=["parquet"])
-    n = out.count()
     manifest = {
         "stage": name,
         "fingerprint": fp,
         "rows": n,
         "files": files,
+        "partitions": partitions,
         "complete": True,
     }
     with open(os.path.join(tmp_dir, MANIFEST), "w") as f:

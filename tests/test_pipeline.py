@@ -73,6 +73,11 @@ def test_flagship_with_checkpoint_resume(pages_corpus, tmp_path, ray_session):
     kept2, _, metrics2 = run_flagship(path, ckpt_root=ck, signer_concurrency=2)
     assert metrics2["after_exact"] == metrics["after_exact"]
     assert metrics2["kept"] == metrics["kept"]
+    # full chain checkpointed with per-partition lineage
+    for stage in ("exact", "edges", "labels"):
+        m = read_manifest(ck, stage)
+        assert m is not None and m["complete"]
+        assert sum(p["rows"] for p in m["partitions"]) == m["rows"]
 
 
 def test_checkpoint_skips_and_invalidates(ds, tmp_path):
