@@ -374,6 +374,24 @@ SQL_EVENTS_SESSIONIZE = """
 """
 
 
+def q_streaming_dedup_docs(sf_dir: str):
+    """Incremental dedup through the sharded mutable index (raw-actor ST1
+    variant): which row survives per text is processing-order-dependent, but
+    the kept TEXT SET is exact — oracle = DISTINCT text."""
+    from .stages.streaming import streaming_dedup_exact
+
+    kept, _index = streaming_dedup_exact(
+        augmented_docs(sf_dir), key_cols=("text",), n_shards=4, concurrency=2
+    )
+    return kept.select_columns(["text"])
+
+
+SQL_STREAMING_DEDUP_DOCS = f"""
+    WITH aug AS ({_AUGMENT_SQL})
+    SELECT DISTINCT text FROM aug
+"""
+
+
 # ------------------------------------------------------------- set ops / sort
 
 def q_set_intersect_docs(sf_dir: str):
@@ -933,6 +951,7 @@ REGISTRY = {
     "clusters_exact_docs": (q_clusters_exact_docs, SQL_CLUSTERS_EXACT_DOCS),
     "dedup_counts_docs": (q_dedup_counts_docs, SQL_DEDUP_COUNTS_DOCS),
     "dedup_loose_docs": (q_dedup_loose_docs, SQL_DEDUP_LOOSE_DOCS),
+    "streaming_dedup_docs": (q_streaming_dedup_docs, SQL_STREAMING_DEDUP_DOCS),
     "set_intersect_docs": (q_set_intersect_docs, SQL_SET_INTERSECT_DOCS),
     "set_except_docs": (q_set_except_docs, SQL_SET_EXCEPT_DOCS),
     "sort_topn_docs": (q_sort_topn_docs, SQL_SORT_TOPN_DOCS),
