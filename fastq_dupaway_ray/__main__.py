@@ -1,0 +1,130 @@
+"""CLI mirroring the reference's flag surface over Parquet page tables.
+
+The reference is driven as ``fastq-dupaway -i in.fq -o out.fq [--fast |
+--compare-seq MODE] [--distance D] [-u in2 -p out2] [--unordered]
+[--write-clusters] [--verbose]`` (/root/reference/src/main.cpp:43-96). A
+reference user switches by pointing the same flags at Parquet directories:
+
+    python -m fastq_dupaway_ray -i pages/ -o kept/ --fast
+    python -m fastq_dupaway_ray -i pages/ -o kept/ --compare-seq loose --write-clusters
+    python -m fastq_dupaway_ray -i pages/ -o kept/ --compare-seq tail-hamming --distance 3
+    python -m fastq_dupaway_ray -i a/ -u b/ -o kept/ --fast --unordered   # id-join then dedup
+    python -m fastq_dupaway_ray -i pages/ -o kept/ --minhash              # north-rule near-dup
+
+Flag translation:
+* ``--fast``                -> hash-exact keep-first dedup (A1)
+* ``--compare-seq tight``   -> sorted-adjacency tight (A3; default, as in the reference)
+* ``--compare-seq loose``   -> prefix-containment adjacency (A4)
+* ``--compare-seq tail-hamming --distance D`` -> SimHash Hamming-ball near-dup
+  (the scalable generalization; ``--exact-mirror`` selects the bit-exact
+  serial-order adjacency mirror instead)
+* ``--minhash``             -> MinHash/LSH near-dup (north rule; no reference analogue)
+* ``-u SECOND --unordered`` -> inner id-join on ``url`` with unmatched counts first
+* ``--write-clusters``      -> clusters Parquet next to the output (S9)
+* ``--verbose``             -> print the run-summary counters (A7)
+* ``--mem-limit``           -> maps to Ray Data's target block size (the
+  streaming executor owns memory; the flag is honored as a hint)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fastq_dupaway_ray",
+        description="Ray-Data-native dedup over Parquet page tables (reference-compatible flags)",
+    )
+    p.add_argument("-i", "--input-1", required=True, help="input Parquet dir/file (required)")
+    p.add_argument("-u", "--input-2", help="second input (enables paired/join mode)")
+    p.add_argument("-o", "--output-1", required=True, help="output Parquet dir (required)")
+    p.add_argument("-p", "--output-2", help="second output (ignored: pairs live in one table)")
+    p.add_argument("-m", "--mem-limit", type=int, default=2048,
+                   help="memory hint in MB [500..10240] -> Ray block size")
+    p.add_argument("--compare-seq", choices=["tight", "loose", "tail-hamming"], default=None)
+    p.add_argument("--distance", type=int, default=2)
+    p.add_argument("--fast", action="store_true", help="hash-based exact dedup")
+    p.add_argument("--minhash", action="store_true", help="MinHash/LSH near-dup (north rule)")
+    p.add_argument("--exact-mirror", action="store_true",
+                   help="with tail-hamming: bit-exact serial adjacency instead of SimHash")
+    p.add_argument("--unordered", action="store_true", help="id-join paired inputs first (fast mode only)")
+    p.add_argument("--write-clusters", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--id-col", default="url")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--checkpoint-root", default=None, help="stage checkpoint dir (resume support)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.fast and args.compare_seq:
+        print("--fast mode was enabled, but argument(s) for sequence-based mode were provided!",
+              file=sys.stderr)
+        return 2
+    if args.unordered and (not args.fast or not args.input_2):
+        print("--unordered argument can only be used with --fast mode and paired inputs!",
+              file=sys.stderr)
+        return 2
+    if not (500 <= args.mem_limit <= 10240):
+        print("Value of unsupported range provided for --mem-limit option!", file=sys.stderr)
+        return 2
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().target_max_block_size = args.mem_limit * 1024 * 1024 // 16
+
+    from .pipelines.dedup import DedupConfig, run_dedup
+
+    ds = rd.read_parquet(args.input_1)
+    if args.input_2:
+        from .stages.join import join_unordered
+
+        jr = join_unordered(ds, rd.read_parquet(args.input_2), key=args.id_col)
+        if args.verbose:
+            print(f"joined: {jr.matched} matched, {jr.unmatched} unmatched", file=sys.stderr)
+        ds = jr.pairs
+        key_cols = (f"{args.text_col}_l", f"{args.text_col}_r")  # paired AND-semantics
+    else:
+        key_cols = (args.text_col,)
+
+    if args.minhash:
+        mode = "minhash"
+    elif args.fast:
+        mode = "exact"
+    elif args.compare_seq == "tail-hamming":
+        mode = "hamming" if args.exact_mirror else "simhash"
+    elif args.compare_seq == "loose":
+        mode = "loose"
+    else:
+        mode = "tight"  # the reference's default comparison mode
+
+    cfg = DedupConfig(
+        mode=mode,
+        key_cols=key_cols,
+        id_col=args.id_col if not args.input_2 else f"{args.id_col}",
+        text_col=args.text_col if not args.input_2 else f"{args.text_col}_l",
+        distance=args.distance,
+        emit_clusters=args.write_clusters,
+    )
+    out = run_dedup(ds, cfg)
+    os.makedirs(args.output_1, exist_ok=True)
+    out.kept.write_parquet(args.output_1)
+    if args.write_clusters and out.clusters is not None:
+        out.clusters.write_parquet(args.output_1.rstrip("/") + ".clusters")
+    if args.verbose:
+        print(json.dumps(out.metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
