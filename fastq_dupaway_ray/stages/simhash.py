@@ -131,22 +131,39 @@ def simhash_candidate_edges(
         if len(df) == 0:
             return pd.DataFrame({"a": [], "b": [], "hamming": pd.Series([], dtype=np.int64)})
         g = df.groupby("chunk_key", sort=False)
-        rank = g.cumcount()
-        df = df[rank < max_bucket]
-        g = df.groupby("chunk_key", sort=False)
-        head_id = g[id_col].transform("first")
+        rank = g.cumcount().to_numpy()
+        ids = df[id_col].to_numpy()
         sigs = df[SIMHASH_COL].to_numpy().astype(np.uint64)
-        head_sig_idx = g[SIMHASH_COL].transform("first").to_numpy().astype(np.uint64)
-        d = hamming64(sigs, head_sig_idx)
-        star = (df[id_col].to_numpy() != head_id.to_numpy()) & (d <= distance)
+        # SALTED hot buckets (no truncation): rows star-verify against their
+        # salt-group head; salt heads chain-verify against the global head —
+        # every row is compared, O(n) per bucket, exact hamming filter
+        salt = rank // max_bucket
+        local_head_sel = rank % max_bucket == 0
+        pos = np.where(local_head_sel, np.arange(len(df)), -1)
+        pos = np.maximum.accumulate(pos)
+        head_id = ids[pos]
+        d = hamming64(sigs, sigs[pos])
+        star = (ids != head_id) & (d <= distance)
+        gpos = np.where(local_head_sel & (salt == 0), np.arange(len(df)), -1)
+        gpos = np.maximum.accumulate(gpos)
+        chain_sel = local_head_sel & (salt > 0)
+        dchain = hamming64(sigs[chain_sel], sigs[gpos[chain_sel]])
+        ckeep = dchain <= distance
         parts = [
             pd.DataFrame(
                 {
-                    "a": head_id.to_numpy()[star],
-                    "b": df[id_col].to_numpy()[star],
+                    "a": head_id[star],
+                    "b": ids[star],
                     "hamming": d[star].astype(np.int64),
                 }
-            )
+            ),
+            pd.DataFrame(
+                {
+                    "a": ids[gpos[chain_sel]][ckeep],
+                    "b": ids[chain_sel][ckeep],
+                    "hamming": dchain[ckeep].astype(np.int64),
+                }
+            ),
         ]
         # dense pass: groups of 3..64 members can hold pairs the head misses
         size2 = g[id_col].transform("size").to_numpy()
