@@ -817,7 +817,7 @@ SQL_EMBEDDING_DEDUP = """
 
 def q_lineitem_agg(sf_dir: str):
     """Grouped aggregate with in-batch pre-aggregation (combiner pattern)."""
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Count, Sum
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",

@@ -28,8 +28,6 @@ import numpy as np
 import pandas as pd
 import ray.data
 
-from ..functions.hashing import hash64
-from ..util import default_join_partitions
 
 
 def connected_components_local(edge_pairs) -> dict:

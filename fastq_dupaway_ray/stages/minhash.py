@@ -25,7 +25,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..functions.hashing import char_ngram_hashes, word_ngram_hashes, hash64
+from ..functions.hashing import char_ngram_hashes, word_ngram_hashes
 from ..functions.sketches import MinHasher, MinHashParams
 from ..util import default_join_partitions
 

@@ -29,7 +29,6 @@ corpus size a single job partition handles.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import ray
 import ray.data

@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.hashing import hamming64
-from ..functions.sketches import simhash64, simhash_chunks
+from ..functions.sketches import simhash_chunks
 
 SIMHASH_COL = "simhash64"
 
