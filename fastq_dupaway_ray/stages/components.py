@@ -17,9 +17,9 @@ components. Two implementations:
   This is the 10^12-doc path (cf. BTS, ICDE 2024, for the load-balanced
   evolution of the same idea).
 
-Node ids are uint64 content hashes of the row id (url); labels are the
-component-min node id. Collision probability at n=10^12 is ~n^2/2^64 — for
-the sandbox it is negligible; the production note is to widen to 128-bit.
+Nodes are the original row ids (any orderable type — url strings, doc ids);
+labels are the component-minimum node id, so downstream representative
+selection needs no extra mapping.
 """
 
 from __future__ import annotations
