@@ -374,6 +374,40 @@ SQL_EVENTS_SESSIONIZE = """
 """
 
 
+def q_training_pipeline_docs(sf_dir: str):
+    """Composed curation pipeline (SQL-expressible prefix): quality + language
+    filter then exact keep-first dedup — the deterministic head of
+    pipelines.training_data."""
+    from .pipelines.training_data import run_training_data
+
+    kept, _metrics = run_training_data(augmented_docs(sf_dir), near_dedup=False)
+    return kept.select_columns(["doc_id", "n_tokens", "lang"])
+
+
+SQL_TRAINING_PIPELINE_DOCS = f"""
+    WITH aug AS ({_AUGMENT_SQL}),
+    q AS (
+        SELECT doc_id, text, lang,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+               len(regexp_extract_all(text, '[0-9]')) /
+                   greatest(length(text), 1)::DOUBLE AS digit_ratio
+        FROM aug
+    )
+    SELECT doc_id, n_tokens, lang FROM q
+    WHERE n_tokens >= 5 AND digit_ratio < 0.2 AND lang IN ('en', 'de', 'fr', 'es')
+    QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""
+
+
+def q_training_pipeline_full_docs(sf_dir: str):
+    """Full curation pipeline incl. MinHash near-dedup (rows-only)."""
+    from .pipelines.training_data import run_training_data
+
+    kept, _metrics = run_training_data(augmented_docs(sf_dir), near_dedup=True)
+    return kept.select_columns(["doc_id", "n_tokens", "lang"])
+
+
 def q_streaming_dedup_docs(sf_dir: str):
     """Incremental dedup through the sharded mutable index (raw-actor ST1
     variant): which row survives per text is processing-order-dependent, but
@@ -951,6 +985,8 @@ REGISTRY = {
     "clusters_exact_docs": (q_clusters_exact_docs, SQL_CLUSTERS_EXACT_DOCS),
     "dedup_counts_docs": (q_dedup_counts_docs, SQL_DEDUP_COUNTS_DOCS),
     "dedup_loose_docs": (q_dedup_loose_docs, SQL_DEDUP_LOOSE_DOCS),
+    "training_pipeline_docs": (q_training_pipeline_docs, SQL_TRAINING_PIPELINE_DOCS),
+    "training_pipeline_full_docs": (q_training_pipeline_full_docs, None),
     "streaming_dedup_docs": (q_streaming_dedup_docs, SQL_STREAMING_DEDUP_DOCS),
     "set_intersect_docs": (q_set_intersect_docs, SQL_SET_INTERSECT_DOCS),
     "set_except_docs": (q_set_except_docs, SQL_SET_EXCEPT_DOCS),
