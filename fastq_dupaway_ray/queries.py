@@ -515,6 +515,27 @@ SQL_SORT_TOPN_DOCS = """
 """
 
 
+def q_asof_join_events_orders(sf_dir: str):
+    """Backward as-of join: each event matched to the customer's most recent
+    order at-or-before the event time (hash-co-partitioned merge_asof)."""
+    from .stages.asof import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    out = asof_join(
+        ev, od, key="user_id", left_time="ts", right_time="o_orderdate",
+        right_key="o_custkey", left_cols=("event_id",),
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "o_orderdate"])
+
+
+SQL_ASOF_JOIN_EVENTS_ORDERS = """
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderdate
+    FROM events e ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
 # ------------------------------------------------------------------------ joins
 
 def q_join_orders_customer(sf_dir: str):
@@ -991,6 +1012,7 @@ REGISTRY = {
     "set_intersect_docs": (q_set_intersect_docs, SQL_SET_INTERSECT_DOCS),
     "set_except_docs": (q_set_except_docs, SQL_SET_EXCEPT_DOCS),
     "sort_topn_docs": (q_sort_topn_docs, SQL_SORT_TOPN_DOCS),
+    "asof_join_events_orders": (q_asof_join_events_orders, SQL_ASOF_JOIN_EVENTS_ORDERS),
     "join_orders_customer": (q_join_orders_customer, SQL_JOIN_ORDERS_CUSTOMER),
     "join_unmatched_counts": (q_join_unmatched_counts, SQL_JOIN_UNMATCHED_COUNTS),
     "token_counts_docs": (q_token_counts_docs, SQL_TOKEN_COUNTS_DOCS),
