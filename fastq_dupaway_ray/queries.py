@@ -319,6 +319,60 @@ SQL_TOP_TOKENS_DOCS = r"""
 """
 
 
+def q_events_sliding_window(sf_dir: str):
+    """Hopping-window aggregate (1h window, 30min hop): each event lands in
+    two windows — explode to window starts in the batch (combiner), then one
+    bucketed merge. The streaming-window shape Ray Data lacks natively."""
+    from .stages.minhash import _default_shuffle_buckets
+
+    B = _default_shuffle_buckets()
+    HOP = pd.Timedelta(minutes=30)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        slot = df["ts"].dt.floor("30min")
+        ex = pd.concat(
+            [
+                df.assign(window_start=slot),
+                df.assign(window_start=slot - HOP),
+            ],
+            ignore_index=True,
+        )
+        out = ex.groupby(["user_id", "window_start"], as_index=False).agg(
+            sum_value=("value", "sum"), n_events=("value", "size")
+        )
+        out["_bkt"] = out["user_id"].to_numpy() % B
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["user_id", "window_start"], as_index=False).agg(
+            sum_value=("sum_value", "sum"), n_events=("n_events", "sum")
+        )
+        out["sum_value"] = out["sum_value"].round(6)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_SLIDING_WINDOW = """
+    SELECT user_id, window_start, round(sum(value), 6) AS sum_value,
+           count(*) AS n_events
+    FROM (
+        SELECT user_id, time_bucket(INTERVAL 30 MINUTES, ts) AS window_start, value
+        FROM events
+        UNION ALL
+        SELECT user_id, time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES, value
+        FROM events
+    )
+    GROUP BY user_id, window_start
+"""
+
+
 def q_events_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — streaming-shaped
     stateful windowing done per-key inside hash buckets."""
@@ -512,6 +566,30 @@ def q_sort_topn_docs(sf_dir: str):
 SQL_SORT_TOPN_DOCS = """
     SELECT doc_id, n_chars, lang FROM documents
     ORDER BY n_chars DESC, doc_id ASC LIMIT 100
+"""
+
+
+def q_range_join_events_sessions(sf_dir: str):
+    """Range (interval) join: each event matched back to its session window
+    (sessions from the 30-min-gap sessionizer; intervals are per-user
+    non-overlapping, so every event matches exactly once)."""
+    from .stages.rangejoin import range_join
+
+    sessions = q_events_sessionize(sf_dir)
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    out = range_join(
+        ev, sessions, key="user_id", left_time="ts",
+        right_lo="session_start", right_hi="session_end", left_cols=("event_id",),
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "session_start", "session_end"])
+
+
+SQL_RANGE_JOIN_EVENTS_SESSIONS = f"""
+    WITH sess AS ({SQL_EVENTS_SESSIONIZE})
+    SELECT e.event_id, e.user_id, e.ts, s.session_start, s.session_end
+    FROM events e JOIN sess s
+      ON e.user_id = s.user_id
+     AND e.ts >= s.session_start AND e.ts <= s.session_end
 """
 
 
@@ -1001,6 +1079,7 @@ REGISTRY = {
     "quality_filter_docs": (q_quality_filter_docs, SQL_QUALITY_FILTER_DOCS),
     "lang_dist_docs": (q_lang_dist_docs, SQL_LANG_DIST_DOCS),
     "top_tokens_docs": (q_top_tokens_docs, SQL_TOP_TOKENS_DOCS),
+    "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "dedup_exact_composite_docs": (q_dedup_exact_composite_docs, SQL_DEDUP_EXACT_COMPOSITE_DOCS),
     "clusters_exact_docs": (q_clusters_exact_docs, SQL_CLUSTERS_EXACT_DOCS),
@@ -1013,6 +1092,7 @@ REGISTRY = {
     "set_except_docs": (q_set_except_docs, SQL_SET_EXCEPT_DOCS),
     "sort_topn_docs": (q_sort_topn_docs, SQL_SORT_TOPN_DOCS),
     "asof_join_events_orders": (q_asof_join_events_orders, SQL_ASOF_JOIN_EVENTS_ORDERS),
+    "range_join_events_sessions": (q_range_join_events_sessions, SQL_RANGE_JOIN_EVENTS_SESSIONS),
     "join_orders_customer": (q_join_orders_customer, SQL_JOIN_ORDERS_CUSTOMER),
     "join_unmatched_counts": (q_join_unmatched_counts, SQL_JOIN_UNMATCHED_COUNTS),
     "token_counts_docs": (q_token_counts_docs, SQL_TOKEN_COUNTS_DOCS),
