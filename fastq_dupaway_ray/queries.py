@@ -682,6 +682,29 @@ def q_token_counts_docs(sf_dir: str):
     return _docs(sf_dir).map_batches(add, batch_format="pyarrow")
 
 
+def q_token_counts_bpe_docs(sf_dir: str):
+    """BPE-ish token counting (regex word/number/punct pieces) — the subword
+    token estimator; oracle mirrors the same regex in DuckDB."""
+    from .functions.textstats import token_count_bpe
+
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_bpe_tokens": token_count_bpe(df["text"].to_numpy(dtype=object)),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(add, batch_format="pandas")
+
+
+SQL_TOKEN_COUNTS_BPE_DOCS = r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+    FROM documents
+"""
+
+
 SQL_TOKEN_COUNTS_DOCS = r"""
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN 0
@@ -1096,6 +1119,7 @@ REGISTRY = {
     "join_orders_customer": (q_join_orders_customer, SQL_JOIN_ORDERS_CUSTOMER),
     "join_unmatched_counts": (q_join_unmatched_counts, SQL_JOIN_UNMATCHED_COUNTS),
     "token_counts_docs": (q_token_counts_docs, SQL_TOKEN_COUNTS_DOCS),
+    "token_counts_bpe_docs": (q_token_counts_bpe_docs, SQL_TOKEN_COUNTS_BPE_DOCS),
     "quality_scores_docs": (q_quality_scores_docs, SQL_QUALITY_SCORES_DOCS),
     "lang_id_docs": (q_lang_id_docs, None),
     "fingerprint_docs": (q_fingerprint_docs, None),
