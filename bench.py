@@ -66,6 +66,11 @@ def run_benchmarks() -> dict:
     # warm the page cache so we measure compute + shuffle, not first-touch IO
     _ = rd.read_parquet(pages_path).count()
     n_pages = _
+    # warm every worker's code paths (numpy first-touch, module import) with a
+    # small pass through both signing pipelines — steady-state cluster timing
+    warm = rd.read_parquet(pages_path).limit(4096).materialize()
+    run_dedup(warm, DedupConfig(mode="minhash", emit_clusters=False))
+    run_dedup(warm, DedupConfig(mode="simhash", distance=3, emit_clusters=False))
 
     timings: dict[str, float] = {}
 
