@@ -204,6 +204,9 @@ def containment_edges(
         # containment join. Contained docs stay in the pool (C ⊂ A ⊂ B must
         # yield both (A,C) and (B,C)).
         edges_a, edges_b = [], []
+        if len(df) == 0 or "anchor_key" not in df.columns:
+            # map_groups may deliver an empty schema-less frame on tiny inputs
+            return pd.DataFrame({"a": edges_a, "b": edges_b})
         for _, grp in df.groupby("anchor_key", sort=False):
             grp = grp.drop_duplicates(subset=[id_col])
             if len(grp) < 2:

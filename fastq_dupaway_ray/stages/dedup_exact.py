@@ -123,19 +123,22 @@ def dedup_exact(
         cols["_bucket"] = pa.array((k1 % np.uint64(num_buckets)).astype(np.int64), pa.int64())
         return pa.table(cols)
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        # local combiner: within-batch losers never reach the shuffle
-        df = df.sort_values(order_cols, kind="mergesort")
-        return df.drop_duplicates(subset=["_k1", "_k2"], keep="first")
+    # NOTE: no within-batch combiner here. A combiner that removes local
+    # losers before the shuffle silently LOSES them — they never enter the
+    # drop set and survive dedup (caught by the hypothesis conformance
+    # tests on corpora with same-batch duplicates). Every slim identity row
+    # (~40 bytes) must reach the shuffle; the payload still never moves.
 
     def bucket_drops(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "_k1" not in df.columns:
+            # map_groups may deliver an empty schema-less frame on tiny inputs
+            return pd.DataFrame({c: [] for c in order_cols})
         df = df.sort_values(order_cols, kind="mergesort")
         lose = df.duplicated(subset=["_k1", "_k2"], keep="first")
         return df.loc[lose, order_cols]
 
     drops = (
         ds.map_batches(slim, batch_format="pyarrow")
-        .map_batches(combine, batch_format="pandas")
         .groupby("_bucket")
         .map_groups(bucket_drops, batch_format="pandas")
         .materialize()
@@ -147,6 +150,8 @@ def dedup_exact(
     from .minhash import _fetch_cached
 
     ddf = drops.to_pandas()
+    if len(ddf) == 0:
+        return ds  # nothing to drop (an empty Dataset also loses its schema)
     if len(order_cols) == 1:
         drop_ref = ray.put(pa.array(ddf[order_cols[0]]))
 

@@ -197,11 +197,15 @@ def dedup_edge_list(edges: ray.data.Dataset, num_buckets: int = 32) -> ray.data.
     import pandas as pd
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "a" not in df.columns:
+            return pd.DataFrame({"a": [], "b": [], "_ebucket": pd.Series([], dtype=np.int64)})
         df = df.copy()
         df["_ebucket"] = pd.util.hash_array(df["a"].to_numpy(dtype=object)) % num_buckets
         return df
 
     def drop(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "a" not in df.columns:
+            return pd.DataFrame({"a": [], "b": []})
         return df.drop_duplicates(subset=["a", "b"]).drop(columns=["_ebucket"])
 
     return edges.map_batches(bucketize, batch_format="pandas").groupby("_ebucket").map_groups(

@@ -1,0 +1,68 @@
+"""Property-based conformance: random corpora vs the serial reference model.
+
+Small alphabets force hash-key collisions, duplicate runs, prefix chains and
+containment by construction; every engine path must equal refmodel exactly.
+max_examples kept small — each example drives a real Ray pipeline."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import ray.data as rd
+
+from fastq_dupaway_ray import refmodel
+from fastq_dupaway_ray.stages.adjacency import dedup_adjacency
+from fastq_dupaway_ray.stages.containment import containment_edges
+from fastq_dupaway_ray.stages.dedup_exact import dedup_exact
+
+# texts over a 3-letter alphabet, lengths 8..20 (>= shingle_k for containment)
+texts_strategy = st.lists(
+    st.text(alphabet="abc", min_size=8, max_size=20), min_size=2, max_size=40
+)
+
+SET = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+
+def _rows(texts):
+    return [{"url": f"u/{i:04d}", "warc_ts": i, "text": t} for i, t in enumerate(texts)]
+
+
+@given(texts=texts_strategy)
+@SET
+def test_exact_dedup_equals_refmodel(ray_session, texts):
+    rows = _rows(texts)
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    kept = dedup_exact(ds, key_cols=("text",), order_cols=("warc_ts", "url")).to_pandas()
+    ref = refmodel.dedup_hash(rows, keys=("text",))
+    assert sorted(kept["url"]) == sorted(r["url"] for r in ref.kept)
+
+
+@pytest.mark.parametrize("mode", ["tight", "loose"])
+@given(texts=texts_strategy)
+@SET
+def test_adjacency_equals_refmodel(ray_session, mode, texts):
+    rows = _rows(texts)
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    res = dedup_adjacency(ds, mode=mode, order_cols=("warc_ts", "url"))
+    ref = refmodel.dedup_sorted(rows, mode=mode)
+    assert sorted(res.kept.to_pandas()["url"]) == sorted(r["url"] for r in ref.kept)
+
+
+@given(texts=texts_strategy)
+@SET
+def test_containment_exact_equals_bruteforce(ray_session, texts):
+    rows = _rows(texts)
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    got = containment_edges(ds, anchors=None, id_col="url").to_pandas()
+    got_set = set(zip(got["a"], got["b"])) if len(got) else set()
+    want = {
+        (a["url"], b["url"])
+        for a in rows
+        for b in rows
+        if len(a["text"]) > len(b["text"]) and b["text"] in a["text"]
+    }
+    assert got_set == want
