@@ -56,11 +56,18 @@ def asof_join(
     tr = right.map_batches(tag_right, batch_format="pandas")
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "_side" not in df.columns:
+            cols = [*lcols, right_time, *[c for c in right_cols if c != right_time]]
+            return pd.DataFrame({c: [] for c in dict.fromkeys(cols)})
         l = df[df["_side"] == 0].drop(columns=["_side", "_bkt"]).dropna(axis=1, how="all")
         r = df[df["_side"] == 1].drop(columns=["_side", "_bkt"]).dropna(axis=1, how="all")
         if len(l) == 0 or len(r) == 0:
             cols = [*lcols, right_time, *[c for c in right_cols if c != right_time]]
             return pd.DataFrame({c: [] for c in dict.fromkeys(cols)})
+        # padding via union can leave object-dtype columns (ints + NA);
+        # merge_asof needs concrete numpy dtypes for its sort keys
+        l = l.infer_objects()
+        r = r.infer_objects()
         l = l.sort_values(left_time, kind="mergesort")
         r = r.sort_values(right_time, kind="mergesort")
         out = pd.merge_asof(

@@ -306,6 +306,8 @@ def verify_edges_jaccard(
     ``edges`` should be materialized by the caller (it is counted here).
     """
     n_edges = edges.count()
+    if n_edges == 0:
+        return edges
     if n_edges <= broadcast_edge_budget:
         edf = edges.to_pandas()
         endpoints = pd.unique(np.concatenate([edf["a"].to_numpy(), edf["b"].to_numpy()]))

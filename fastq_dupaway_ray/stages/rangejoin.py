@@ -59,12 +59,17 @@ def range_join(
         return df[all_cols]
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "_side" not in df.columns:
+            oc = list(dict.fromkeys([*lcols, right_lo, right_hi, *right_cols]))
+            return pd.DataFrame({c: [] for c in oc})
         l = df[df["_side"] == 0].drop(columns=["_side", "_bkt"]).dropna(axis=1, how="all")
         r = df[df["_side"] == 1].drop(columns=["_side", "_bkt"]).dropna(axis=1, how="all")
         out_cols = [*lcols, right_lo, right_hi, *[c for c in right_cols]]
         out_cols = list(dict.fromkeys(out_cols))
         if len(l) == 0 or len(r) == 0:
             return pd.DataFrame({c: [] for c in out_cols})
+        l = l.infer_objects()
+        r = r.infer_objects()
         li_parts, ri_parts = [], []
         r_groups = {k: g for k, g in r.groupby(key, sort=False)}
         for k, lg in l.groupby(key, sort=False):

@@ -1,0 +1,83 @@
+"""Tiny-input robustness: every pipeline must handle inputs far smaller than
+the shuffle width (empty partitions reach map_groups as schema-less pandas
+frames — the failure mode the hypothesis suite first exposed)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+TINY = [
+    {"url": "u/0", "warc_ts": 0, "text": "aaaa bbbb cccc dddd"},
+    {"url": "u/1", "warc_ts": 1, "text": "aaaa bbbb cccc dddd"},
+    {"url": "u/2", "warc_ts": 2, "text": "eeee ffff gggg hhhh"},
+]
+
+
+@pytest.fixture()
+def tiny(ray_session):
+    return rd.from_pandas(pd.DataFrame(TINY))
+
+
+def test_tiny_minhash(tiny):
+    from fastq_dupaway_ray.pipelines.dedup import DedupConfig, run_dedup
+
+    out = run_dedup(tiny, DedupConfig(mode="minhash"))
+    assert out.metrics["kept"] == 2
+
+
+def test_tiny_simhash(tiny):
+    from fastq_dupaway_ray.pipelines.dedup import DedupConfig, run_dedup
+
+    out = run_dedup(tiny, DedupConfig(mode="simhash", distance=3))
+    assert out.metrics["kept"] == 2
+
+
+def test_tiny_exact_and_adjacency(tiny):
+    from fastq_dupaway_ray.pipelines.dedup import DedupConfig, run_dedup
+
+    for mode in ("exact", "tight", "loose"):
+        out = run_dedup(tiny, DedupConfig(mode=mode))
+        assert out.metrics["kept"] == 2, mode
+
+
+def test_tiny_single_row(ray_session):
+    from fastq_dupaway_ray.pipelines.dedup import DedupConfig, run_dedup
+
+    one = rd.from_pandas(pd.DataFrame(TINY[:1]))
+    for mode in ("exact", "minhash", "simhash", "tight", "loose"):
+        out = run_dedup(one, DedupConfig(mode=mode))
+        assert out.metrics["kept"] == 1, mode
+
+
+def test_tiny_asof_and_range(ray_session):
+    from fastq_dupaway_ray.stages.asof import asof_join
+    from fastq_dupaway_ray.stages.rangejoin import range_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1], "t": [10], "ev": ["x"]}))
+    right = rd.from_pandas(pd.DataFrame({"k": [1], "rt": [5]}))
+    out = asof_join(left, right, key="k", left_time="t", right_time="rt", left_cols=("ev",)).to_pandas()
+    assert len(out) == 1 and out.iloc[0]["rt"] == 5
+
+    intervals = rd.from_pandas(pd.DataFrame({"k": [1], "lo": [0], "hi": [20]}))
+    rj = range_join(left, intervals, key="k", left_time="t", right_lo="lo", right_hi="hi", left_cols=("ev",)).to_pandas()
+    assert len(rj) == 1
+
+
+def test_tiny_embedding_neardup(ray_session):
+    from fastq_dupaway_ray.stages.ann import embedding_neardup_exact, embedding_neardup_lsh
+
+    vecs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "vec_id": [1, 2, 3],
+                "embedding": [np.ones(8), np.ones(8), -np.ones(8)],
+            }
+        )
+    )
+    ex = embedding_neardup_exact(vecs, threshold=0.9).to_pandas()
+    assert set(zip(ex["a"], ex["b"])) == {(1, 2)}
+    lsh = embedding_neardup_lsh(vecs, threshold=0.9).to_pandas()
+    pairs = set(zip(lsh["a"], lsh["b"])) if len(lsh) else set()
+    assert pairs <= {(1, 2)}
