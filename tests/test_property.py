@@ -66,3 +66,39 @@ def test_containment_exact_equals_bruteforce(ray_session, texts):
         if len(a["text"]) > len(b["text"]) and b["text"] in a["text"]
     }
     assert got_set == want
+
+
+@given(
+    texts=st.lists(st.text(alphabet="ab", min_size=10, max_size=10), min_size=2, max_size=30),
+    distance=st.integers(min_value=1, max_value=3),
+)
+@SET
+def test_hamming_adjacency_equals_refmodel(ray_session, texts, distance):
+    """Exact-mirror tail-hamming scan vs the serial reference model
+    (same-length strings over {a,b} force rich hamming neighborhoods)."""
+    rows = _rows(texts)
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    res = dedup_adjacency(ds, mode="hamming", distance=distance, order_cols=("warc_ts", "url"))
+    ref = refmodel.dedup_sorted(rows, mode="hamming", distance=distance)
+    assert sorted(res.kept.to_pandas()["url"]) == sorted(r["url"] for r in ref.kept)
+
+
+@given(
+    lkeys=st.lists(st.integers(min_value=0, max_value=15), min_size=1, max_size=25, unique=True),
+    rkeys=st.lists(st.integers(min_value=0, max_value=15), min_size=1, max_size=25, unique=True),
+)
+@SET
+def test_join_unordered_equals_refmodel(ray_session, lkeys, rkeys):
+    """Unordered id-join matched/unmatched accounting vs the serial model
+    (random overlapping/disjoint/skewed id sets — the reference's five
+    unordered scenarios arise as special cases)."""
+    from fastq_dupaway_ray.stages.join import join_unordered
+
+    lrows = [{"url": f"k{k}", "warc_ts": i, "text": f"L{k}"} for i, k in enumerate(lkeys)]
+    rrows = [{"url": f"k{k}", "warc_ts": i, "text": f"R{k}"} for i, k in enumerate(rkeys)]
+    jr = join_unordered(
+        rd.from_pandas(pd.DataFrame(lrows)), rd.from_pandas(pd.DataFrame(rrows)), key="url"
+    )
+    ref_pairs, ref_unmatched = refmodel.join_unordered(lrows, rrows, key="url")
+    assert jr.matched == len(ref_pairs)
+    assert jr.unmatched == ref_unmatched
