@@ -480,6 +480,75 @@ SQL_STREAMING_DEDUP_DOCS = f"""
 """
 
 
+def q_topk_per_lang_docs(sf_dir: str):
+    """Windowed rank: top-3 docs per language by (n_chars desc, doc_id) —
+    grouped top-k via ONE bucketed vectorized pass (no per-group Python)."""
+    from .stages.minhash import _default_shuffle_buckets
+
+    B = _default_shuffle_buckets()
+    ds = _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # in-batch combiner: only each batch's top-3 per lang can win globally
+        df = df.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True])
+        df = df.groupby("lang", sort=False).head(3)
+        df = df.copy()
+        df["_bkt"] = pd.util.hash_array(df["lang"].to_numpy(dtype=object)) % B
+        return df
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True])
+        out = df.groupby("lang", sort=False).head(3).drop(columns=["_bkt"])
+        out = out.copy()
+        out["rank"] = out.groupby("lang", sort=False).cumcount() + 1
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+SQL_TOPK_PER_LANG_DOCS = """
+    SELECT doc_id, lang, n_chars, rank FROM (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rank
+        FROM documents
+    ) WHERE rank <= 3
+"""
+
+
+def q_broadcast_join_customer_nation(sf_dir: str):
+    """Broadcast dimension join: nation (25 rows) shipped once via ray.put,
+    applied as a map-side lookup — zero shuffle (vs a hash join moving both
+    sides). The canonical small-side pattern at 100 TB."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from .stages.minhash import _fetch_cached
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    ref = _ray.put(nation)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        lut = _fetch_cached(ref, lambda t: dict(zip(t["n_nationkey"].to_pylist(), t["n_name"].to_pylist())))
+        out = df.copy()
+        out["n_name"] = out["c_nationkey"].map(lut)
+        return out[["c_custkey", "c_nationkey", "n_name"]]
+
+    return cust.map_batches(attach, batch_format="pandas")
+
+
+SQL_BROADCAST_JOIN_CUSTOMER_NATION = """
+    SELECT c.c_custkey, c.c_nationkey, n.n_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
 # ------------------------------------------------------------- set ops / sort
 
 def q_set_intersect_docs(sf_dir: str):
@@ -1114,6 +1183,8 @@ REGISTRY = {
     "set_intersect_docs": (q_set_intersect_docs, SQL_SET_INTERSECT_DOCS),
     "set_except_docs": (q_set_except_docs, SQL_SET_EXCEPT_DOCS),
     "sort_topn_docs": (q_sort_topn_docs, SQL_SORT_TOPN_DOCS),
+    "topk_per_lang_docs": (q_topk_per_lang_docs, SQL_TOPK_PER_LANG_DOCS),
+    "broadcast_join_customer_nation": (q_broadcast_join_customer_nation, SQL_BROADCAST_JOIN_CUSTOMER_NATION),
     "asof_join_events_orders": (q_asof_join_events_orders, SQL_ASOF_JOIN_EVENTS_ORDERS),
     "range_join_events_sessions": (q_range_join_events_sessions, SQL_RANGE_JOIN_EVENTS_SESSIONS),
     "join_orders_customer": (q_join_orders_customer, SQL_JOIN_ORDERS_CUSTOMER),
