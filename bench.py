@@ -100,6 +100,19 @@ def run_benchmarks() -> dict:
 
     timed("flagship_minhash_oph", flagship_oph)
 
+    def flagship_write():
+        import shutil
+
+        out_dir = "/tmp/fdr_bench_out"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        ds = rd.read_parquet(pages_path)
+        res = run_dedup(ds, DedupConfig(mode="minhash", emit_clusters=True))
+        res.kept.write_parquet(os.path.join(out_dir, "kept"))
+        res.clusters.write_parquet(os.path.join(out_dir, "clusters"))
+        return res.metrics
+
+    timed("flagship_with_write", flagship_write)
+
     def exact():
         ds = rd.read_parquet(pages_path)
         return run_dedup(
