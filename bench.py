@@ -147,6 +147,17 @@ def run_benchmarks() -> dict:
     timed("embedding_neardup", lambda: REGISTRY["embedding_neardup"][0](SF_DIR))
     timed("ngram_jaccard_dedup", lambda: REGISTRY["ngram_jaccard_dedup_docs"][0](SF_DIR).count())
 
+    def streaming():
+        from fastq_dupaway_ray.stages.streaming import streaming_dedup_exact
+
+        ds = rd.read_parquet(pages_path)
+        kept, _idx = streaming_dedup_exact(
+            ds, key_cols=("text",), n_shards=8, concurrency=(1, max(2, NUM_CPUS // 2))
+        )
+        return kept.count()
+
+    timed("streaming_dedup", streaming)
+
     headline = timings["flagship_minhash"]
     result = {
         "metric": "flagship_minhash_neardup_sec",
@@ -230,10 +241,100 @@ def run_scaling() -> dict:
     }
 
 
+def run_external_baseline() -> dict:
+    """Public external baselines over the SAME bench corpus (VERDICT r1 #10):
+
+    * duckdb_exact_dedup — DuckDB (multi-threaded, best-in-class single-node
+      SQL) running the exact keep-first dedup as a window QUALIFY;
+    * serial_minhash — a single-process MinHash+LSH pass (sign -> band ->
+      bucket -> star edges -> exact-Jaccard verify -> union-find -> keep
+      first), the reference-style one-machine execution of the flagship's
+      algorithm with the same parameters.
+
+    Gives bench_vs_baseline real denominators; recorded in BASELINE.md.
+    """
+    pages_path = build_bench_corpus(SF_DIR)
+    out: dict = {"sf": _sf_tag(SF_DIR), "paths": pages_path}
+
+    import duckdb
+
+    t0 = time.time()
+    con = duckdb.connect()
+    n_total, n_kept = con.execute(
+        f"""
+        SELECT count(*), count(DISTINCT text)
+        FROM read_parquet('{pages_path}/part-*.parquet')
+        """
+    ).fetchone()
+    # the actual keep-first materialization (window function), not just counts
+    con.execute(
+        f"""
+        CREATE TEMP TABLE kept AS
+        SELECT url, warc_ts, text, lang
+        FROM read_parquet('{pages_path}/part-*.parquet')
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY warc_ts, url) = 1
+        """
+    )
+    out["duckdb_exact_dedup_sec"] = round(time.time() - t0, 3)
+    out["rows"] = int(n_total)
+    out["duckdb_docs_per_sec"] = round(n_total / out["duckdb_exact_dedup_sec"], 1)
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from fastq_dupaway_ray import refmodel
+    from fastq_dupaway_ray.functions.hashing import char_ngram_hashes
+    from fastq_dupaway_ray.functions.sketches import MinHasher, MinHashParams
+
+    t0 = time.time()
+    tbl = pq.read_table(pages_path, columns=["url", "text"])
+    texts = tbl["text"].to_pylist()
+    urls = tbl["url"].to_pylist()
+    params = MinHashParams()
+    hasher = MinHasher(params)
+    sigs = hasher.signatures_batch(texts)
+    keys = hasher.band_keys_batch(sigs)  # (n, bands)
+    buckets: dict = {}
+    cand_a, cand_b = [], []
+    for i in range(len(texts)):
+        for key in keys[i]:
+            head = buckets.setdefault(int(key), i)
+            if head != i:
+                cand_a.append(head)
+                cand_b.append(i)
+    # exact-Jaccard verify of candidate pairs (dedup pairs first)
+    pairs = sorted(set(zip(cand_a, cand_b)))
+    thr = params.threshold()
+    shingle_cache: dict = {}
+
+    def sh(i):
+        s = shingle_cache.get(i)
+        if s is None:
+            s = shingle_cache.setdefault(i, char_ngram_hashes(texts[i] or "", params.shingle_k))
+        return s
+
+    edges = []
+    for a, b in pairs:
+        sa, sb = sh(a), sh(b)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        if union == 0 or inter / union >= thr:
+            edges.append((urls[a], urls[b]))
+    labels = refmodel.union_find_components(edges)
+    n_kept_mh = len(texts) - sum(1 for u in urls if labels.get(u, u) != u)
+    out["serial_minhash_sec"] = round(time.time() - t0, 3)
+    out["serial_minhash_docs_per_sec"] = round(len(texts) / out["serial_minhash_sec"], 1)
+    out["serial_minhash_kept"] = int(n_kept_mh)
+    out["duckdb_exact_kept"] = int(n_kept)
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         _scaling_worker(int(sys.argv[sys.argv.index("--scaling-worker") + 1]))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--baseline" in sys.argv:
+        print(json.dumps(run_external_baseline()))
     else:
         print(json.dumps(run_benchmarks()))

@@ -42,7 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--input-1", required=True, help="input Parquet dir/file (required)")
     p.add_argument("-u", "--input-2", help="second input (enables paired/join mode)")
     p.add_argument("-o", "--output-1", required=True, help="output Parquet dir (required)")
-    p.add_argument("-p", "--output-2", help="second output (ignored: pairs live in one table)")
+    p.add_argument("-p", "--output-2",
+                   help="second output Parquet dir (paired mode): the right-mate "
+                        "projection; without it the joined pair table goes to -o")
     p.add_argument("-m", "--mem-limit", type=int, default=2048,
                    help="memory hint in MB [500..10240] -> Ray block size")
     p.add_argument("--compare-seq", choices=["tight", "loose", "tail-hamming"], default=None)
@@ -86,16 +88,21 @@ def main(argv=None) -> int:
     from .pipelines.dedup import DedupConfig, run_dedup
 
     ds = rd.read_parquet(args.input_1)
-    if args.input_2:
+    paired = bool(args.input_2)
+    if paired:
         from .stages.join import join_unordered
 
         jr = join_unordered(ds, rd.read_parquet(args.input_2), key=args.id_col)
         if args.verbose:
             print(f"joined: {jr.matched} matched, {jr.unmatched} unmatched", file=sys.stderr)
         ds = jr.pairs
+        # after the join every clashing column is suffixed _l/_r; only the
+        # join key survives unsuffixed — order/text/key columns must follow
         key_cols = (f"{args.text_col}_l", f"{args.text_col}_r")  # paired AND-semantics
+        order_cols = ("warc_ts_l", args.id_col)
     else:
         key_cols = (args.text_col,)
+        order_cols = ("warc_ts", args.id_col)
 
     if args.minhash:
         mode = "minhash"
@@ -111,14 +118,44 @@ def main(argv=None) -> int:
     cfg = DedupConfig(
         mode=mode,
         key_cols=key_cols,
-        id_col=args.id_col if not args.input_2 else f"{args.id_col}",
-        text_col=args.text_col if not args.input_2 else f"{args.text_col}_l",
+        id_col=args.id_col,
+        text_col=args.text_col if not paired else f"{args.text_col}_l",
+        # paired sequence-based modes compare BOTH mates (reference EP3,
+        # /root/reference/src/seq_dup_remover.hpp:131-218)
+        text_cols=key_cols if (paired and mode in ("tight", "loose", "hamming")) else None,
+        order_cols=order_cols,
         distance=args.distance,
         emit_clusters=args.write_clusters,
     )
     out = run_dedup(ds, cfg)
     os.makedirs(args.output_1, exist_ok=True)
-    out.kept.write_parquet(args.output_1)
+    if paired and args.output_2:
+        # reference parity: two sinks, one per mate file
+        # (/root/reference/src/main.cpp:206-216) — project each side's
+        # suffixed columns back to the original names
+        names = out.kept.schema().names
+        os.makedirs(args.output_2, exist_ok=True)
+
+        def side_projection(suffix):
+            side_cols = [c for c in names if c.endswith(suffix)]
+
+            def project(df):
+                out_df = df[[args.id_col, *side_cols]].copy()
+                out_df.columns = [args.id_col, *[c[: -len(suffix)] for c in side_cols]]
+                return out_df
+
+            return project
+
+        # map_batches projection (not Dataset.rename_columns: the Project
+        # operator assumes Arrow blocks and the adjacency path emits pandas)
+        out.kept.map_batches(side_projection("_l"), batch_format="pandas").write_parquet(
+            args.output_1
+        )
+        out.kept.map_batches(side_projection("_r"), batch_format="pandas").write_parquet(
+            args.output_2
+        )
+    else:
+        out.kept.write_parquet(args.output_1)
     if args.write_clusters and out.clusters is not None:
         out.clusters.write_parquet(args.output_1.rstrip("/") + ".clusters")
     if args.verbose:

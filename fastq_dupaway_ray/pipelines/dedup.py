@@ -38,6 +38,7 @@ class DedupConfig:
     key_cols: tuple = ("text",)  # composite => paired AND-semantics
     id_col: str = "url"
     text_col: str = "text"
+    text_cols: tuple | None = None  # two entries => paired adjacency (EP3)
     order_cols: tuple = ("warc_ts", "url")
     distance: int = 2  # hamming / simhash threshold (--distance analogue)
     minhash: MinHashParams = field(default_factory=MinHashParams)
@@ -78,6 +79,7 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig = DedupConfig()) -> DedupOu
             mode=cfg.mode,
             distance=cfg.distance,
             text_col=cfg.text_col,
+            text_cols=cfg.text_cols,
             id_col=cfg.id_col,
             order_cols=cfg.order_cols,
             emit_clusters=cfg.emit_clusters,

@@ -27,7 +27,7 @@ from ..stages import components as _comp
 from ..stages import minhash as _mh
 from ..stages import representative as _rep
 from ..stages.dedup_exact import dedup_exact
-from ..state.checkpoint import checkpoint, fingerprint
+from ..state.checkpoint import checkpoint, fingerprint, input_identity
 
 
 def run_flagship(
@@ -46,7 +46,10 @@ def run_flagship(
     metrics["quarantined"] = bad.count()
     metrics["valid"] = good.count()
 
-    fp0 = fingerprint("exact", pages_path)
+    # fold the input's content identity (file sizes + mtimes), not just its
+    # path — re-running after the inputs change in place must NOT reuse the
+    # stale 'exact' checkpoint and everything chained from it
+    fp0 = fingerprint("exact", pages_path, input_identity(pages_path))
     exact = dedup_exact(good)
     if ckpt_root:
         exact = checkpoint(exact, ckpt_root, "exact", fp0)

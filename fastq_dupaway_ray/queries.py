@@ -72,6 +72,89 @@ def augmented_docs(sf_dir: str) -> rd.Dataset:
     )
 
 
+# -------------------------------------------------- near-dup (oracle-planted)
+#
+# Near-dup pipelines get REAL oracles by running them over a corpus whose kept
+# set is pure doc_id arithmetic. The driver's documents table contains NATURAL
+# near-duplicates (measured char-shingle Jaccard up to 0.99 between distinct
+# doc_ids), so the base texts are SYNTHESIZED deterministically from the
+# doc_ids instead: 40 md5-derived letter-only tokens per doc — mutually
+# dissimilar by construction (cross-doc shared-shingle odds ~ 2^-32), no
+# digits (quality filters pass), constant 40 tokens. Planted classes:
+#   exact copies (doc_id % 10, +3e6)            — Jaccard 1.0, MUST drop
+#   above-threshold copies (doc_id % 11, +4e6)  — one appended token:
+#       char-shingle j ≈ 0.99, word-3-gram j = 38/40 = 0.95; LSH candidate
+#       probability 1-(1-j^r)^b > 1 - 3e-8 — deterministic in practice
+#   reversed copies (doc_id % 13, +5e6)         — near-zero overlap, MUST keep
+# Kept set = {base} ∪ {reversed}, keep-first = min doc_id per cluster.
+
+NEAR_EXACT_MOD = 10
+NEAR_EXACT_OFFSET = 3_000_000
+NEAR_ABOVE_MOD = 11
+NEAR_ABOVE_OFFSET = 4_000_000
+NEAR_BELOW_MOD = 13
+NEAR_BELOW_OFFSET = 5_000_000
+NEAR_MARKER = " zqmarker"
+NEAR_TOKENS = 40
+_HEX2ALPHA = str.maketrans("0123456789", "ghijklmnop")
+
+_NEAR_IDS_SQL = f"""
+    SELECT doc_id, lang FROM documents
+    UNION ALL
+    SELECT doc_id + {NEAR_BELOW_OFFSET}, lang
+    FROM documents WHERE doc_id % {NEAR_BELOW_MOD} = 0
+"""
+
+SQL_NEAR_KEPT = f"""
+    WITH kept AS ({_NEAR_IDS_SQL})
+    SELECT doc_id, lang FROM kept
+"""
+SQL_NEAR_KEPT_SIM = SQL_NEAR_KEPT
+
+
+def _near_text(doc_id: int) -> str:
+    import hashlib
+
+    return " ".join(
+        hashlib.md5(f"{doc_id}-{j}".encode()).hexdigest().translate(_HEX2ALPHA)
+        for j in range(NEAR_TOKENS)
+    )
+
+
+def augmented_near_docs(sf_dir: str, with_above: bool = True) -> rd.Dataset:
+    """Synthetic near-dup corpus keyed by the documents table's doc_ids:
+    base docs ∪ exact copies ∪ above-threshold copies ∪ reversed copies
+    (see section comment; the oracle is _NEAR_IDS_SQL arithmetic)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        langs = t["lang"].to_pylist()
+        out_ids, out_texts, out_langs = [], [], []
+        for i, lang in zip(ids, langs):
+            base = _near_text(int(i))
+            out_ids.append(int(i)); out_texts.append(base); out_langs.append(lang)
+            if i % NEAR_EXACT_MOD == 0:
+                out_ids.append(int(i) + NEAR_EXACT_OFFSET)
+                out_texts.append(base); out_langs.append(lang)
+            if with_above and i % NEAR_ABOVE_MOD == 0:
+                out_ids.append(int(i) + NEAR_ABOVE_OFFSET)
+                out_texts.append(base + NEAR_MARKER); out_langs.append(lang)
+            if i % NEAR_BELOW_MOD == 0:
+                out_ids.append(int(i) + NEAR_BELOW_OFFSET)
+                out_texts.append(base[::-1]); out_langs.append(lang)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_texts, pa.string()),
+                "lang": pa.array(out_langs, pa.string()),
+            }
+        )
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+
 # ----------------------------------------------------------------- dedup: exact
 
 def q_dedup_exact_docs(sf_dir: str):
@@ -193,6 +276,128 @@ SQL_DEDUP_LOOSE_DOCS = f"""
     )
     SELECT doc_id, text, lang, source, n_chars FROM lagged
     WHERE prev IS NULL OR NOT starts_with(text, prev)
+"""
+
+
+# paired-adjacency planting (mirrored exactly in the SQL below)
+PAIR_EXACT_MOD = 10
+PAIR_EXACT_OFFSET = 1_000_000
+PAIR_BOTH_MOD = 7
+PAIR_BOTH_OFFSET = 2_000_000
+PAIR_LEFT_MOD = 13
+PAIR_LEFT_OFFSET = 3_000_000
+PAIR_SUFFIX_1 = " appended continuation section"
+PAIR_SUFFIX_2 = " extra"
+
+_PAIRS_SQL = f"""
+    SELECT doc_id, text AS text_1, source AS text_2 FROM documents
+    UNION ALL
+    SELECT doc_id + {PAIR_EXACT_OFFSET}, text, source
+    FROM documents WHERE doc_id % {PAIR_EXACT_MOD} = 0
+    UNION ALL
+    SELECT doc_id + {PAIR_BOTH_OFFSET}, text || '{PAIR_SUFFIX_1}', source || '{PAIR_SUFFIX_2}'
+    FROM documents WHERE doc_id % {PAIR_BOTH_MOD} = 0
+    UNION ALL
+    SELECT doc_id + {PAIR_LEFT_OFFSET}, text || '{PAIR_SUFFIX_1}', source
+    FROM documents WHERE doc_id % {PAIR_LEFT_MOD} = 0
+"""
+
+
+def paired_docs(sf_dir: str) -> rd.Dataset:
+    """(doc_id, text_1, text_2) pair table with planted paired duplicates:
+    exact pair copies, both-mates extensions, left-only extensions — the
+    reference EP3 duplicate classes, mirrored exactly in _PAIRS_SQL."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "text_1": t["text"], "text_2": t["source"].cast(pa.string())}
+        )
+
+    def planted(t: pa.Table, mod: int, offset: int, s1: str, s2: str) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        m = t.filter(pa.array(ids % mod == 0))
+        t1 = m["text"].combine_chunks()
+        t2 = m["source"].cast(pa.string()).combine_chunks()
+        if s1:
+            t1 = pc.binary_join_element_wise(t1, pa.scalar(s1), "")
+        if s2:
+            t2 = pc.binary_join_element_wise(t2, pa.scalar(s2), "")
+        return pa.table({"doc_id": pc.add(m["doc_id"], offset), "text_1": t1, "text_2": t2})
+
+    return (
+        ds.map_batches(base, batch_format="pyarrow")
+        .union(
+            ds.map_batches(
+                lambda t: planted(t, PAIR_EXACT_MOD, PAIR_EXACT_OFFSET, "", ""),
+                batch_format="pyarrow",
+            )
+        )
+        .union(
+            ds.map_batches(
+                lambda t: planted(t, PAIR_BOTH_MOD, PAIR_BOTH_OFFSET, PAIR_SUFFIX_1, PAIR_SUFFIX_2),
+                batch_format="pyarrow",
+            )
+        )
+        .union(
+            ds.map_batches(
+                lambda t: planted(t, PAIR_LEFT_MOD, PAIR_LEFT_OFFSET, PAIR_SUFFIX_1, ""),
+                batch_format="pyarrow",
+            )
+        )
+    )
+
+
+def q_dedup_loose_paired_docs(sf_dir: str):
+    """Paired loose adjacency dedup (reference EP3 with --compare-seq loose):
+    pair-lexicographic sort, both-mates prefix predicate with the same-sided
+    overlap + both-longer head-advance rules
+    (/root/reference/src/comparator.cpp:65-74,
+    /root/reference/src/seq_dup_remover.hpp:192-202). In sorted order the
+    scan reduces exactly to a two-column LAG predicate (stages.adjacency
+    docstring proof), which the oracle mirrors in SQL."""
+    from .stages.adjacency import dedup_adjacency
+
+    res = dedup_adjacency(
+        paired_docs(sf_dir),
+        mode="loose",
+        text_cols=("text_1", "text_2"),
+        id_col="doc_id",
+        order_cols=("doc_id",),
+    )
+    return res.kept
+
+
+SQL_DEDUP_LOOSE_PAIRED_DOCS = f"""
+    WITH p AS ({_PAIRS_SQL}),
+    lagged AS (
+        SELECT *, lag(text_1) OVER w AS p1, lag(text_2) OVER w AS p2
+        FROM p WINDOW w AS (ORDER BY text_1, text_2, doc_id)
+    )
+    SELECT doc_id, text_1, text_2 FROM lagged
+    WHERE p1 IS NULL OR NOT (starts_with(text_1, p1) AND starts_with(text_2, p2))
+"""
+
+
+def q_dedup_tight_paired_docs(sf_dir: str):
+    """Paired tight adjacency (both mates byte-equal,
+    /root/reference/src/comparator.cpp:51-58) over the same pair table."""
+    from .stages.adjacency import dedup_adjacency
+
+    res = dedup_adjacency(
+        paired_docs(sf_dir),
+        mode="tight",
+        text_cols=("text_1", "text_2"),
+        id_col="doc_id",
+        order_cols=("doc_id",),
+    )
+    return res.kept
+
+
+SQL_DEDUP_TIGHT_PAIRED_DOCS = f"""
+    WITH p AS ({_PAIRS_SQL})
+    SELECT doc_id, text_1, text_2 FROM p
+    QUALIFY row_number() OVER (PARTITION BY text_1, text_2 ORDER BY doc_id) = 1
 """
 
 
@@ -455,11 +660,26 @@ SQL_TRAINING_PIPELINE_DOCS = f"""
 
 
 def q_training_pipeline_full_docs(sf_dir: str):
-    """Full curation pipeline incl. MinHash near-dedup (rows-only)."""
+    """Full curation pipeline incl. MinHash near-dedup over the oracle-planted
+    near-dup corpus: the oracle keeps, per planted cluster, the smallest
+    doc_id that SURVIVES the quality/language filters (QUALIFY over the
+    arithmetic cluster key) — exactly the pipeline's filter -> exact dedup ->
+    near-dedup keep-first composition."""
     from .pipelines.training_data import run_training_data
 
-    kept, _metrics = run_training_data(augmented_docs(sf_dir), near_dedup=True)
+    kept, _metrics = run_training_data(augmented_near_docs(sf_dir), near_dedup=True)
     return kept.select_columns(["doc_id", "n_tokens", "lang"])
+
+
+# the synthetic texts have constant 40 letter-only tokens (no digits), so the
+# quality filter reduces to the language allowlist; copies share their base's
+# lang, so per cluster either everyone passes (kept = min doc_id = base) or
+# everyone fails — pure arithmetic
+SQL_TRAINING_PIPELINE_FULL_DOCS = f"""
+    WITH kept AS ({_NEAR_IDS_SQL})
+    SELECT doc_id, {NEAR_TOKENS} AS n_tokens, lang FROM kept
+    WHERE lang IN ('en', 'de', 'fr', 'es')
+"""
 
 
 def q_streaming_dedup_docs(sf_dir: str):
@@ -739,6 +959,42 @@ SQL_JOIN_UNMATCHED_COUNTS = """
 """
 
 
+def q_unordered_join_dedup_docs(sf_dir: str):
+    """The CLI paired path end-to-end (reference EP2 PE --fast --unordered):
+    unordered id-join — both sides carry a clashing ``text`` column so the
+    join suffixes them _l/_r exactly like ``python -m fastq_dupaway_ray -u``
+    — then composite keep-first dedup over BOTH mates. Planted exact copies
+    (augmented left side) are dropped; every doc_id % 5 == 1 is missing on
+    the right (unmatched residue exercised)."""
+    from .stages.dedup_exact import dedup_exact
+    from .stages.join import join_unordered
+
+    aug = augmented_docs(sf_dir)
+    left = aug.select_columns(["doc_id", "text"])
+
+    def right_side(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        m = t.filter(pa.array(ids % 5 != 1))
+        return pa.table(
+            {"doc_id": m["doc_id"], "text": m["lang"].cast(pa.string()).combine_chunks()}
+        )
+
+    right = aug.select_columns(["doc_id", "lang"]).map_batches(right_side, batch_format="pyarrow")
+    jr = join_unordered(left, right, key="doc_id", order_cols=("doc_id",))
+    kept = dedup_exact(jr.pairs, key_cols=("text_l", "text_r"), order_cols=("doc_id",))
+    return kept.select_columns(["doc_id", "text_l", "text_r"])
+
+
+SQL_UNORDERED_JOIN_DEDUP_DOCS = f"""
+    WITH aug AS ({_AUGMENT_SQL}),
+    l AS (SELECT doc_id, text FROM aug),
+    r AS (SELECT doc_id, lang AS text FROM aug WHERE doc_id % 5 != 1),
+    j AS (SELECT l.doc_id, l.text AS text_l, r.text AS text_r FROM l JOIN r USING (doc_id))
+    SELECT doc_id, text_l, text_r FROM j
+    QUALIFY row_number() OVER (PARTITION BY text_l, text_r ORDER BY doc_id) = 1
+"""
+
+
 # ---------------------------------------------------------------- text analysis
 
 def q_token_counts_docs(sf_dir: str):
@@ -836,18 +1092,13 @@ def q_fingerprint_docs(sf_dir: str):
     return _docs(sf_dir).map_batches(add, batch_format="pandas")
 
 
-# ----------------------------------------------------------------- near-dup (rows-only)
-
 def q_minhash_dedup_docs(sf_dir: str):
-    """MinHash-LSH near-dup dedup over the augmented docs (north rule core).
-
-    Rows-only driver check (LSH not SQL-expressible); pytest validates recall
-    against planted classes separately.
-    """
+    """MinHash-LSH near-dup dedup (north rule core) over the oracle-planted
+    corpus: exact + above-threshold copies dropped, reversed copies kept."""
     from .pipelines.dedup import DedupConfig, run_dedup
 
     out = run_dedup(
-        augmented_docs(sf_dir),
+        augmented_near_docs(sf_dir),
         DedupConfig(
             mode="minhash",
             id_col="doc_id",
@@ -856,18 +1107,18 @@ def q_minhash_dedup_docs(sf_dir: str):
             emit_clusters=False,
         ),
     )
-    return out.kept
+    return out.kept.select_columns(["doc_id", "lang"])
 
 
 def q_ngram_jaccard_dedup_docs(sf_dir: str):
     """Word-n-gram Jaccard near-dup dedup: MinHash/LSH candidates over word
-    3-gram shingles, exact word-Jaccard verify at 0.6 (rows-only: not
-    SQL-expressible; pytest checks the word-Jaccard predicate directly)."""
+    3-gram shingles, exact word-Jaccard verify at 0.6 — same planted oracle
+    (one appended token on >=300-char docs keeps word-3-gram Jaccard >=0.93)."""
     from .functions.sketches import MinHashParams
     from .pipelines.dedup import DedupConfig, run_dedup
 
     out = run_dedup(
-        augmented_docs(sf_dir),
+        augmented_near_docs(sf_dir),
         DedupConfig(
             mode="minhash",
             minhash=MinHashParams(shingle="word", word_n=3),
@@ -881,11 +1132,14 @@ def q_ngram_jaccard_dedup_docs(sf_dir: str):
 
 
 def q_simhash_dedup_docs(sf_dir: str):
-    """SimHash Hamming-ball near-dup dedup (--distance analogue; rows-only)."""
+    """SimHash Hamming-ball near-dup dedup (--distance analogue) over the
+    planted corpus without the marker class (an appended token's bit-flip
+    count is not bounded a priori): exact copies (distance 0) dropped,
+    reversed copies (~32 bits away) kept."""
     from .pipelines.dedup import DedupConfig, run_dedup
 
     out = run_dedup(
-        augmented_docs(sf_dir),
+        augmented_near_docs(sf_dir, with_above=False),
         DedupConfig(
             mode="simhash",
             id_col="doc_id",
@@ -895,7 +1149,7 @@ def q_simhash_dedup_docs(sf_dir: str):
             emit_clusters=False,
         ),
     )
-    return out.kept
+    return out.kept.select_columns(["doc_id", "lang"])
 
 
 # -------------------------------------------------------------------- similarity
@@ -1152,16 +1406,42 @@ def q_multimodal_features(sf_dir: str):
 
 
 def q_pages_flagship(sf_dir: str):
-    """Flagship pages pipeline over documents lifted to the pages schema
-    (rows-only: html/extraction not SQL-expressible)."""
-    from .corpus import pages_from_documents
+    """Flagship pages pipeline — the near-dup-planted documents lifted to the
+    (url, warc_ts, html, text, lang) pages schema, through quarantine
+    validation and the full MinHash near-dedup: kept urls are the planted
+    clusters' earliest members plus the reversed (below-threshold) copies."""
+    from .corpus import render_html
     from .pipelines.dedup import DedupConfig, run_dedup
     from .sources.pages import split_quarantine
 
-    table = pages_from_documents(sf_dir)
-    good, _bad = split_quarantine(rd.from_arrow(table))
+    import datetime as _dtm
+
+    epoch = _dtm.datetime(2025, 1, 1)
+
+    def lift(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "url": [f"https://docs.example/d/{i}" for i in ids],
+                "warc_ts": pd.to_datetime(
+                    [epoch + _dtm.timedelta(microseconds=int(i)) for i in ids]
+                ),
+                "html": [render_html(t) for t in df["text"]],
+                "text": df["text"].to_numpy(),
+                "lang": df["lang"].to_numpy(),
+            }
+        )
+
+    pages = augmented_near_docs(sf_dir).map_batches(lift, batch_format="pandas")
+    good, _bad = split_quarantine(pages)
     out = run_dedup(good, DedupConfig(mode="minhash", signer_concurrency=2, emit_clusters=False))
     return out.kept.select_columns(["url", "lang"])
+
+
+SQL_PAGES_FLAGSHIP = f"""
+    WITH kept AS ({_NEAR_IDS_SQL})
+    SELECT 'https://docs.example/d/' || doc_id AS url, lang FROM kept
+"""
 
 
 REGISTRY = {
@@ -1177,8 +1457,10 @@ REGISTRY = {
     "clusters_exact_docs": (q_clusters_exact_docs, SQL_CLUSTERS_EXACT_DOCS),
     "dedup_counts_docs": (q_dedup_counts_docs, SQL_DEDUP_COUNTS_DOCS),
     "dedup_loose_docs": (q_dedup_loose_docs, SQL_DEDUP_LOOSE_DOCS),
+    "dedup_loose_paired_docs": (q_dedup_loose_paired_docs, SQL_DEDUP_LOOSE_PAIRED_DOCS),
+    "dedup_tight_paired_docs": (q_dedup_tight_paired_docs, SQL_DEDUP_TIGHT_PAIRED_DOCS),
     "training_pipeline_docs": (q_training_pipeline_docs, SQL_TRAINING_PIPELINE_DOCS),
-    "training_pipeline_full_docs": (q_training_pipeline_full_docs, None),
+    "training_pipeline_full_docs": (q_training_pipeline_full_docs, SQL_TRAINING_PIPELINE_FULL_DOCS),
     "streaming_dedup_docs": (q_streaming_dedup_docs, SQL_STREAMING_DEDUP_DOCS),
     "set_intersect_docs": (q_set_intersect_docs, SQL_SET_INTERSECT_DOCS),
     "set_except_docs": (q_set_except_docs, SQL_SET_EXCEPT_DOCS),
@@ -1188,21 +1470,22 @@ REGISTRY = {
     "asof_join_events_orders": (q_asof_join_events_orders, SQL_ASOF_JOIN_EVENTS_ORDERS),
     "range_join_events_sessions": (q_range_join_events_sessions, SQL_RANGE_JOIN_EVENTS_SESSIONS),
     "join_orders_customer": (q_join_orders_customer, SQL_JOIN_ORDERS_CUSTOMER),
+    "unordered_join_dedup_docs": (q_unordered_join_dedup_docs, SQL_UNORDERED_JOIN_DEDUP_DOCS),
     "join_unmatched_counts": (q_join_unmatched_counts, SQL_JOIN_UNMATCHED_COUNTS),
     "token_counts_docs": (q_token_counts_docs, SQL_TOKEN_COUNTS_DOCS),
     "token_counts_bpe_docs": (q_token_counts_bpe_docs, SQL_TOKEN_COUNTS_BPE_DOCS),
     "quality_scores_docs": (q_quality_scores_docs, SQL_QUALITY_SCORES_DOCS),
     "lang_id_docs": (q_lang_id_docs, None),
     "fingerprint_docs": (q_fingerprint_docs, None),
-    "minhash_dedup_docs": (q_minhash_dedup_docs, None),
-    "ngram_jaccard_dedup_docs": (q_ngram_jaccard_dedup_docs, None),
-    "simhash_dedup_docs": (q_simhash_dedup_docs, None),
+    "minhash_dedup_docs": (q_minhash_dedup_docs, SQL_NEAR_KEPT),
+    "ngram_jaccard_dedup_docs": (q_ngram_jaccard_dedup_docs, SQL_NEAR_KEPT),
+    "simhash_dedup_docs": (q_simhash_dedup_docs, SQL_NEAR_KEPT_SIM),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_TOPK),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
-    "pages_flagship": (q_pages_flagship, None),
+    "pages_flagship": (q_pages_flagship, SQL_PAGES_FLAGSHIP),
     "multimodal_features": (q_multimodal_features, None),
 }

@@ -56,6 +56,63 @@ def _is_dup(mode: str, state: str, text: str, distance: int) -> bool:
     raise ValueError(mode)
 
 
+def _prefix_compat(a: str, b: str) -> bool:
+    """The reference loose predicate per side: strncmp over min(len) chars
+    (/root/reference/src/comparator.cpp:60-63, newline-adjusted away)."""
+    short, long_ = (a, b) if len(a) <= len(b) else (b, a)
+    return long_.startswith(short)
+
+
+def _is_dup_paired(mode: str, state: tuple, cur: tuple, distance: int) -> bool:
+    """Paired (both-mates) duplicate predicate, mirroring
+    /root/reference/src/comparator.cpp:51-58 (tight), :65-74 (loose incl. the
+    same-sided-overlap rule), :84-91 (hamming)."""
+    if mode == "tight":
+        return state == cur
+    if mode == "loose":
+        if not all(_prefix_compat(s, c) for s, c in zip(state, cur)):
+            return False
+        # both overlaps must be same-sided (/root/reference/src/comparator.cpp:73)
+        le = all(len(s) <= len(c) for s, c in zip(state, cur))
+        gt = all(len(s) > len(c) for s, c in zip(state, cur))
+        return le or gt
+    if mode == "hamming":
+        return all(
+            len(s) == len(c) and _hamming(s, c) <= distance for s, c in zip(state, cur)
+        )
+    raise ValueError(mode)
+
+
+def dedup_sorted_paired(rows, mode: str, distance: int = 2, key="url",
+                        text_cols=("text_1", "text_2"), order=None):
+    """Paired sorted-adjacency dedup (reference EP3,
+    /root/reference/src/seq_dup_remover.hpp:131-218): pair-lexicographic sort
+    (/root/reference/src/paired_external_sort.hpp:20-33), both-mates duplicate
+    predicate, loose head advance only when BOTH mates are longer-or-equal
+    (/root/reference/src/seq_dup_remover.hpp:194-202)."""
+    if order is None:
+        order = _default_order
+    text_cols = list(text_cols)
+    indexed = sorted(rows, key=lambda r: (*[r[c] for c in text_cols], order(r)))
+    res = DedupResult(kept=[], clusters={})
+    head_key = None
+    state = None
+    for r in indexed:
+        cur = tuple(r[c] for c in text_cols)
+        if state is not None and _is_dup_paired(mode, state, cur, distance):
+            res.clusters[head_key].append(r[key])
+            res.duplicates += 1
+            if mode == "loose" and all(len(s) <= len(c) for s, c in zip(state, cur)):
+                state = cur  # comparison state advances; kept head row does not
+        else:
+            head_key = r[key]
+            state = cur
+            res.kept.append(r)
+            res.clusters[head_key] = [head_key]
+        res.total += 1
+    return res
+
+
 def dedup_sorted(rows, mode: str, distance: int = 2, key="url", text_col="text", order=None):
     """Sorted-adjacency dedup (reference seq mode). ``rows``: list of dicts.
 

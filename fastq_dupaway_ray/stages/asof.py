@@ -59,8 +59,12 @@ def asof_join(
         if len(df) == 0 or "_side" not in df.columns:
             cols = [*lcols, right_time, *[c for c in right_cols if c != right_time]]
             return pd.DataFrame({c: [] for c in dict.fromkeys(cols)})
-        l = df[df["_side"] == 0].drop(columns=["_side", "_bkt"]).dropna(axis=1, how="all")
-        r = df[df["_side"] == 1].drop(columns=["_side", "_bkt"]).dropna(axis=1, how="all")
+        # strip exactly the OTHER side's padding columns (not dropna(how=all),
+        # which would also drop a real payload column that happens to be
+        # all-null within this bucket)
+        rcols_renamed = [c if c != rk else key for c in rcols]
+        l = df.loc[df["_side"] == 0, lcols].copy()
+        r = df.loc[df["_side"] == 1, rcols_renamed].copy()
         if len(l) == 0 or len(r) == 0:
             cols = [*lcols, right_time, *[c for c in right_cols if c != right_time]]
             return pd.DataFrame({c: [] for c in dict.fromkeys(cols)})

@@ -6,32 +6,33 @@ of the longer) to full substring containment: a page whose text appears verbatim
 inside another page is a contained duplicate (quote pages, syndicated excerpts,
 template supersets).
 
-Algorithm (two stages, both partition-parallel):
+Algorithm (three stages; the shuffle carries NO text):
 
-1. **Candidate scoping**: docs are co-partitioned by a cheap locality key so
-   containment pairs land in one partition. Default key: the *minimum char
-   shingle hash* of the text — if A's text is a substring of B's (and len(A)
-   >= shingle k), every shingle of A, including its minimum, is a shingle of
-   B; they share min-shingle whenever A's min is also B's global min. To catch
-   the rest, each doc emits its bottom-``anchors`` shingles as keys (a bottom-k
-   sketch): A ⊆ B guarantees min(A) ∈ shingles(B), so the pair co-occurs under
-   A's min key iff min(A) is among B's bottom-k. Larger ``anchors`` -> higher
-   recall, linearly more shuffle rows. anchors >= number of shingles is exact
-   but quadratic-ish; the default trades recall for cost and is measured in
-   tests on planted chains.
-2. **Partition verify**: inside each bucket, sort by length descending,
-   concatenate the longer texts with an out-of-alphabet separator and run
-   C-speed ``str.find`` of each shorter text against the concatenation of
-   strictly-longer ones (the sorted-suffix-scan moral equivalent; exact, no
-   false positives because the separator never matches).
+1. **Candidate scoping**: each doc emits slim ``(anchor_key, id, text_len)``
+   rows — ~24 bytes each. Default key: the *minimum char shingle hash* of the
+   text — if A's text is a substring of B's (and len(A) >= shingle k), every
+   shingle of A, including its minimum, is a shingle of B; they share
+   min-shingle whenever A's min is among the keys B emits. Exact mode
+   (``anchors=None``) has B emit every shingle that is some doc's minimum
+   (broadcast sorted-set membership) — zero false negatives; the bottom-k
+   approximate mode (``anchors=k``) trades recall for fewer rows.
+2. **Candidate pairs**: one bucketed groupby over the slim rows; within each
+   anchor group (len-desc sorted, capped at ``max_bucket``) every
+   strictly-longer × shorter pair becomes a candidate edge (a=container
+   candidate, b=contained candidate). Pair count is quadratic in the capped
+   group size — the cap is the explicit hot-anchor (boilerplate) knob.
+3. **Verify**: exact ``b.text in a.text`` on the real texts. The candidate
+   edge list is small by LSH-style construction, so the endpoint texts are
+   pulled with ONE filter pass over the corpus, broadcast via ``ray.put`` as
+   Arrow, and verified in an elastic task pool — the corpus text NEVER enters
+   a shuffle (round-1 carried full text once per anchor; this is the fix).
+   A join-based fallback covers edge lists above the broadcast budget.
 
 Emitted edges (big, small) feed the same components/representative stages as
 MinHash/SimHash — keep-first semantics then pick the earliest member.
 """
 
 from __future__ import annotations
-
-import bisect
 
 import numpy as np
 import pandas as pd
@@ -40,12 +41,11 @@ import ray
 import ray.data
 
 from ..functions.hashing import char_ngram_hashes
-
-SEP = "\x00"
+from ..util import default_join_partitions
 
 
 class AnchorEmitter:
-    """Actor-pool callable: emit (anchor_key, id, text_len) rows per doc —
+    """Actor-pool callable: emit slim (anchor_key, id, text_len) rows per doc —
     one row per bottom-k shingle hash (the containment locality keys)."""
 
     def __init__(self, shingle_k: int = 8, anchors: int = 4, text_col: str = "text", id_col: str = "url"):
@@ -57,7 +57,7 @@ class AnchorEmitter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_pylist()
-        keys, out_ids, out_texts = [], [], []
+        keys, out_ids, out_lens = [], [], []
         for i, t in enumerate(texts):
             t = t or ""
             sh = char_ngram_hashes(t, self.k)
@@ -66,23 +66,24 @@ class AnchorEmitter:
             bottom = sh[: self.anchors]  # char_ngram_hashes returns sorted-unique
             keys.extend(int(x) for x in bottom)
             out_ids.extend([ids[i]] * len(bottom))
-            out_texts.extend([t] * len(bottom))
+            out_lens.extend([len(t)] * len(bottom))
         return pa.table(
             {
                 "anchor_key": pa.array(np.array(keys, dtype=np.uint64), pa.uint64()),
                 self.id_col: pa.array(out_ids, batch[self.id_col].type),
-                self.text_col: pa.array(out_texts, pa.string()),
+                "_len": pa.array(np.array(out_lens, dtype=np.int64), pa.int64()),
             }
         )
 
 
 class ExactAnchorEmitter:
-    """Exact-mode emitter: emit one (anchor_key, id, text) row per shingle of
-    the doc that is some doc's *minimum* shingle (membership tested against a
-    broadcast sorted uint64 array fetched once per actor from the object
-    store).  Guarantee: if A's text is a substring of B's (len(A) >= k) then
-    every shingle of A is a shingle of B, so min(A) ∈ shingles(B) ∩ M and the
-    pair co-locates under key min(A).  Zero false negatives; verify is exact.
+    """Exact-mode emitter: emit one slim (anchor_key, id, text_len) row per
+    shingle of the doc that is some doc's *minimum* shingle (membership tested
+    against a broadcast sorted uint64 array fetched once per actor from the
+    object store).  Guarantee: if A's text is a substring of B's (len(A) >= k)
+    then every shingle of A is a shingle of B, so min(A) ∈ shingles(B) ∩ M and
+    the pair co-locates under key min(A).  Zero false negatives; verify is
+    exact.
 
     Scale note: |M| <= n_docs, so the broadcast is 8 bytes/doc — fine up to
     ~10^9 docs per job; beyond that use the bottom-k approximate path
@@ -98,7 +99,7 @@ class ExactAnchorEmitter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_pylist()
-        keys, out_ids, out_texts = [], [], []
+        keys, out_ids, out_lens = [], [], []
         for i, t in enumerate(texts):
             t = t or ""
             sh = char_ngram_hashes(t, self.k)
@@ -109,12 +110,12 @@ class ExactAnchorEmitter:
             hits = sh[self.M[pos] == sh]
             keys.extend(int(x) for x in hits)
             out_ids.extend([ids[i]] * len(hits))
-            out_texts.extend([t] * len(hits))
+            out_lens.extend([len(t)] * len(hits))
         return pa.table(
             {
                 "anchor_key": pa.array(np.array(keys, dtype=np.uint64), pa.uint64()),
                 self.id_col: pa.array(out_ids, batch[self.id_col].type),
-                self.text_col: pa.array(out_texts, pa.string()),
+                "_len": pa.array(np.array(out_lens, dtype=np.int64), pa.int64()),
             }
         )
 
@@ -143,6 +144,81 @@ def _min_shingle_set(pages: ray.data.Dataset, shingle_k: int, text_col: str) -> 
     return np.unique(np.concatenate(parts))
 
 
+def _verify_containment_batch(df: pd.DataFrame, texts_ref, id_col: str) -> pd.DataFrame:
+    from .minhash import _build_text_map, _fetch_cached
+
+    texts = _fetch_cached(texts_ref, _build_text_map)
+    keep = np.fromiter(
+        ((texts.get(b) or "") in (texts.get(a) or "") for a, b in zip(df["a"], df["b"])),
+        dtype=bool,
+        count=len(df),
+    )
+    return df.loc[keep, ["a", "b"]]
+
+
+def verify_containment_edges(
+    edges: ray.data.Dataset,
+    pages: ray.data.Dataset,
+    id_col: str = "url",
+    text_col: str = "text",
+    broadcast_edge_budget: int = 500_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact substring verify of slim candidate edges.
+
+    Small side (default): pull just the endpoint texts with one corpus filter
+    pass, broadcast as Arrow, score in a task pool — zero shuffles. Fallback
+    above the budget: two hash joins ship the texts to the edges.
+    ``edges`` should be materialized by the caller (it is counted here)."""
+    n_edges = edges.count()
+    if n_edges == 0:
+        return edges
+    if n_edges <= broadcast_edge_budget:
+        from .minhash import _fetch_cached
+
+        edf = edges.to_pandas()
+        endpoints = pd.unique(np.concatenate([edf["a"].to_numpy(), edf["b"].to_numpy()]))
+        ep_ref = ray.put(pa.array(endpoints))
+
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            eps = _fetch_cached(ep_ref, lambda a: set(a.to_pylist()))
+            return df.loc[df[id_col].isin(eps), [id_col, text_col]]
+
+        tdf = pages.select_columns([id_col, text_col]).map_batches(
+            pick, batch_format="pandas"
+        ).to_pandas()
+        texts_ref = ray.put(
+            pa.table({"id": pa.array(tdf[id_col]), "text": pa.array(tdf[text_col])})
+        )
+        n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        return edges.repartition(n_blocks).map_batches(
+            _verify_containment_batch,
+            fn_kwargs={"texts_ref": texts_ref, "id_col": id_col},
+            batch_format="pandas",
+        )
+    # join fallback: ship texts to the (large) edge list via two hash joins
+    num_partitions = num_partitions or default_join_partitions()
+    texts = pages.select_columns([id_col, text_col])
+    ea = (
+        edges.join(texts, "inner", num_partitions=num_partitions, on=("a",), right_on=(id_col,))
+        .rename_columns({text_col: "_text_a"})
+        .materialize()
+    )
+    eab = ea.join(
+        texts, "inner", num_partitions=num_partitions, on=("b",), right_on=(id_col,)
+    ).rename_columns({text_col: "_text_b"})
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        keep = np.fromiter(
+            ((tb or "") in (ta or "") for ta, tb in zip(df["_text_a"], df["_text_b"])),
+            dtype=bool,
+            count=len(df),
+        )
+        return df.loc[keep, ["a", "b"]]
+
+    return eab.map_batches(score, batch_format="pandas")
+
+
 def containment_edges(
     pages: ray.data.Dataset,
     shingle_k: int = 8,
@@ -152,28 +228,27 @@ def containment_edges(
     max_bucket: int = 512,
     num_shuffle_buckets: int | None = None,
     signer_concurrency=(1, 8),
+    broadcast_edge_budget: int = 500_000,
 ) -> ray.data.Dataset:
     """pages -> containment edges (a=container, b=contained).
 
     ``anchors=None`` selects the exact mode (broadcast min-shingle semi-join,
     zero false negatives for texts with len >= shingle_k); an integer selects
-    the bottom-k approximate scale path.  Note the shuffle carries text
-    (needed for verify) — the copies-per-doc cost knob is explicit.
+    the bottom-k approximate scale path. Anchor groups above ``max_bucket``
+    are truncated to the longest members (containers survive; deeply-nested
+    short members may be missed — the documented hot-anchor knob).
     """
     from .minhash import _default_shuffle_buckets
+    from .simhash import dedup_edge_list
 
     B = num_shuffle_buckets or _default_shuffle_buckets()
     slim = pages.select_columns(sorted({id_col, text_col}))
+    emit_kwargs = {"shingle_k": shingle_k, "text_col": text_col, "id_col": id_col}
     if anchors is None:
         min_ref = ray.put(_min_shingle_set(slim, shingle_k, text_col))
         anchor_rows = slim.map_batches(
             ExactAnchorEmitter,
-            fn_constructor_kwargs={
-                "min_set_ref": min_ref,
-                "shingle_k": shingle_k,
-                "text_col": text_col,
-                "id_col": id_col,
-            },
+            fn_constructor_kwargs={"min_set_ref": min_ref, **emit_kwargs},
             batch_format="pyarrow",
             batch_size=2048,
             concurrency=signer_concurrency,
@@ -181,12 +256,7 @@ def containment_edges(
     else:
         anchor_rows = slim.map_batches(
             AnchorEmitter,
-            fn_constructor_kwargs={
-                "shingle_k": shingle_k,
-                "anchors": anchors,
-                "text_col": text_col,
-                "id_col": id_col,
-            },
+            fn_constructor_kwargs={"anchors": anchors, **emit_kwargs},
             batch_format="pyarrow",
             batch_size=2048,
             concurrency=signer_concurrency,
@@ -197,55 +267,42 @@ def containment_edges(
         return t.append_column("_bkt", pa.array(bkt, pa.int64()))
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # Within each anchor key: sort by length desc; search each text against
-        # the concatenation of all STRICTLY-longer texts (separator-joined, so
-        # no cross-boundary false hits), emitting one edge per (container,
-        # contained) pair found — ALL containers, matching the oracle's full
-        # containment join. Contained docs stay in the pool (C ⊂ A ⊂ B must
-        # yield both (A,C) and (B,C)).
-        edges_a, edges_b = [], []
+        """Candidate pairs per anchor group: strictly-longer x shorter —
+        vectorized over the whole bucket, no text in sight."""
         if len(df) == 0 or "anchor_key" not in df.columns:
-            # map_groups may deliver an empty schema-less frame on tiny inputs
-            return pd.DataFrame({"a": edges_a, "b": edges_b})
+            return pd.DataFrame({"a": [], "b": []})
+        df = df.drop_duplicates(subset=["anchor_key", id_col])
+        df = df.sort_values(["anchor_key", "_len", id_col], ascending=[True, False, True],
+                            kind="mergesort")
+        g = df.groupby("anchor_key", sort=False)
+        size = g[id_col].transform("size").to_numpy()
+        rank = g.cumcount().to_numpy()
+        keep = (size > 1) & (rank < max_bucket)
+        df = df[keep]
+        if len(df) == 0:
+            return pd.DataFrame({"a": [], "b": []})
+        edges_a, edges_b = [], []
         for _, grp in df.groupby("anchor_key", sort=False):
-            grp = grp.drop_duplicates(subset=[id_col])
-            if len(grp) < 2:
+            n = len(grp)
+            if n < 2:
                 continue
-            grp = grp.assign(_len=grp[text_col].str.len()).sort_values(
-                ["_len", id_col], ascending=[False, True], kind="mergesort"
-            ).head(max_bucket)
-            texts = grp[text_col].tolist()
-            ids = grp[id_col].tolist()
-            concat = ""
-            end_offsets: list[int] = []  # end offset of each added text
-            owners: list[int] = []  # idx of the doc covering that span
-            prev_len = None
-            pending: list[int] = []
-            for i, t in enumerate(texts):
-                # flush all strictly-longer pending docs into the haystack
-                if prev_len is not None and len(t) < prev_len:
-                    for j in pending:
-                        concat += texts[j] + SEP
-                        end_offsets.append(len(concat))
-                        owners.append(j)
-                    pending = []
-                if concat:
-                    pos = concat.find(t)
-                    while pos >= 0:
-                        k = bisect.bisect_right(end_offsets, pos)
-                        edges_a.append(ids[owners[k]])
-                        edges_b.append(ids[i])
-                        # jump past the covering doc — one edge per container
-                        pos = concat.find(t, end_offsets[k])
-                pending.append(i)
-                prev_len = len(t)
-        return pd.DataFrame({"a": edges_a, "b": edges_b})
+            ids = grp[id_col].to_numpy()
+            lens = grp["_len"].to_numpy()
+            ai, bi = np.triu_indices(n, k=1)  # ai earlier = longer (len desc)
+            strict = lens[ai] > lens[bi]
+            edges_a.append(ids[ai[strict]])
+            edges_b.append(ids[bi[strict]])
+        if not edges_a:
+            return pd.DataFrame({"a": [], "b": []})
+        return pd.DataFrame({"a": np.concatenate(edges_a), "b": np.concatenate(edges_b)})
 
-    from .simhash import dedup_edge_list
-
-    edges = (
+    candidates = (
         anchor_rows.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_bkt")
         .map_groups(per_bucket, batch_format="pandas")
     )
-    return dedup_edge_list(edges)
+    candidates = dedup_edge_list(candidates).materialize()
+    return verify_containment_edges(
+        candidates, pages, id_col=id_col, text_col=text_col,
+        broadcast_edge_budget=broadcast_edge_budget,
+    )

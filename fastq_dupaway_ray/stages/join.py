@@ -18,9 +18,10 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
-from ..util import default_join_partitions
+from ..util import coalesce_schema_blocks, default_join_partitions
 from .dedup_exact import DEFAULT_ORDER
 
 
@@ -34,8 +35,23 @@ class JoinResult:
 
 
 def _first_per_key(ds: ray.data.Dataset, key: str, order_cols, num_buckets: int = 32) -> ray.data.Dataset:
-    """Keep the first row per key by order (vectorized bucketed pass)."""
-    order_cols = [c for c in order_cols if c in ds.schema().names]
+    """Keep the first row per key by order (vectorized bucketed pass).
+
+    Schema-preserving: ``map_groups`` over pandas batches can hand the UDF an
+    empty schema-less frame (observed on ``read_parquet`` inputs), and a
+    schema-less empty block downstream breaks the Arrow hash join ("No match
+    or multiple matches for key field"). Degenerate frames are replaced by a
+    correctly-typed empty table derived from the input schema."""
+    schema = ds.schema()
+    names = list(schema.names)
+    order_cols = [c for c in order_cols if c in names]
+    try:
+        arrow_schema = pa.schema(
+            [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
+        )
+        empty_df = arrow_schema.empty_table().to_pandas()
+    except Exception:
+        empty_df = None
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -43,6 +59,8 @@ def _first_per_key(ds: ray.data.Dataset, key: str, order_cols, num_buckets: int 
         return df
 
     def first(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or key not in df.columns:
+            return empty_df if empty_df is not None else df
         if order_cols:
             df = df.sort_values(order_cols, kind="mergesort")
         return df.drop_duplicates(subset=[key], keep="first").drop(columns=["_jbucket"])
@@ -64,8 +82,10 @@ def join_unordered(
     """Inner join on ``key`` with unmatched accounting (both sides deduped to
     first-occurrence-per-key first, mirroring the reference's unique-id merge)."""
     num_partitions = num_partitions or default_join_partitions()
-    l1 = _first_per_key(left, key, order_cols).materialize()
-    r1 = _first_per_key(right, key, order_cols).materialize()
+    # coalesce: map_groups can emit schema-less empty blocks that break the
+    # Arrow hash join (reproduced with read_parquet inputs at 32 CPUs)
+    l1 = coalesce_schema_blocks(_first_per_key(left, key, order_cols)).materialize()
+    r1 = coalesce_schema_blocks(_first_per_key(right, key, order_cols)).materialize()
     lt, rt = l1.count(), r1.count()
     pairs = l1.join(
         r1,

@@ -54,33 +54,6 @@ class MinHashSigner:
         return batch.append_column(SIG_COL, sig_arr)
 
 
-class BandKeyEmitter:
-    """Actor-pool callable: explode each signed row into b (band_key, id) rows."""
-
-    def __init__(self, params: MinHashParams = MinHashParams(), id_col: str = "url", order_cols=("warc_ts", "url")):
-        self.hasher = MinHasher(params)
-        self.id_col = id_col
-        self.order_cols = [c for c in order_cols if c != id_col]
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        p = self.hasher.params
-        n = batch.num_rows
-        col = batch[SIG_COL]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        sigs = col.values.to_numpy().astype(np.uint64).reshape(n, p.num_perms)
-        keys = np.empty((n, p.bands), dtype=np.uint64)
-        for i in range(n):
-            keys[i] = self.hasher.band_keys(sigs[i])
-        cols = {
-            "band_key": pa.array(keys.ravel(), pa.uint64()),
-            self.id_col: _repeat_col(batch[self.id_col], p.bands),
-        }
-        for c in self.order_cols:
-            cols[c] = _repeat_col(batch[c], p.bands)
-        return pa.table(cols)
-
-
 _HASHER_CACHE: dict = {}
 
 
@@ -254,28 +227,53 @@ def _shingle_fn(spec):
     return lambda t: char_ngram_hashes(t, size)
 
 
+def pairwise_jaccard(
+    a_idx: np.ndarray, b_idx: np.ndarray, allv: np.ndarray, starts: np.ndarray, counts: np.ndarray
+) -> np.ndarray:
+    """Vectorized Jaccard for P endpoint-index pairs over ragged unique-shingle
+    segments (``allv[starts[i]:starts[i]+counts[i]]`` = endpoint i's set).
+
+    |A ∩ B| = |A| + |B| - distinct(A ++ B); the distinct count per pair comes
+    from ONE ragged gather + lexsort + run-length pass — no per-pair Python.
+    """
+    P = len(a_idx)
+    if P == 0:
+        return np.empty(0, dtype=np.float64)
+    seg_idx = np.concatenate([a_idx, b_idx])
+    seg_counts = counts[seg_idx]
+    total = int(seg_counts.sum())
+    if total == 0:
+        return np.ones(P, dtype=np.float64)  # both sets empty -> 1.0
+    seg_offsets = np.cumsum(seg_counts) - seg_counts
+    intra = np.arange(total, dtype=np.int64) - np.repeat(seg_offsets, seg_counts)
+    pos = np.repeat(starts[seg_idx], seg_counts) + intra
+    vals = allv[pos]
+    pair_ids = np.repeat(np.concatenate([np.arange(P), np.arange(P)]), seg_counts)
+    order = np.lexsort((vals, pair_ids))
+    pv, vv = pair_ids[order], vals[order]
+    new = np.ones(len(vv), dtype=bool)
+    new[1:] = (pv[1:] != pv[:-1]) | (vv[1:] != vv[:-1])
+    union = np.bincount(pv[new], minlength=P).astype(np.int64)
+    inter = counts[a_idx] + counts[b_idx] - union
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
 def _verify_score_batch(df: pd.DataFrame, texts_ref, spec, threshold: float) -> pd.DataFrame:
+    """Exact-Jaccard scoring of one edge batch — vectorized end to end:
+    shingle each unique endpoint once (numpy polynomial hashing per doc),
+    then one ragged-gather pairwise_jaccard over all pairs."""
     texts = _fetch_cached(texts_ref, _build_text_map)  # id -> text per endpoint
     shingles = _shingle_fn(spec)
-    shingle_cache: dict = {}
-
-    def sh(i):
-        s = shingle_cache.get(i)
-        if s is None:
-            s = shingle_cache.setdefault(i, shingles(texts.get(i) or ""))
-        return s
-
-    jac = np.empty(len(df), dtype=np.float64)
-    for pos, (ia, ib) in enumerate(zip(df["a"], df["b"])):
-        sa, sb = sh(ia), sh(ib)
-        if len(sa) == 0 and len(sb) == 0:
-            jac[pos] = 1.0
-            continue
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        jac[pos] = inter / union if union else 1.0
+    ids = pd.unique(np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]))
+    sets = [shingles(texts.get(i) or "") for i in ids]
+    counts = np.array([len(s) for s in sets], dtype=np.int64)
+    starts = np.cumsum(counts) - counts
+    allv = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
+    lut = {v: i for i, v in enumerate(ids)}
+    a_idx = df["a"].map(lut).to_numpy(dtype=np.int64)
+    b_idx = df["b"].map(lut).to_numpy(dtype=np.int64)
     out = df[["a", "b"]].copy()
-    out["jaccard"] = jac
+    out["jaccard"] = pairwise_jaccard(a_idx, b_idx, allv, starts, counts)
     return out[out["jaccard"] >= threshold]
 
 
@@ -375,18 +373,17 @@ def _verify_edges_join(
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         shingles = _shingle_fn(spec)
-        jac = np.empty(len(df), dtype=np.float64)
-        for i, (ta, tb) in enumerate(zip(df["_text_a"], df["_text_b"])):
-            sa = shingles(ta or "")
-            sb = shingles(tb or "")
-            if len(sa) == 0 and len(sb) == 0:
-                jac[i] = 1.0
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            jac[i] = inter / union if union else 1.0
+        P = len(df)
+        both = np.concatenate(
+            [df["_text_a"].to_numpy(dtype=object), df["_text_b"].to_numpy(dtype=object)]
+        )
+        uniq, inv = np.unique(both.astype(str), return_inverse=True)
+        sets = [shingles(t or "") for t in uniq]
+        counts = np.array([len(s) for s in sets], dtype=np.int64)
+        starts = np.cumsum(counts) - counts
+        allv = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
         out = df[["a", "b"]].copy()
-        out["jaccard"] = jac
+        out["jaccard"] = pairwise_jaccard(inv[:P], inv[P:], allv, starts, counts)
         return out[out["jaccard"] >= threshold]
 
     return eab.map_batches(score, batch_format="pandas")

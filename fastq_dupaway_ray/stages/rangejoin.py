@@ -62,8 +62,12 @@ def range_join(
         if len(df) == 0 or "_side" not in df.columns:
             oc = list(dict.fromkeys([*lcols, right_lo, right_hi, *right_cols]))
             return pd.DataFrame({c: [] for c in oc})
-        l = df[df["_side"] == 0].drop(columns=["_side", "_bkt"]).dropna(axis=1, how="all")
-        r = df[df["_side"] == 1].drop(columns=["_side", "_bkt"]).dropna(axis=1, how="all")
+        # strip exactly the OTHER side's padding columns (not dropna(how=all),
+        # which would also drop a real payload column that happens to be
+        # all-null within this bucket)
+        rcols_renamed = [c if c != rk else key for c in rcols_src]
+        l = df.loc[df["_side"] == 0, lcols].copy()
+        r = df.loc[df["_side"] == 1, rcols_renamed].copy()
         out_cols = [*lcols, right_lo, right_hi, *[c for c in right_cols]]
         out_cols = list(dict.fromkeys(out_cols))
         if len(l) == 0 or len(r) == 0:

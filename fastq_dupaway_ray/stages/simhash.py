@@ -8,8 +8,14 @@ narrows comparisons: split the signature into d+1 chunks — any pair within
 Hamming distance d agrees on at least one chunk — and groupby the chunk key.
 
 Verification is exact (popcount of XOR), so the chunk bucketing only affects
-recall of the *candidate* stage, never precision — recall is 100% for pairs
-within distance d by the pigeonhole argument.
+recall of the *candidate* stage, never precision. Candidate recall is 100%
+for pairs within distance d by the pigeonhole argument; VERIFICATION of a
+chunk group is complete (all-pairs) only for groups up to the dense-pass cap
+(3..64 members). Larger groups fall back to salted star/chain verification,
+which guarantees connectivity to the group head but can miss member-member
+pairs that are within d of each other yet > d from the head — at clustering
+time (connected components) such members still join the head's cluster, so
+the effect is limited to edge-level recall in hot groups.
 """
 
 from __future__ import annotations

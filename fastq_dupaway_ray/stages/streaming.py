@@ -34,26 +34,82 @@ from .dedup_exact import _identity128
 
 @ray.remote(num_cpus=0.25)
 class DedupIndexShard:
-    """Owns the slice {identity : k1 % n_shards == shard_id} of the seen-set."""
+    """Owns the slice {identity : k1 % n_shards == shard_id} of the seen-set.
+
+    Storage is an LSM-style list of (k1, k2) chunk pairs, each sorted by
+    (k1, k2): membership is a vectorized ``searchsorted`` per chunk (k1 is a
+    64-bit hash, so duplicate-k1 runs are ~birthday-rare and handled by a
+    tiny exact fallback); inserts accumulate in a small sorted pending chunk
+    that is promoted at ``_PENDING_MAX`` and compacted when chunks pile up.
+    No per-row Python in the hot path (round-1 used a tuple-set loop)."""
+
+    _PENDING_MAX = 1 << 16
+    _MAX_CHUNKS = 24
 
     def __init__(self):
-        self.seen: set = set()
+        self.chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        self.n = 0
+
+    def _contains(self, k1: np.ndarray, k2: np.ndarray) -> np.ndarray:
+        hit = np.zeros(len(k1), dtype=bool)
+        for ck1, ck2 in self.chunks:
+            if len(ck1) == 0:
+                continue
+            left = np.searchsorted(ck1, k1, side="left")
+            right = np.searchsorted(ck1, k1, side="right")
+            # common case: run length <= 1 — direct compare at `left`
+            pos = np.minimum(left, len(ck1) - 1)
+            one = (right - left == 1) & (ck1[pos] == k1) & (ck2[pos] == k2)
+            hit |= one
+            multi = np.nonzero(right - left > 1)[0]  # rare k1 collisions
+            for i in multi:
+                if k2[i] in ck2[left[i] : right[i]]:
+                    hit[i] = True
+        return hit
 
     def check_and_add(self, packed: np.ndarray) -> np.ndarray:
-        """uint64[n,2] identities -> bool[n] mask of first-seen rows.
-        Mutates the index (idempotent per identity)."""
-        out = np.empty(len(packed), dtype=bool)
-        seen = self.seen
-        for i, key in enumerate(map(tuple, packed.tolist())):
-            if key in seen:
-                out[i] = False
-            else:
-                seen.add(key)
-                out[i] = True
-        return out
+        """uint64[n,2] identities -> bool[n] mask of first-seen rows (first in
+        arrival order within the batch). Mutates the index."""
+        k1 = np.ascontiguousarray(packed[:, 0], dtype=np.uint64)
+        k2 = np.ascontiguousarray(packed[:, 1], dtype=np.uint64)
+        n = len(k1)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        seen = self._contains(k1, k2)
+        # within-batch first occurrence per key, in arrival order
+        order = np.lexsort((k2, k1))
+        sk1, sk2 = k1[order], k2[order]
+        run_start = np.ones(n, dtype=bool)
+        run_start[1:] = (sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])
+        starts = np.nonzero(run_start)[0]
+        first_idx = np.minimum.reduceat(order, starts)  # arrival-first per key
+        fresh = first_idx[~seen[first_idx]]
+        keep = np.zeros(n, dtype=bool)
+        keep[fresh] = True
+        if len(fresh):
+            self._append(k1[fresh], k2[fresh])
+        return keep
+
+    def _append(self, k1: np.ndarray, k2: np.ndarray):
+        order = np.lexsort((k2, k1))
+        self.n += len(k1)
+        # merge into the pending (last, small) chunk while it stays small
+        if self.chunks and len(self.chunks[-1][0]) < self._PENDING_MAX:
+            pk1, pk2 = self.chunks.pop()
+            m1 = np.concatenate([pk1, k1[order]])
+            m2 = np.concatenate([pk2, k2[order]])
+            mo = np.lexsort((m2, m1))
+            self.chunks.append((m1[mo], m2[mo]))
+        else:
+            self.chunks.append((k1[order], k2[order]))
+        if len(self.chunks) > self._MAX_CHUNKS:
+            m1 = np.concatenate([c[0] for c in self.chunks])
+            m2 = np.concatenate([c[1] for c in self.chunks])
+            mo = np.lexsort((m2, m1))
+            self.chunks = [(m1[mo], m2[mo]), (np.empty(0, np.uint64), np.empty(0, np.uint64))]
 
     def size(self) -> int:
-        return len(self.seen)
+        return self.n
 
 
 class StreamingDedup:

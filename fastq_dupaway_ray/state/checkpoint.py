@@ -34,6 +34,25 @@ def fingerprint(*parts) -> str:
     return h.hexdigest()
 
 
+def input_identity(path: str) -> tuple:
+    """Cheap content identity of an input path: sorted (relpath, size,
+    mtime_ns) of every data file under it — no data read. Folding this into a
+    stage fingerprint makes in-place input changes invalidate the checkpoint
+    (a path-only fingerprint would silently reuse stale stages)."""
+    entries = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return ((os.path.basename(path), st.st_size, st.st_mtime_ns),)
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.startswith("_") or f.startswith("."):
+                continue
+            fp = os.path.join(root, f)
+            st = os.stat(fp)
+            entries.append((os.path.relpath(fp, path), st.st_size, st.st_mtime_ns))
+    return tuple(sorted(entries))
+
+
 def is_complete(ckpt_dir: str, fp: str) -> bool:
     mpath = os.path.join(ckpt_dir, MANIFEST)
     if not os.path.exists(mpath):

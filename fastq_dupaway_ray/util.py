@@ -17,3 +17,33 @@ def default_join_partitions(cap: int = 64) -> int:
     except Exception:
         cpus = 8
     return max(2, min(cap, cpus // 2))
+
+
+def coalesce_schema_blocks(ds):
+    """Rebuild a dataset from only its non-empty blocks, normalized to Arrow.
+
+    Ray's ``groupby().map_groups()`` emits empty SCHEMA-LESS pandas blocks for
+    empty shuffle partitions (they bypass the UDF entirely), and a downstream
+    Arrow hash join rejects them ("No match or multiple matches for key
+    field"). Materializes, drops the empties, converts survivors to Arrow —
+    block-parallel remote conversion, nothing lands on the driver.
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    mat = ds.materialize()
+
+    @ray.remote
+    def to_arrow(b):
+        return b if isinstance(b, pa.Table) else pa.Table.from_pandas(b, preserve_index=False)
+
+    refs = [
+        to_arrow.remote(ref)
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows is None or meta.num_rows > 0
+    ]
+    if not refs:
+        return mat  # all-empty result: keep as-is (caller sees 0 rows)
+    return ray.data.from_arrow_refs(refs)

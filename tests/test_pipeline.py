@@ -115,11 +115,52 @@ def test_multimodal_plumbing(ds):
     assert frames["frame_offsets"].type.list_size == 4
 
 
-def test_multimodal_require_real_raises():
-    from fastq_dupaway_ray.stages.multimodal import ImageFeatures
+def test_multimodal_require_real(ds):
+    """require_real=True either fails loudly (libs absent — this container)
+    or decodes for real (libs present): both branches covered, neither fakes."""
+    from fastq_dupaway_ray.stages import multimodal as mm
 
-    with pytest.raises(NotImplementedError):
-        ImageFeatures(require_real=True)
+    if not mm._HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            mm.ImageFeatures(require_real=True)
+    else:  # pragma: no cover - exercised only where PIL is installed
+        import io
+
+        from PIL import Image
+
+        import pyarrow as pa
+
+        buf = io.BytesIO()
+        Image.new("RGB", (20, 10)).save(buf, format="PNG")
+        t = pa.table({"payload": pa.array([buf.getvalue()], pa.binary())})
+        out = mm.ImageFeatures(require_real=True)(t)
+        assert out["width"][0].as_py() == 20 and out["height"][0].as_py() == 10
+    if not mm._HAVE_SOUNDFILE:
+        with pytest.raises(NotImplementedError):
+            mm.AudioFeatures(require_real=True)
+
+
+def test_audio_energy_matches_slow_reference():
+    """The vectorized reduceat byte-RMS equals a per-row reference computation
+    (incl. empty payloads and buffer-slice edges)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fastq_dupaway_ray.stages.multimodal import AudioFeatures
+
+    payloads = [b"abcdefgh" * 13, b"", b"\x00\x01\x02", bytes(range(256)), b"x"]
+    t = pa.table({"payload": pa.array(payloads, pa.binary())})
+    out = AudioFeatures(bin_col="payload")(t)
+    got = np.array(out["audio_energy"].to_pylist(), dtype=np.float32)
+    BINS = AudioFeatures.BINS
+    for i, b in enumerate(payloads):
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.float32)
+        bounds = (len(arr) * np.linspace(0, 1, BINS + 1)).astype(np.int64)
+        for j in range(BINS):
+            seg = arr[bounds[j] : bounds[j + 1]] ** 2
+            want = float(np.sqrt(seg.mean())) if len(seg) else 0.0
+            assert abs(got[i, j] - want) < 1e-3, (i, j, got[i, j], want)
+        assert out["n_bytes"][i].as_py() == len(b)
 
 
 def test_audio_and_resize_stages(ds):
