@@ -6,33 +6,35 @@ of the longer) to full substring containment: a page whose text appears verbatim
 inside another page is a contained duplicate (quote pages, syndicated excerpts,
 template supersets).
 
-Algorithm (three stages; the shuffle carries NO text):
+Algorithm (one shuffle, grouped verify):
 
-1. **Candidate scoping**: each doc emits slim ``(anchor_key, id, text_len)``
-   rows — ~24 bytes each. Default key: the *minimum char shingle hash* of the
-   text — if A's text is a substring of B's (and len(A) >= shingle k), every
-   shingle of A, including its minimum, is a shingle of B; they share
-   min-shingle whenever A's min is among the keys B emits. Exact mode
-   (``anchors=None``) has B emit every shingle that is some doc's minimum
-   (broadcast sorted-set membership) — zero false negatives; the bottom-k
-   approximate mode (``anchors=k``) trades recall for fewer rows.
-2. **Candidate pairs**: one bucketed groupby over the slim rows; within each
-   anchor group (len-desc sorted, capped at ``max_bucket``) every
-   strictly-longer × shorter pair becomes a candidate edge (a=container
-   candidate, b=contained candidate). Pair count is quadratic in the capped
-   group size — the cap is the explicit hot-anchor (boilerplate) knob.
-3. **Verify**: exact ``b.text in a.text`` on the real texts. The candidate
-   edge list is small by LSH-style construction, so the endpoint texts are
-   pulled with ONE filter pass over the corpus, broadcast via ``ray.put`` as
-   Arrow, and verified in an elastic task pool — the corpus text NEVER enters
-   a shuffle (round-1 carried full text once per anchor; this is the fix).
-   A join-based fallback covers edge lists above the broadcast budget.
+1. **Anchor scoping**: each doc emits slim ``(anchor_key, id, text_len)``
+   rows. Default key: the *minimum char shingle hash* of the text — if A's
+   text is a substring of B's (and len(A) >= shingle k), every shingle of A,
+   including its minimum, is a shingle of B; the pair co-locates under key
+   min(A) whenever B emits that key. Exact mode (``anchors=None``) has every
+   doc emit each of its shingles that is some doc's minimum (broadcast
+   sorted-set membership, fetched once per worker) — zero false negatives;
+   the bottom-k approximate mode (``anchors=k``) trades recall for fewer rows.
+2. **Text co-shuffle, once per (doc, bucket)**: anchor keys hash into B
+   coarse shuffle buckets; each doc ships its text to each DISTINCT bucket
+   its anchors land in — NOT once per anchor (round 1) and NOT per candidate
+   pair. Bottom-k mode ships <= ``anchors`` copies; exact mode <= the doc's
+   distinct hit buckets (capped by B; the documented cost of exactness).
+3. **Grouped verify**: one vectorized pandas pass per bucket; within each
+   anchor key (len-desc sorted, capped at ``max_bucket``) every text is
+   ``str.find``-searched against the SEPARATOR-JOINED CONCATENATION of the
+   strictly-longer texts — C-speed, shared haystack per group instead of
+   per-pair probes (a per-pair design measured 10x slower on natural text,
+   where min-shingles concentrate: ~5% distinct minima -> huge anchor groups).
 
 Emitted edges (big, small) feed the same components/representative stages as
 MinHash/SimHash — keep-first semantics then pick the earliest member.
 """
 
 from __future__ import annotations
+
+import bisect
 
 import numpy as np
 import pandas as pd
@@ -41,83 +43,77 @@ import ray
 import ray.data
 
 from ..functions.hashing import char_ngram_hashes
-from ..util import default_join_partitions
+
+SEP = "\x00"
 
 
-class AnchorEmitter:
-    """Actor-pool callable: emit slim (anchor_key, id, text_len) rows per doc —
-    one row per bottom-k shingle hash (the containment locality keys)."""
-
-    def __init__(self, shingle_k: int = 8, anchors: int = 4, text_col: str = "text", id_col: str = "url"):
-        self.k = shingle_k
-        self.anchors = anchors
-        self.text_col = text_col
-        self.id_col = id_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_pylist()
-        keys, out_ids, out_lens = [], [], []
-        for i, t in enumerate(texts):
-            t = t or ""
-            sh = char_ngram_hashes(t, self.k)
-            if len(sh) == 0:
-                continue
-            bottom = sh[: self.anchors]  # char_ngram_hashes returns sorted-unique
-            keys.extend(int(x) for x in bottom)
-            out_ids.extend([ids[i]] * len(bottom))
-            out_lens.extend([len(t)] * len(bottom))
-        return pa.table(
-            {
-                "anchor_key": pa.array(np.array(keys, dtype=np.uint64), pa.uint64()),
-                self.id_col: pa.array(out_ids, batch[self.id_col].type),
-                "_len": pa.array(np.array(out_lens, dtype=np.int64), pa.int64()),
-            }
-        )
+def _doc_anchor_keys(text: str, shingle_k: int, anchors: int | None, M) -> np.ndarray:
+    """A doc's anchor keys: bottom-k shingles, or (exact mode) every shingle
+    that is some doc's minimum."""
+    sh = char_ngram_hashes(text, shingle_k)
+    if len(sh) == 0:
+        return sh
+    if anchors is not None:
+        return sh[:anchors]  # char_ngram_hashes returns sorted-unique
+    if M is None or len(M) == 0:
+        return sh[:0]
+    pos = np.searchsorted(M, sh)
+    pos[pos >= len(M)] = len(M) - 1
+    return sh[M[pos] == sh]
 
 
-class ExactAnchorEmitter:
-    """Exact-mode emitter: emit one slim (anchor_key, id, text_len) row per
-    shingle of the doc that is some doc's *minimum* shingle (membership tested
-    against a broadcast sorted uint64 array fetched once per actor from the
-    object store).  Guarantee: if A's text is a substring of B's (len(A) >= k)
-    then every shingle of A is a shingle of B, so min(A) ∈ shingles(B) ∩ M and
-    the pair co-locates under key min(A).  Zero false negatives; verify is
-    exact.
+def emit_anchor_and_text_rows(
+    batch: pa.Table,
+    shingle_k: int = 8,
+    anchors: int | None = 4,
+    min_set_ref=None,
+    num_buckets: int = 128,
+    text_col: str = "text",
+    id_col: str = "url",
+) -> pa.Table:
+    """Stateless task: per doc emit slim anchor rows (one per anchor key) AND
+    one text row per DISTINCT shuffle bucket among its anchor keys (so the
+    grouped verify finds every member's text in-bucket without a join).
+    Text rows have ``_is_text=1`` and a null anchor key."""
+    from .minhash import _fetch_cached
 
-    Scale note: |M| <= n_docs, so the broadcast is 8 bytes/doc — fine up to
-    ~10^9 docs per job; beyond that use the bottom-k approximate path
-    (AnchorEmitter) whose recall/cost is tunable via ``anchors``.
-    """
-
-    def __init__(self, min_set_ref, shingle_k: int = 8, text_col: str = "text", id_col: str = "url"):
-        self.M = ray.get(min_set_ref) if isinstance(min_set_ref, ray.ObjectRef) else min_set_ref
-        self.k = shingle_k
-        self.text_col = text_col
-        self.id_col = id_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_pylist()
-        keys, out_ids, out_lens = [], [], []
-        for i, t in enumerate(texts):
-            t = t or ""
-            sh = char_ngram_hashes(t, self.k)
-            if len(sh) == 0 or len(self.M) == 0:
-                continue
-            pos = np.searchsorted(self.M, sh)
-            pos[pos >= len(self.M)] = len(self.M) - 1
-            hits = sh[self.M[pos] == sh]
-            keys.extend(int(x) for x in hits)
-            out_ids.extend([ids[i]] * len(hits))
-            out_lens.extend([len(t)] * len(hits))
-        return pa.table(
-            {
-                "anchor_key": pa.array(np.array(keys, dtype=np.uint64), pa.uint64()),
-                self.id_col: pa.array(out_ids, batch[self.id_col].type),
-                "_len": pa.array(np.array(out_lens, dtype=np.int64), pa.int64()),
-            }
-        )
+    M = None
+    if min_set_ref is not None:
+        M = _fetch_cached(min_set_ref) if isinstance(min_set_ref, ray.ObjectRef) else min_set_ref
+    texts = batch[text_col].to_pylist()
+    ids = batch[id_col].to_pylist()
+    keys, bkts, out_ids, out_lens, out_texts, is_text = [], [], [], [], [], []
+    B = np.uint64(num_buckets)
+    for i, t in enumerate(texts):
+        t = t or ""
+        ak = _doc_anchor_keys(t, shingle_k, anchors, M)
+        if len(ak) == 0:
+            continue
+        doc_bkts = (ak % B).astype(np.int64)
+        n = len(ak)
+        keys.extend(int(x) for x in ak)
+        bkts.extend(int(x) for x in doc_bkts)
+        out_ids.extend([ids[i]] * n)
+        out_lens.extend([len(t)] * n)
+        out_texts.extend([None] * n)
+        is_text.extend([0] * n)
+        for b in np.unique(doc_bkts):
+            keys.append(0)
+            bkts.append(int(b))
+            out_ids.append(ids[i])
+            out_lens.append(len(t))
+            out_texts.append(t)
+            is_text.append(1)
+    return pa.table(
+        {
+            "anchor_key": pa.array(np.array(keys, dtype=np.uint64), pa.uint64()),
+            "_bkt": pa.array(np.array(bkts, dtype=np.int64), pa.int64()),
+            id_col: pa.array(out_ids, batch[id_col].type),
+            "_len": pa.array(np.array(out_lens, dtype=np.int64), pa.int64()),
+            "_text": pa.array(out_texts, pa.string()),
+            "_is_text": pa.array(np.array(is_text, dtype=np.int8), pa.int8()),
+        }
+    )
 
 
 def _min_shingle_set(pages: ray.data.Dataset, shingle_k: int, text_col: str) -> np.ndarray:
@@ -144,81 +140,6 @@ def _min_shingle_set(pages: ray.data.Dataset, shingle_k: int, text_col: str) -> 
     return np.unique(np.concatenate(parts))
 
 
-def _verify_containment_batch(df: pd.DataFrame, texts_ref, id_col: str) -> pd.DataFrame:
-    from .minhash import _build_text_map, _fetch_cached
-
-    texts = _fetch_cached(texts_ref, _build_text_map)
-    keep = np.fromiter(
-        ((texts.get(b) or "") in (texts.get(a) or "") for a, b in zip(df["a"], df["b"])),
-        dtype=bool,
-        count=len(df),
-    )
-    return df.loc[keep, ["a", "b"]]
-
-
-def verify_containment_edges(
-    edges: ray.data.Dataset,
-    pages: ray.data.Dataset,
-    id_col: str = "url",
-    text_col: str = "text",
-    broadcast_edge_budget: int = 500_000,
-    num_partitions: int | None = None,
-) -> ray.data.Dataset:
-    """Exact substring verify of slim candidate edges.
-
-    Small side (default): pull just the endpoint texts with one corpus filter
-    pass, broadcast as Arrow, score in a task pool — zero shuffles. Fallback
-    above the budget: two hash joins ship the texts to the edges.
-    ``edges`` should be materialized by the caller (it is counted here)."""
-    n_edges = edges.count()
-    if n_edges == 0:
-        return edges
-    if n_edges <= broadcast_edge_budget:
-        from .minhash import _fetch_cached
-
-        edf = edges.to_pandas()
-        endpoints = pd.unique(np.concatenate([edf["a"].to_numpy(), edf["b"].to_numpy()]))
-        ep_ref = ray.put(pa.array(endpoints))
-
-        def pick(df: pd.DataFrame) -> pd.DataFrame:
-            eps = _fetch_cached(ep_ref, lambda a: set(a.to_pylist()))
-            return df.loc[df[id_col].isin(eps), [id_col, text_col]]
-
-        tdf = pages.select_columns([id_col, text_col]).map_batches(
-            pick, batch_format="pandas"
-        ).to_pandas()
-        texts_ref = ray.put(
-            pa.table({"id": pa.array(tdf[id_col]), "text": pa.array(tdf[text_col])})
-        )
-        n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-        return edges.repartition(n_blocks).map_batches(
-            _verify_containment_batch,
-            fn_kwargs={"texts_ref": texts_ref, "id_col": id_col},
-            batch_format="pandas",
-        )
-    # join fallback: ship texts to the (large) edge list via two hash joins
-    num_partitions = num_partitions or default_join_partitions()
-    texts = pages.select_columns([id_col, text_col])
-    ea = (
-        edges.join(texts, "inner", num_partitions=num_partitions, on=("a",), right_on=(id_col,))
-        .rename_columns({text_col: "_text_a"})
-        .materialize()
-    )
-    eab = ea.join(
-        texts, "inner", num_partitions=num_partitions, on=("b",), right_on=(id_col,)
-    ).rename_columns({text_col: "_text_b"})
-
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        keep = np.fromiter(
-            ((tb or "") in (ta or "") for ta, tb in zip(df["_text_a"], df["_text_b"])),
-            dtype=bool,
-            count=len(df),
-        )
-        return df.loc[keep, ["a", "b"]]
-
-    return eab.map_batches(score, batch_format="pandas")
-
-
 def containment_edges(
     pages: ray.data.Dataset,
     shingle_k: int = 8,
@@ -227,8 +148,7 @@ def containment_edges(
     text_col: str = "text",
     max_bucket: int = 512,
     num_shuffle_buckets: int | None = None,
-    signer_concurrency=(1, 8),
-    broadcast_edge_budget: int = 500_000,
+    signer_concurrency=None,  # kept for API compat; emitters are elastic tasks
 ) -> ray.data.Dataset:
     """pages -> containment edges (a=container, b=contained).
 
@@ -243,66 +163,70 @@ def containment_edges(
 
     B = num_shuffle_buckets or _default_shuffle_buckets()
     slim = pages.select_columns(sorted({id_col, text_col}))
-    emit_kwargs = {"shingle_k": shingle_k, "text_col": text_col, "id_col": id_col}
+    min_ref = None
     if anchors is None:
         min_ref = ray.put(_min_shingle_set(slim, shingle_k, text_col))
-        anchor_rows = slim.map_batches(
-            ExactAnchorEmitter,
-            fn_constructor_kwargs={"min_set_ref": min_ref, **emit_kwargs},
-            batch_format="pyarrow",
-            batch_size=2048,
-            concurrency=signer_concurrency,
-        )
-    else:
-        anchor_rows = slim.map_batches(
-            AnchorEmitter,
-            fn_constructor_kwargs={"anchors": anchors, **emit_kwargs},
-            batch_format="pyarrow",
-            batch_size=2048,
-            concurrency=signer_concurrency,
-        )
-
-    def bucketize(t: pa.Table) -> pa.Table:
-        bkt = (t["anchor_key"].to_numpy() % np.uint64(B)).astype(np.int64)
-        return t.append_column("_bkt", pa.array(bkt, pa.int64()))
+    rows = slim.map_batches(
+        emit_anchor_and_text_rows,
+        fn_kwargs={
+            "shingle_k": shingle_k,
+            "anchors": anchors,
+            "min_set_ref": min_ref,
+            "num_buckets": B,
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        batch_size=2048,
+    )
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        """Candidate pairs per anchor group: strictly-longer x shorter —
-        vectorized over the whole bucket, no text in sight."""
-        if len(df) == 0 or "anchor_key" not in df.columns:
-            return pd.DataFrame({"a": [], "b": []})
-        df = df.drop_duplicates(subset=["anchor_key", id_col])
-        df = df.sort_values(["anchor_key", "_len", id_col], ascending=[True, False, True],
-                            kind="mergesort")
-        g = df.groupby("anchor_key", sort=False)
-        size = g[id_col].transform("size").to_numpy()
-        rank = g.cumcount().to_numpy()
-        keep = (size > 1) & (rank < max_bucket)
-        df = df[keep]
-        if len(df) == 0:
-            return pd.DataFrame({"a": [], "b": []})
+        # Within each anchor key: sort by length desc; search each text against
+        # the concatenation of all STRICTLY-longer texts (separator-joined, so
+        # no cross-boundary false hits), emitting one edge per (container,
+        # contained) pair found — ALL containers, matching the oracle's full
+        # containment join. Contained docs stay in the pool (C ⊂ A ⊂ B must
+        # yield both (A,C) and (B,C)).
         edges_a, edges_b = [], []
-        for _, grp in df.groupby("anchor_key", sort=False):
-            n = len(grp)
-            if n < 2:
+        if len(df) == 0 or "anchor_key" not in df.columns:
+            return pd.DataFrame({"a": edges_a, "b": edges_b})
+        texts = dict(
+            zip(df.loc[df["_is_text"] == 1, id_col], df.loc[df["_is_text"] == 1, "_text"])
+        )
+        adf = df[df["_is_text"] == 0]
+        for _, grp in adf.groupby("anchor_key", sort=False):
+            grp = grp.drop_duplicates(subset=[id_col])
+            if len(grp) < 2:
                 continue
-            ids = grp[id_col].to_numpy()
-            lens = grp["_len"].to_numpy()
-            ai, bi = np.triu_indices(n, k=1)  # ai earlier = longer (len desc)
-            strict = lens[ai] > lens[bi]
-            edges_a.append(ids[ai[strict]])
-            edges_b.append(ids[bi[strict]])
-        if not edges_a:
-            return pd.DataFrame({"a": [], "b": []})
-        return pd.DataFrame({"a": np.concatenate(edges_a), "b": np.concatenate(edges_b)})
+            grp = grp.sort_values(["_len", id_col], ascending=[False, True],
+                                  kind="mergesort").head(max_bucket)
+            ids = grp[id_col].tolist()
+            lens = grp["_len"].tolist()
+            concat = ""
+            end_offsets: list[int] = []  # end offset of each added text
+            owners: list[int] = []  # idx of the doc covering that span
+            prev_len = None
+            pending: list[int] = []
+            for i, doc_id in enumerate(ids):
+                t = texts.get(doc_id) or ""
+                # flush all strictly-longer pending docs into the haystack
+                if prev_len is not None and lens[i] < prev_len:
+                    for j in pending:
+                        concat += (texts.get(ids[j]) or "") + SEP
+                        end_offsets.append(len(concat))
+                        owners.append(j)
+                    pending = []
+                if concat:
+                    pos = concat.find(t)
+                    while pos >= 0:
+                        k = bisect.bisect_right(end_offsets, pos)
+                        edges_a.append(ids[owners[k]])
+                        edges_b.append(ids[i])
+                        # jump past the covering doc — one edge per container
+                        pos = concat.find(t, end_offsets[k])
+                pending.append(i)
+                prev_len = lens[i]
+        return pd.DataFrame({"a": edges_a, "b": edges_b})
 
-    candidates = (
-        anchor_rows.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("_bkt")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
-    candidates = dedup_edge_list(candidates).materialize()
-    return verify_containment_edges(
-        candidates, pages, id_col=id_col, text_col=text_col,
-        broadcast_edge_budget=broadcast_edge_budget,
-    )
+    edges = rows.groupby("_bkt").map_groups(per_bucket, batch_format="pandas")
+    return dedup_edge_list(edges)
