@@ -39,12 +39,27 @@ def run_flagship(
     signer_concurrency=None,
     verify: bool = True,
 ):
-    """Returns (kept: Dataset, clusters: Dataset, metrics: dict)."""
-    metrics: dict = {"input": pages_path}
+    """Returns (kept: Dataset, clusters: Dataset, metrics: dict).
+
+    metrics includes ``stage_seconds`` — wall time per materialized stage —
+    the --verbose counter surface (A7) extended with the timing breakdown a
+    cluster operator reads first."""
+    import time as _time
+
+    metrics: dict = {"input": pages_path, "stage_seconds": {}}
+    _t = _time.time()
+
+    def _mark(stage: str):
+        nonlocal _t
+        now = _time.time()
+        metrics["stage_seconds"][stage] = round(now - _t, 3)
+        _t = now
+
     ds = read_pages(pages_path)
     good, bad = split_quarantine(ds)
     metrics["quarantined"] = bad.count()
     metrics["valid"] = good.count()
+    _mark("read_validate")
 
     # fold the input's content identity (file sizes + mtimes), not just its
     # path — re-running after the inputs change in place must NOT reuse the
@@ -56,6 +71,7 @@ def run_flagship(
     else:
         exact = exact.materialize()
     metrics["after_exact"] = exact.count()
+    _mark("exact_dedup")
 
     # fingerprints chain: editing params/threshold invalidates downstream
     fp1 = fingerprint("edges", fp0, params, threshold, verify)
@@ -71,6 +87,7 @@ def run_flagship(
     else:
         edges = edges.materialize()
     metrics["candidate_edges"] = edges.count()
+    _mark("minhash_edges")
 
     fp2 = fingerprint("labels", fp1)
     labels = _comp.connected_components(edges)
@@ -78,10 +95,12 @@ def run_flagship(
         labels = checkpoint(labels, ckpt_root, "labels", fp2)
     else:
         labels = labels.materialize()
+    _mark("components")
     kept, clusters = _rep.apply_cluster_labels(exact, labels)
     kept = kept.materialize()
     clusters = clusters.materialize()
     metrics["kept"] = kept.count()
+    _mark("representative")
     metrics["near_dup_removed"] = metrics["after_exact"] - metrics["kept"]
     metrics["exact_dup_removed"] = metrics["valid"] - metrics["after_exact"]
 
