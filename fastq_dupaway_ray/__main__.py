@@ -121,8 +121,9 @@ def main(argv=None) -> int:
         id_col=args.id_col,
         text_col=args.text_col if not paired else f"{args.text_col}_l",
         # paired sequence-based modes compare BOTH mates (reference EP3,
-        # /root/reference/src/seq_dup_remover.hpp:131-218)
-        text_cols=key_cols if (paired and mode in ("tight", "loose", "hamming")) else None,
+        # /root/reference/src/seq_dup_remover.hpp:131-218); paired simhash
+        # likewise verifies both mates within --distance
+        text_cols=key_cols if (paired and mode in ("tight", "loose", "hamming", "simhash")) else None,
         order_cols=order_cols,
         distance=args.distance,
         emit_clusters=args.write_clusters,

@@ -104,6 +104,7 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig = DedupConfig()) -> DedupOu
                 distance=cfg.distance,
                 id_col=cfg.id_col,
                 text_col=cfg.text_col,
+                text_cols=cfg.text_cols,  # paired: both mates within distance
                 order_cols=cfg.order_cols,
                 signer_concurrency=cfg.signer_concurrency,
             )

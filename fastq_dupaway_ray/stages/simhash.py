@@ -31,13 +31,22 @@ from ..functions.sketches import simhash_chunks
 SIMHASH_COL = "simhash64"
 
 
-def sign_simhash(batch: pa.Table, text_col: str = "text", token_ngram: int = 2) -> pa.Table:
+def _sig_col(i: int) -> str:
+    return SIMHASH_COL if i == 0 else f"{SIMHASH_COL}_{i + 1}"
+
+
+def sign_simhash(batch: pa.Table, text_col: str = "text", token_ngram: int = 2,
+                 text_cols=None) -> pa.Table:
     """Stateless task form: text -> 64-bit SimHash column (batch-vectorized
-    feature hashing — one hash_array call per batch, segment-summed votes)."""
+    feature hashing — one hash_array call per batch, segment-summed votes).
+    ``text_cols`` with several entries signs each mate separately (paired
+    tail-hamming, reference EP3): one sig column per text column."""
     from ..functions.sketches import simhash64_batch
 
-    sigs = simhash64_batch(batch[text_col].to_pylist(), token_ngram)
-    return batch.append_column(SIMHASH_COL, pa.array(sigs, pa.uint64()))
+    for i, col in enumerate(list(text_cols) if text_cols else [text_col]):
+        sigs = simhash64_batch(batch[col].to_pylist(), token_ngram)
+        batch = batch.append_column(_sig_col(i), pa.array(sigs, pa.uint64()))
+    return batch
 
 
 class SimHashSigner:
@@ -46,16 +55,23 @@ class SimHashSigner:
     Prefer the task form (``sign_simhash``) — kept for callers that need a
     bounded pool."""
 
-    def __init__(self, text_col: str = "text", token_ngram: int = 2):
+    def __init__(self, text_col: str = "text", token_ngram: int = 2, text_cols=None):
         self.text_col = text_col
         self.token_ngram = token_ngram
+        self.text_cols = text_cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return sign_simhash(batch, self.text_col, self.token_ngram)
+        return sign_simhash(batch, self.text_col, self.token_ngram, self.text_cols)
 
 
-def emit_chunk_keys(batch: pa.Table, distance: int, id_col: str = "url", order_cols=("warc_ts",)) -> pa.Table:
-    """Explode each signed row into d+1 (chunk_key, id, sig) rows."""
+def emit_chunk_keys(batch: pa.Table, distance: int, id_col: str = "url",
+                    order_cols=("warc_ts",), n_sides: int = 1) -> pa.Table:
+    """Explode each signed row into d+1 (chunk_key, id, sig...) rows.
+
+    Paired mode pigeonholes on the FIRST mate's signature only — a pair
+    within d on both sides is within d on side one, so side-one chunk
+    agreement is a complete candidate condition; verify then checks every
+    side exactly."""
     sig = np.asarray(batch[SIMHASH_COL].to_numpy(zero_copy_only=False), dtype=np.uint64)
     keys = simhash_chunks(sig, distance)  # (n, d+1)
     n, c = keys.shape
@@ -66,6 +82,9 @@ def emit_chunk_keys(batch: pa.Table, distance: int, id_col: str = "url", order_c
         id_col: _take(batch[id_col], take),
         SIMHASH_COL: pa.array(sig[idx], pa.uint64()),
     }
+    for i in range(1, n_sides):
+        s = np.asarray(batch[_sig_col(i)].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        cols[_sig_col(i)] = pa.array(s[idx], pa.uint64())
     for oc in order_cols:
         if oc != id_col:
             cols[oc] = _take(batch[oc], take)
@@ -87,8 +106,15 @@ def simhash_candidate_edges(
     token_ngram: int = 2,
     max_bucket: int = 512,
     signer_concurrency=None,
+    text_cols=None,
 ) -> ray.data.Dataset:
     """pages -> verified edges (a, b, hamming) with hamming <= distance.
+
+    ``text_cols`` with several entries selects paired both-mates semantics
+    (reference EP3 with tail-hamming, /root/reference/src/comparator.cpp:84-91):
+    each mate signed separately, candidates pigeonholed on mate one, verify
+    requires EVERY side within ``distance`` (the emitted hamming is the max
+    over sides).
 
     Verification inside the chunk bucket compares every member against the
     bucket head (first by order) — vectorized popcount, O(n) per bucket —
@@ -96,8 +122,11 @@ def simhash_candidate_edges(
     when the head itself is not a near-dup of them.
     """
     order_cols = [c for c in order_cols]
-    slim = pages.select_columns(sorted(set([id_col, text_col, *order_cols])))
-    sign_kwargs = {"text_col": text_col, "token_ngram": token_ngram}
+    tcols = list(text_cols) if text_cols else [text_col]
+    n_sides = len(tcols)
+    sig_cols = [_sig_col(i) for i in range(n_sides)]
+    slim = pages.select_columns(sorted(set([id_col, *tcols, *order_cols])))
+    sign_kwargs = {"text_col": text_col, "token_ngram": token_ngram, "text_cols": tcols}
     if signer_concurrency is None:
         # default: elastic task pool — scales to free CPUs, no actor startup
         signed = slim.map_batches(
@@ -111,9 +140,10 @@ def simhash_candidate_edges(
             batch_size=4096,
             concurrency=signer_concurrency,
         )
-    signed = signed.drop_columns([text_col])
+    signed = signed.drop_columns(tcols)
     chunk_rows = signed.map_batches(
-        lambda t: emit_chunk_keys(t, distance, id_col=id_col, order_cols=order_cols),
+        lambda t: emit_chunk_keys(t, distance, id_col=id_col, order_cols=order_cols,
+                                  n_sides=n_sides),
         batch_format="pyarrow",
     )
 
@@ -139,21 +169,30 @@ def simhash_candidate_edges(
         g = df.groupby("chunk_key", sort=False)
         rank = g.cumcount().to_numpy()
         ids = df[id_col].to_numpy()
-        sigs = df[SIMHASH_COL].to_numpy().astype(np.uint64)
+        sig_mat = [df[c].to_numpy().astype(np.uint64) for c in sig_cols]
+
+        def ham_all(ia, ib):
+            """max hamming over every side for index arrays ia vs ib."""
+            d = hamming64(sig_mat[0][ia], sig_mat[0][ib])
+            for s in sig_mat[1:]:
+                d = np.maximum(d, hamming64(s[ia], s[ib]))
+            return d
+
+        arange = np.arange(len(df))
         # SALTED hot buckets (no truncation): rows star-verify against their
         # salt-group head; salt heads chain-verify against the global head —
         # every row is compared, O(n) per bucket, exact hamming filter
         salt = rank // max_bucket
         local_head_sel = rank % max_bucket == 0
-        pos = np.where(local_head_sel, np.arange(len(df)), -1)
+        pos = np.where(local_head_sel, arange, -1)
         pos = np.maximum.accumulate(pos)
         head_id = ids[pos]
-        d = hamming64(sigs, sigs[pos])
+        d = ham_all(arange, pos)
         star = (ids != head_id) & (d <= distance)
-        gpos = np.where(local_head_sel & (salt == 0), np.arange(len(df)), -1)
+        gpos = np.where(local_head_sel & (salt == 0), arange, -1)
         gpos = np.maximum.accumulate(gpos)
         chain_sel = local_head_sel & (salt > 0)
-        dchain = hamming64(sigs[chain_sel], sigs[gpos[chain_sel]])
+        dchain = ham_all(arange[chain_sel], gpos[chain_sel])
         ckeep = dchain <= distance
         parts = [
             pd.DataFrame(
@@ -171,20 +210,36 @@ def simhash_candidate_edges(
                 }
             ),
         ]
-        # dense pass: groups of 3..64 members can hold pairs the head misses
+        # dense pass: groups of 3..64 members can hold pairs the head misses.
+        # Vectorized by DISTINCT GROUP SIZE: all same-size groups share one
+        # triu index template, offset by each group's start — no per-group
+        # Python loop (df is chunk_key-sorted, so groups are contiguous).
         size2 = g[id_col].transform("size").to_numpy()
         dense_mask = (size2 >= 3) & (size2 <= 64)
         if dense_mask.any():
-            for _, sub in df[dense_mask].groupby("chunk_key", sort=False):
-                ids_s = sub[id_col].to_numpy()
-                sig_s = sub[SIMHASH_COL].to_numpy().astype(np.uint64)
-                ai, bi = np.triu_indices(len(ids_s), k=1)
-                dd = hamming64(sig_s[ai], sig_s[bi])
+            sub = df[dense_mask]
+            ids_s = sub[id_col].to_numpy()
+            sig_mat_s = [sub[c].to_numpy().astype(np.uint64) for c in sig_cols]
+
+            def ham_all_s(ia, ib):
+                dd = hamming64(sig_mat_s[0][ia], sig_mat_s[0][ib])
+                for s_ in sig_mat_s[1:]:
+                    dd = np.maximum(dd, hamming64(s_[ia], s_[ib]))
+                return dd
+
+            sizes_arr = sub.groupby("chunk_key", sort=False).size().to_numpy()
+            starts_arr = np.cumsum(sizes_arr) - sizes_arr
+            for s in np.unique(sizes_arr):
+                ai, bi = np.triu_indices(int(s), k=1)
+                gsel = starts_arr[sizes_arr == s]
+                A = (gsel[:, None] + ai[None, :]).ravel()
+                B = (gsel[:, None] + bi[None, :]).ravel()
+                dd = ham_all_s(A, B)
                 keep = dd <= distance
                 if keep.any():
                     parts.append(
                         pd.DataFrame(
-                            {"a": ids_s[ai[keep]], "b": ids_s[bi[keep]], "hamming": dd[keep].astype(np.int64)}
+                            {"a": ids_s[A[keep]], "b": ids_s[B[keep]], "hamming": dd[keep].astype(np.int64)}
                         )
                     )
         return pd.concat(parts, ignore_index=True)

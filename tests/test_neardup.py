@@ -217,3 +217,32 @@ def test_oph_scheme_recall_and_precision(ds, pages_rows):
     assert hit / len(planted) >= 0.99
     # verify step is exact jaccard -> precision holds regardless of scheme
     assert (edges["jaccard"] >= 0.7).all()
+
+
+def test_simhash_paired_both_mates(ray_session):
+    """Paired tail-hamming at scale (SimHash over two text columns): a pair
+    is a candidate edge only if EVERY mate is within distance — matching the
+    reference's both-mates hamming predicate (comparator.cpp:84-91)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from fastq_dupaway_ray.stages.simhash import simhash_candidate_edges
+
+    L = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    R = "one two three four five six seven eight nine ten " * 5
+    R_far = "completely different unrelated content tokens everywhere " * 5
+    rows = [
+        {"url": "a", "warc_ts": 1, "text_1": L, "text_2": R},
+        {"url": "b", "warc_ts": 2, "text_1": L, "text_2": R},       # dup of a (both mates)
+        {"url": "c", "warc_ts": 3, "text_1": L, "text_2": R_far},   # left matches, right far
+    ]
+    edges = simhash_candidate_edges(
+        rd.from_pandas(pd.DataFrame(rows)),
+        distance=3,
+        text_cols=("text_1", "text_2"),
+        order_cols=("warc_ts", "url"),
+    ).to_pandas()
+    got = set(zip(edges["a"], edges["b"]))
+    assert ("a", "b") in got or ("b", "a") in got
+    assert not any("c" in e for e in got), got

@@ -54,3 +54,44 @@ def test_streaming_shards_partition_identity_space(ray_session):
     sizes = ray.get([s.size.remote() for s in index])
     assert sum(sizes) == 97
     assert all(s > 0 for s in sizes)  # uniform hash spreads across shards
+
+
+def test_shard_k1_collision_and_batch_order(ray_session):
+    """The LSM shard's rare duplicate-k1 run fallback and within-batch
+    arrival-order first-occurrence semantics."""
+    import numpy as np
+
+    import ray
+
+    from fastq_dupaway_ray.stages.streaming import DedupIndexShard
+
+    s = DedupIndexShard.remote()
+    packed = np.array([[5, 1], [5, 2], [5, 1], [7, 9]], dtype=np.uint64)
+    mask = ray.get(s.check_and_add.remote(packed))
+    assert list(mask) == [True, True, False, True]
+    # same k1, one seen k2 + one new k2 — exercises the multi-run scan
+    mask2 = ray.get(s.check_and_add.remote(np.array([[5, 2], [5, 3]], dtype=np.uint64)))
+    assert list(mask2) == [False, True]
+    assert ray.get(s.size.remote()) == 4
+
+
+def test_shard_pending_promotion_and_compaction(ray_session):
+    """Crossing _PENDING_MAX promotes chunks; membership stays exact."""
+    import numpy as np
+
+    import ray
+
+    from fastq_dupaway_ray.stages.streaming import DedupIndexShard
+
+    s = DedupIndexShard.remote()
+    rng = np.random.RandomState(0)
+    keys = rng.randint(0, 1 << 62, size=(90_000, 2)).astype(np.uint64)
+    keys = np.unique(keys, axis=0)
+    half = len(keys) // 2
+    m1 = ray.get(s.check_and_add.remote(keys[:half]))
+    m2 = ray.get(s.check_and_add.remote(keys[half:]))
+    assert m1.all() and m2.all()
+    # everything must now be a repeat
+    m3 = ray.get(s.check_and_add.remote(keys))
+    assert not m3.any()
+    assert ray.get(s.size.remote()) == len(keys)
