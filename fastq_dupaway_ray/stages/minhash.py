@@ -358,8 +358,13 @@ def _verify_edges_join(
     upstream actor pools + sort + two hash joins into one lazy plan can
     deadlock on small CPU counts (every operator pins actors/CPUs at once).
     """
+    from ..util import coalesce_schema_blocks
+
     num_partitions = num_partitions or default_join_partitions()
     texts = pages.select_columns([id_col, text_col])
+    # map_groups-produced edge lists can contain schema-less empty blocks
+    # that the Arrow hash join rejects — normalize first
+    edges = coalesce_schema_blocks(edges)
     ea = (
         edges.join(texts, "inner", num_partitions=num_partitions, on=("a",), right_on=(id_col,))
         .rename_columns({text_col: "_text_a"})

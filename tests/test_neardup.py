@@ -246,3 +246,39 @@ def test_simhash_paired_both_mates(ray_session):
     got = set(zip(edges["a"], edges["b"]))
     assert ("a", "b") in got or ("b", "a") in got
     assert not any("c" in e for e in got), got
+
+
+def test_verify_join_fallback_matches_broadcast(ray_session, tmp_path):
+    """The >budget join-based verify must agree with the broadcast verify —
+    exercised with parquet-backed inputs so map_groups' schema-less empty
+    blocks (which Arrow hash joins reject) are present."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from fastq_dupaway_ray.functions.sketches import MinHashParams
+    from fastq_dupaway_ray.stages.minhash import dedup_edges_minhash, verify_edges_jaccard
+
+    base = "quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        {"url": f"u{i}", "warc_ts": i, "text": base if i % 2 == 0 else f"{base} tail{i}"}
+        for i in range(40)
+    ]
+    p = str(tmp_path / "pages")
+    import os
+
+    os.makedirs(p)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), os.path.join(p, "part-0.parquet"))
+    pages = rd.read_parquet(p)
+    edges = dedup_edges_minhash(pages, verify=False).materialize()
+    assert edges.count() > 0
+    params = MinHashParams()
+    thr = params.threshold()
+    via_broadcast = verify_edges_jaccard(edges, pages, thr, params=params).to_pandas()
+    via_join = verify_edges_jaccard(
+        edges, pages, thr, params=params, broadcast_edge_budget=0
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["a"], df["b"], df["jaccard"].round(9)))
+    assert key(via_broadcast) == key(via_join)
