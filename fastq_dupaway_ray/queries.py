@@ -1110,6 +1110,27 @@ def q_minhash_dedup_docs(sf_dir: str):
     return out.kept.select_columns(["doc_id", "lang"])
 
 
+def q_minhash_oph_dedup_docs(sf_dir: str):
+    """One-permutation MinHash with optimal densification (the preferred
+    100 TB signing scheme, ~K-fold less arithmetic) over the same planted
+    oracle corpus: bin-wise collision probability equals Jaccard, so the
+    planted j>=0.98 pairs band-collide with miss probability < 1e-15."""
+    from .functions.sketches import MinHashParams
+    from .pipelines.dedup import DedupConfig, run_dedup
+
+    out = run_dedup(
+        augmented_near_docs(sf_dir),
+        DedupConfig(
+            mode="minhash",
+            minhash=MinHashParams(scheme="oph"),
+            id_col="doc_id",
+            order_cols=("doc_id",),
+            emit_clusters=False,
+        ),
+    )
+    return out.kept.select_columns(["doc_id", "lang"])
+
+
 def q_ngram_jaccard_dedup_docs(sf_dir: str):
     """Word-n-gram Jaccard near-dup dedup: MinHash/LSH candidates over word
     3-gram shingles, exact word-Jaccard verify at 0.6 — same planted oracle
@@ -1275,6 +1296,22 @@ SQL_EMBEDDING_NEARDUP = f"""
     FROM aug x JOIN aug y ON x.vec_id < y.vec_id
      AND list_cosine_similarity(x.embedding, y.embedding) >= 0.95
 """
+
+
+def q_embedding_neardup_lsh(sf_dir: str):
+    """Hyperplane-LSH embedding near-dup — the 10^12-row scale path — run at
+    the recall-tested config (16 bands x 4 bits: per-qualifying-pair miss
+    probability < 5e-8, deterministic in practice) with exact in-bucket
+    cosine verify, so it shares the exact path's oracle."""
+    from .stages.ann import embedding_neardup_lsh
+
+    edges = embedding_neardup_lsh(
+        augmented_embeddings(sf_dir), threshold=0.95, planes=64, bands=16
+    )
+    df = edges.to_pandas()
+    df["a"] = df["a"].astype("int64")
+    df["b"] = df["b"].astype("int64")
+    return df
 
 
 def q_embedding_dedup(sf_dir: str):
@@ -1478,12 +1515,14 @@ REGISTRY = {
     "lang_id_docs": (q_lang_id_docs, None),
     "fingerprint_docs": (q_fingerprint_docs, None),
     "minhash_dedup_docs": (q_minhash_dedup_docs, SQL_NEAR_KEPT),
+    "minhash_oph_dedup_docs": (q_minhash_oph_dedup_docs, SQL_NEAR_KEPT),
     "ngram_jaccard_dedup_docs": (q_ngram_jaccard_dedup_docs, SQL_NEAR_KEPT),
     "simhash_dedup_docs": (q_simhash_dedup_docs, SQL_NEAR_KEPT_SIM),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_TOPK),
     "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "pages_flagship": (q_pages_flagship, SQL_PAGES_FLAGSHIP),
