@@ -44,32 +44,31 @@ def _docs(sf_dir: str) -> rd.Dataset:
 
 
 def augmented_docs(sf_dir: str) -> rd.Dataset:
-    """documents ∪ exact copies ∪ prefix extensions (deterministic)."""
+    """documents ∪ exact copies ∪ prefix extensions (deterministic).
+
+    Single-pass: one map_batches emits base rows + both planted classes per
+    batch (a three-way ``ds.union`` would read the input three times)."""
     ds = _docs(sf_dir)
 
     def _mod_filter(t: pa.Table, mod: int) -> pa.Table:
         ids = t["doc_id"].to_numpy()
         return t.filter(pa.array(ids % mod == 0))  # pyarrow 16 lacks pc.modulo
 
-    def exact_copies(t: pa.Table) -> pa.Table:
+    def build(t: pa.Table) -> pa.Table:
         m = _mod_filter(t, EXACT_COPY_MOD)
-        return m.set_column(0, "doc_id", pc.add(m["doc_id"], EXACT_COPY_OFFSET))
-
-    def prefix_exts(t: pa.Table) -> pa.Table:
+        exact = m.set_column(0, "doc_id", pc.add(m["doc_id"], EXACT_COPY_OFFSET))
         m = _mod_filter(t, PREFIX_MOD)
         new_text = pc.binary_join_element_wise(
             m["text"].combine_chunks(), pa.scalar(PREFIX_SUFFIX), ""
         )
         m = m.set_column(0, "doc_id", pc.add(m["doc_id"], PREFIX_OFFSET))
         m = m.set_column(m.schema.get_field_index("text"), "text", new_text)
-        return m.set_column(
+        prefix = m.set_column(
             m.schema.get_field_index("n_chars"), "n_chars", pc.add(m["n_chars"], len(PREFIX_SUFFIX))
         )
+        return pa.concat_tables([t, exact, prefix])
 
-    return ds.union(
-        ds.map_batches(exact_copies, batch_format="pyarrow"),
-        ds.map_batches(prefix_exts, batch_format="pyarrow"),
-    )
+    return ds.map_batches(build, batch_format="pyarrow")
 
 
 # -------------------------------------------------- near-dup (oracle-planted)
@@ -325,27 +324,18 @@ def paired_docs(sf_dir: str) -> rd.Dataset:
             t2 = pc.binary_join_element_wise(t2, pa.scalar(s2), "")
         return pa.table({"doc_id": pc.add(m["doc_id"], offset), "text_1": t1, "text_2": t2})
 
-    return (
-        ds.map_batches(base, batch_format="pyarrow")
-        .union(
-            ds.map_batches(
-                lambda t: planted(t, PAIR_EXACT_MOD, PAIR_EXACT_OFFSET, "", ""),
-                batch_format="pyarrow",
-            )
+    def build(t: pa.Table) -> pa.Table:
+        # single pass: base + all three planted classes per batch
+        return pa.concat_tables(
+            [
+                base(t),
+                planted(t, PAIR_EXACT_MOD, PAIR_EXACT_OFFSET, "", ""),
+                planted(t, PAIR_BOTH_MOD, PAIR_BOTH_OFFSET, PAIR_SUFFIX_1, PAIR_SUFFIX_2),
+                planted(t, PAIR_LEFT_MOD, PAIR_LEFT_OFFSET, PAIR_SUFFIX_1, ""),
+            ]
         )
-        .union(
-            ds.map_batches(
-                lambda t: planted(t, PAIR_BOTH_MOD, PAIR_BOTH_OFFSET, PAIR_SUFFIX_1, PAIR_SUFFIX_2),
-                batch_format="pyarrow",
-            )
-        )
-        .union(
-            ds.map_batches(
-                lambda t: planted(t, PAIR_LEFT_MOD, PAIR_LEFT_OFFSET, PAIR_SUFFIX_1, ""),
-                batch_format="pyarrow",
-            )
-        )
-    )
+
+    return ds.map_batches(build, batch_format="pyarrow")
 
 
 def q_dedup_loose_paired_docs(sf_dir: str):
