@@ -87,6 +87,26 @@ def main(argv=None) -> int:
 
     from .pipelines.dedup import DedupConfig, run_dedup
 
+    # checkpointed flagship path: single-input MinHash near-dedup with
+    # per-stage resume (state.checkpoint manifests) — re-running after a
+    # crash skips completed stages
+    if args.checkpoint_root and args.minhash and not args.input_2:
+        from .pipelines.flagship import run_flagship
+
+        kept, clusters, metrics = run_flagship(
+            args.input_1, out_dir=None, ckpt_root=args.checkpoint_root
+        )
+        os.makedirs(args.output_1, exist_ok=True)
+        kept.write_parquet(args.output_1)
+        if args.write_clusters and clusters is not None:
+            clusters.write_parquet(args.output_1.rstrip("/") + ".clusters")
+        if args.verbose:
+            print(json.dumps(metrics))
+        return 0
+    if args.checkpoint_root:
+        print("--checkpoint-root currently applies to single-input --minhash runs; ignored",
+              file=sys.stderr)
+
     ds = rd.read_parquet(args.input_1)
     paired = bool(args.input_2)
     if paired:

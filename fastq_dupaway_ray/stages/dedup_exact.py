@@ -45,6 +45,18 @@ DEFAULT_ORDER = ("warc_ts", "url")
 _SALT2 = np.uint64(0xD6E8FEB86659FD93)
 
 
+def _value_lengths(vals: np.ndarray) -> np.ndarray:
+    """Per-value length fold (setRecord's (packed, len) identity,
+    /root/reference/src/hash_dup_remover.hpp:19-41); zero for unsized types
+    (ints/floats — their hash alone carries the identity)."""
+    try:
+        return np.fromiter(
+            (len(v) if v is not None else 0 for v in vals), dtype=np.uint64, count=len(vals)
+        )
+    except TypeError:
+        return np.zeros(len(vals), dtype=np.uint64)
+
+
 def add_identity_columns(
     batch: pa.Table, key_cols=("text",), hash_col: str = "_key64", bucket_col: str = "_bucket", num_buckets: int = 64
 ) -> pa.Table:
@@ -56,9 +68,7 @@ def add_identity_columns(
             arr = arr.combine_chunks()
         vals = arr.to_numpy(zero_copy_only=False).astype(object)
         h = hash64(vals)
-        # fold the length in explicitly, mirroring setRecord's (packed, len)
-        # identity (/root/reference/src/hash_dup_remover.hpp:19-41)
-        lens = np.fromiter((len(v) if v is not None else 0 for v in vals), dtype=np.uint64, count=len(vals))
+        lens = _value_lengths(vals)
         hashes.append(h)
         hashes.append(lens)
     key = combine_hash64(*hashes)
@@ -83,9 +93,7 @@ def _identity128(batch: pa.Table, key_cols) -> tuple:
             arr = arr.combine_chunks()
         vals = arr.to_numpy(zero_copy_only=False).astype(object)
         h = hash64(vals)
-        lens = np.fromiter(
-            (len(v) if v is not None else 0 for v in vals), dtype=np.uint64, count=len(vals)
-        )
+        lens = _value_lengths(vals)
         parts.append(h)
         parts.append(lens)
     k1 = combine_hash64(*parts)

@@ -172,3 +172,33 @@ def test_cli_flag_validation(paths, ray_session):
     assert main(["-i", src, "-o", out, "--fast", "--compare-seq", "loose"]) == 2
     assert main(["-i", src, "-o", out, "--unordered"]) == 2
     assert main(["-i", src, "-o", out, "--fast", "-m", "100"]) == 2
+
+
+def test_cli_checkpointed_minhash_resume(pages_corpus, tmp_path, ray_session):
+    """--checkpoint-root with --minhash runs the checkpointed flagship; a
+    second run resumes from the manifests (same output, stages skipped)."""
+    src, _ = pages_corpus
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    ck = str(tmp_path / "ck")
+    assert main(["-i", src, "-o", out1, "--minhash", "--checkpoint-root", ck]) == 0
+    assert os.path.exists(os.path.join(ck, "exact", "_MANIFEST.json"))
+    assert main(["-i", src, "-o", out2, "--minhash", "--checkpoint-root", ck]) == 0
+    t1, t2 = pq.read_table(out1), pq.read_table(out2)
+    assert sorted(t1["url"].to_pylist()) == sorted(t2["url"].to_pylist())
+
+
+def test_dedup_exact_integer_key(ray_session):
+    """dedup_exact over a non-string (integer) key column — the identity
+    length fold must not assume sized values."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from fastq_dupaway_ray.stages.dedup_exact import dedup_exact
+
+    rows = [{"url": f"u{i}", "warc_ts": i, "k": i % 5} for i in range(20)]
+    kept = dedup_exact(
+        rd.from_pandas(pd.DataFrame(rows)), key_cols=("k",), order_cols=("warc_ts", "url")
+    ).to_pandas()
+    assert sorted(kept["k"]) == [0, 1, 2, 3, 4]
+    assert sorted(kept["url"]) == [f"u{i}" for i in range(5)]
