@@ -81,3 +81,39 @@ def test_tiny_embedding_neardup(ray_session):
     lsh = embedding_neardup_lsh(vecs, threshold=0.9).to_pandas()
     pairs = set(zip(lsh["a"], lsh["b"])) if len(lsh) else set()
     assert pairs <= {(1, 2)}
+
+
+def test_tiny_containment_and_hamming(tiny, ray_session):
+    from fastq_dupaway_ray.pipelines.dedup import DedupConfig, run_dedup
+    from fastq_dupaway_ray.stages.containment import containment_edges
+
+    edges = containment_edges(tiny, anchors=None, id_col="url").to_pandas()
+    got = set(zip(edges["a"], edges["b"])) if len(edges) else set()
+    assert got == set()  # equal-length texts: no strict containment
+    out = run_dedup(tiny, DedupConfig(mode="hamming", distance=1))
+    assert out.metrics["kept"] == 2  # chain path on a tiny input
+
+    one = rd.from_pandas(pd.DataFrame(TINY[:1]))
+    assert len(containment_edges(one, anchors=4, id_col="url").to_pandas()) == 0
+
+
+def test_tiny_paired_modes(ray_session):
+    from fastq_dupaway_ray.pipelines.dedup import DedupConfig, run_dedup
+
+    rows = [
+        {"url": "a", "warc_ts": 0, "text_1": "xx yy", "text_2": "pp qq"},
+        {"url": "b", "warc_ts": 1, "text_1": "xx yy", "text_2": "pp qq"},
+        {"url": "c", "warc_ts": 2, "text_1": "xx yy", "text_2": "rr ss"},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    for mode in ("tight", "loose", "hamming", "simhash"):
+        out = run_dedup(
+            ds,
+            DedupConfig(
+                mode=mode,
+                text_cols=("text_1", "text_2"),
+                key_cols=("text_1", "text_2"),
+                distance=0,
+            ),
+        )
+        assert out.metrics["kept"] == 2, mode  # c differs on mate 2
