@@ -369,16 +369,34 @@ def verify_edges_jaccard(
         endpoints = pd.unique(np.concatenate([edf["a"].to_numpy(), edf["b"].to_numpy()]))
         ep_ref = ray.put(pa.array(endpoints))
 
-        def pick(df: pd.DataFrame) -> pd.DataFrame:
+        def pick(t: pa.Table) -> pa.Table:
             eps = _fetch_cached(ep_ref, lambda a: set(a.to_pylist()))
-            return df.loc[df[id_col].isin(eps), [id_col, text_col]]
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(object)
+            mask = pd.Series(ids).isin(eps).to_numpy()
+            return t.select([id_col, text_col]).filter(pa.array(mask))
 
-        tdf = pages.select_columns([id_col, text_col]).map_batches(
-            pick, batch_format="pandas"
-        ).to_pandas()
-        texts_ref = ray.put(
-            pa.table({"id": pa.array(tdf[id_col]), "text": pa.array(tdf[text_col])})
+        # the endpoint texts never touch the driver: picked blocks stay in
+        # the object store and a remote task concatenates them into the ONE
+        # broadcast table whose ref the scorers fetch
+        picked = (
+            pages.select_columns([id_col, text_col])
+            .map_batches(pick, batch_format="pyarrow")
+            .materialize()
         )
+
+        @ray.remote
+        def _assemble(*blocks):
+            tabs = [
+                b if isinstance(b, pa.Table) else pa.Table.from_pandas(b, preserve_index=False)
+                for b in blocks
+            ]
+            t = pa.concat_tables(tabs)
+            return t.select([id_col, text_col])
+
+        block_refs = [
+            ref for bundle in picked.iter_internal_ref_bundles() for ref, _meta in bundle.blocks
+        ]
+        texts_ref = _assemble.remote(*block_refs)
         # scoring parallelism = block count; the edge list often lands in a
         # handful of groupby output blocks, so spread it before the pool
         n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
