@@ -94,13 +94,18 @@ def rolling_fingerprint(text: str, window: int = 64, base: int = 1000003) -> int
     return int(out)
 
 
-def char_ngram_hashes(text: str, k: int = 8, base: int = 1000003) -> np.ndarray:
-    """Unique hashes of all character k-grams (shingles) of ``text`` -> uint64[].
+def char_ngram_hashes(text: str, k: int = 8, base: int = 1000003, unique: bool = True) -> np.ndarray:
+    """Hashes of all character k-grams (shingles) of ``text`` -> uint64[].
 
     The web-text generalization of the reference's fixed 17-char base-5 chunk
     packing (/root/reference/src/seq_utils.cpp:23-33, CHUNKSIZE=17): instead of
     lossless packing over a 5-letter alphabet, overlapping k-byte windows are
     polynomial-hashed. Fully vectorized: O(n*k) uint64 ops per document.
+
+    ``unique=True`` (default) returns the sorted-unique set — required by the
+    Jaccard/containment consumers. Min-based sketches (OPH) pass
+    ``unique=False``: duplicates cannot change a minimum, and skipping the
+    per-doc sort halves signing cost (measured).
     """
     data = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8).astype(np.uint64)
     n = len(data)
@@ -112,7 +117,7 @@ def char_ngram_hashes(text: str, k: int = 8, base: int = 1000003) -> np.ndarray:
     powers = _pow_vector(base, k)
     windows = np.lib.stride_tricks.sliding_window_view(data, k)
     hashes = (windows * powers).sum(axis=1, dtype=np.uint64)
-    return np.unique(hashes)
+    return np.unique(hashes) if unique else hashes
 
 
 def char_ngram_hashes_batch(texts, k: int = 8, base: int = 1000003):
@@ -162,8 +167,9 @@ def char_ngram_hashes_batch(texts, k: int = 8, base: int = 1000003):
     return values, starts, counts
 
 
-def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Unique hashes of word n-grams (token shingles) -> uint64[]."""
+def word_ngram_hashes(text: str, n: int = 3, unique: bool = True) -> np.ndarray:
+    """Hashes of word n-grams (token shingles) -> uint64[] (see
+    char_ngram_hashes for the ``unique`` contract)."""
     toks = text.split()
     if not toks:
         return np.empty(0, dtype=np.uint64)
@@ -171,7 +177,8 @@ def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
         grams = [" ".join(toks)]
     else:
         grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    return np.unique(hash64(grams))
+    h = hash64(grams)
+    return np.unique(h) if unique else h
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

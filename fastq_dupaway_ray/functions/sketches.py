@@ -44,10 +44,10 @@ class MinHashParams:
     word_n: int = 3
     scheme: str = "kperm"  # "kperm" = classic K permutations; "oph" = one-permutation + densification
 
-    def shingles_of(self, text: str) -> "np.ndarray":
+    def shingles_of(self, text: str, unique: bool = True) -> "np.ndarray":
         if self.shingle == "word":
-            return word_ngram_hashes(text, self.word_n)
-        return char_ngram_hashes(text, self.shingle_k)
+            return word_ngram_hashes(text, self.word_n, unique=unique)
+        return char_ngram_hashes(text, self.shingle_k, unique=unique)
 
     def __post_init__(self):
         if self.bands * self.rows_per_band != self.num_perms:
@@ -90,10 +90,11 @@ class MinHasher:
         return sig
 
     def sign_text(self, text: str) -> np.ndarray:
-        shingles = self.params.shingles_of(text)
         if self.params.scheme == "oph":
-            return self.signature_oph(shingles)
-        return self.signature(shingles)
+            # duplicates can't change a bin minimum — skip the per-doc sort
+            # (halves OPH signing cost; bitwise-identical signatures)
+            return self.signature_oph(self.params.shingles_of(text, unique=False))
+        return self.signature(self.params.shingles_of(text))
 
     def signature_oph(self, shingles: np.ndarray) -> np.ndarray:
         """One-permutation MinHash with optimal densification (Shrivastava,
