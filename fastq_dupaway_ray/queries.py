@@ -690,6 +690,26 @@ SQL_STREAMING_DEDUP_DOCS = f"""
 """
 
 
+def q_streaming_neardup_docs(sf_dir: str):
+    """Incremental MinHash NEAR-dedup through the sharded band-index actors
+    (the streaming analogue of the flagship; which member of each planted
+    cluster survives is processing-order-dependent, but the kept COUNT is
+    exactly one per cluster — candidate recall between planted pairs is
+    1 - 1e-10 by signature identity/agreement)."""
+    from .stages.streaming import streaming_dedup_neardup
+
+    kept, _index = streaming_dedup_neardup(
+        augmented_near_docs(sf_dir), id_col="doc_id", concurrency=1
+    )
+    return pd.DataFrame({"kept": [kept.count()]})
+
+
+SQL_STREAMING_NEARDUP_DOCS = f"""
+    WITH kept AS ({_NEAR_IDS_SQL})
+    SELECT count(*) AS kept FROM kept
+"""
+
+
 def q_topk_per_lang_docs(sf_dir: str):
     """Windowed rank: top-3 docs per language by (n_chars desc, doc_id) —
     grouped top-k via ONE bucketed vectorized pass (no per-group Python)."""
@@ -1489,6 +1509,7 @@ REGISTRY = {
     "training_pipeline_docs": (q_training_pipeline_docs, SQL_TRAINING_PIPELINE_DOCS),
     "training_pipeline_full_docs": (q_training_pipeline_full_docs, SQL_TRAINING_PIPELINE_FULL_DOCS),
     "streaming_dedup_docs": (q_streaming_dedup_docs, SQL_STREAMING_DEDUP_DOCS),
+    "streaming_neardup_docs": (q_streaming_neardup_docs, SQL_STREAMING_NEARDUP_DOCS),
     "set_intersect_docs": (q_set_intersect_docs, SQL_SET_INTERSECT_DOCS),
     "set_except_docs": (q_set_except_docs, SQL_SET_EXCEPT_DOCS),
     "sort_topn_docs": (q_sort_topn_docs, SQL_SORT_TOPN_DOCS),

@@ -146,6 +146,175 @@ def make_index(n_shards: int = 8):
     return [DedupIndexShard.remote() for _ in range(n_shards)]
 
 
+@ray.remote(num_cpus=0.25)
+class BandIndexShard:
+    """Streaming NEAR-dup index shard: owns the LSH band keys with
+    ``band_key % n_shards == shard_id``. Each bucket stores the signatures of
+    previously KEPT docs that emitted that band key (ST5 as mutable state —
+    the near-dup analogue of the exact seen-set shards above).
+
+    Memory: one (id, 128x8B signature) per kept doc per resident band —
+    horizontal across shards; at 10^12 docs this is the component you scale
+    by adding shards/nodes (the corpus text itself never enters the index).
+    """
+
+    def __init__(self, max_bucket: int = 64):
+        self.buckets: dict = {}  # band_key -> (list[id], list[np.ndarray sig])
+        self.max_bucket = max_bucket
+
+    def query(self, band_keys: np.ndarray):
+        """For each band key: the resident (ids, sig matrix) of its bucket."""
+        out = []
+        for k in band_keys.tolist():
+            b = self.buckets.get(k)
+            if b is None:
+                out.append(None)
+            else:
+                out.append((list(b[0]), np.stack(b[1])))
+        return out
+
+    def add(self, band_keys: np.ndarray, ids, sigs: np.ndarray):
+        """Insert kept docs' signatures under their band keys (bounded per
+        bucket — hot boilerplate bands keep only the first max_bucket heads,
+        the salted-star memory bound)."""
+        for k, i, s in zip(band_keys.tolist(), ids, sigs):
+            b = self.buckets.setdefault(k, ([], []))
+            if len(b[0]) < self.max_bucket:
+                b[0].append(i)
+                b[1].append(s)
+
+    def size(self) -> int:
+        return sum(len(b[0]) for b in self.buckets.values())
+
+
+class StreamingNearDedup:
+    """map_batches callable: drop batch rows whose MinHash signature matches a
+    previously-kept doc above ``threshold`` (estimated Jaccard = fraction of
+    agreeing signature positions); survivors register their band keys.
+
+    Mirrors the exact streaming index's processing-order semantics. The
+    check-then-insert is atomic per batch but not across concurrent batches —
+    run ``concurrency=1`` for strict first-wins semantics (the reference is
+    serial anyway); parallel ingest may rarely keep both of a near-pair
+    (documented, like the reference's own adjacency approximation).
+    """
+
+    def __init__(self, shard_handles, params=None, text_col: str = "text", id_col: str = "url",
+                 threshold: float | None = None):
+        from ..functions.sketches import MinHashParams
+
+        self.shards = shard_handles
+        self.params = params or MinHashParams()
+        self.text_col = text_col
+        self.id_col = id_col
+        self.threshold = threshold if threshold is not None else self.params.threshold()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .minhash import _cached_hasher
+
+        hasher = _cached_hasher(self.params)
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        n = len(texts)
+        if n == 0:
+            return batch
+        sigs = hasher.signatures_batch(texts)  # (n, K)
+        keys = hasher.band_keys_batch(sigs)  # (n, bands)
+        S = len(self.shards)
+        flat_keys = keys.ravel()
+        owner = (flat_keys % np.uint64(S)).astype(np.int64)
+        futures, slots = [], []
+        for s in range(S):
+            rows = np.nonzero(owner == s)[0]
+            if len(rows):
+                futures.append(self.shards[s].query.remote(flat_keys[rows]))
+                slots.append(rows)
+        responses = [None] * len(flat_keys)
+        for rows, res in zip(slots, ray.get(futures)):
+            for r, v in zip(rows, res):
+                responses[r] = v
+        K = self.params.num_perms
+        keep = np.ones(n, dtype=bool)
+        kept_sigs: dict = {}  # within-batch kept docs also candidate against each other
+        kept_keys: dict = {}
+        for i in range(n):
+            dup = False
+            cand_sigs, seen_ids = [], set()
+            for b in range(keys.shape[1]):
+                resp = responses[i * keys.shape[1] + b]
+                if resp is not None:
+                    for cid, csig in zip(resp[0], resp[1]):
+                        if cid not in seen_ids:
+                            seen_ids.add(cid)
+                            cand_sigs.append(csig)
+                # within-batch candidates from earlier kept rows of this batch
+                prior = kept_keys.get(int(keys[i, b]))
+                if prior is not None:
+                    for cid in prior:
+                        if cid not in seen_ids:
+                            seen_ids.add(cid)
+                            cand_sigs.append(kept_sigs[cid])
+            if cand_sigs:
+                agree = (np.stack(cand_sigs) == sigs[i][None, :]).mean(axis=1)
+                dup = bool((agree >= self.threshold).any())
+            keep[i] = not dup
+            if not dup:
+                kept_sigs[ids[i]] = sigs[i]
+                for b in range(keys.shape[1]):
+                    kept_keys.setdefault(int(keys[i, b]), []).append(ids[i])
+        # register the kept docs' bands
+        kept_rows = np.nonzero(keep)[0]
+        if len(kept_rows):
+            kk = keys[kept_rows].ravel()
+            kown = (kk % np.uint64(S)).astype(np.int64)
+            ksigs = np.repeat(sigs[kept_rows], keys.shape[1], axis=0)
+            kids = np.repeat(np.array(ids, dtype=object)[kept_rows], keys.shape[1])
+            adds = []
+            for s in range(S):
+                rows = np.nonzero(kown == s)[0]
+                if len(rows):
+                    adds.append(self.shards[s].add.remote(kk[rows], kids[rows].tolist(), ksigs[rows]))
+            ray.get(adds)
+        return batch.filter(pa.array(keep))
+
+
+def make_band_index(n_shards: int = 8, max_bucket: int = 64):
+    return [BandIndexShard.remote(max_bucket=max_bucket) for _ in range(n_shards)]
+
+
+def streaming_dedup_neardup(
+    ds: ray.data.Dataset,
+    index=None,
+    params=None,
+    text_col: str = "text",
+    id_col: str = "url",
+    threshold: float | None = None,
+    n_shards: int = 8,
+    batch_size: int = 2048,
+    concurrency=1,
+):
+    """Incremental MinHash near-dedup against a persistent sharded band index.
+
+    Returns (kept_dataset, index); feed later slices the same ``index``.
+    ``concurrency=1`` gives strict first-wins semantics (see
+    StreamingNearDedup)."""
+    index = index if index is not None else make_band_index(n_shards)
+    kept = ds.map_batches(
+        StreamingNearDedup,
+        fn_constructor_kwargs={
+            "shard_handles": index,
+            "params": params,
+            "text_col": text_col,
+            "id_col": id_col,
+            "threshold": threshold,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return kept, index
+
+
 def streaming_dedup_exact(
     ds: ray.data.Dataset,
     index=None,

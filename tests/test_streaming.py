@@ -95,3 +95,52 @@ def test_shard_pending_promotion_and_compaction(ray_session):
     m3 = ray.get(s.check_and_add.remote(keys))
     assert not m3.any()
     assert ray.get(s.size.remote()) == len(keys)
+
+
+def test_streaming_neardup_incremental(ray_session):
+    """Band-index streaming near-dedup: exact + near copies of already-kept
+    docs are dropped across slices; unrelated docs survive."""
+    import pandas as pd
+
+    import ray
+    import ray.data as rd
+
+    from fastq_dupaway_ray.stages.streaming import streaming_dedup_neardup
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    other = "completely different content with nothing shared at all here " * 4
+    s1 = [
+        {"url": "a", "text": base},
+        {"url": "b", "text": other},
+    ]
+    kept1, index = streaming_dedup_neardup(
+        rd.from_pandas(pd.DataFrame(s1)), concurrency=1
+    )
+    assert sorted(kept1.to_pandas()["url"]) == ["a", "b"]
+    # slice 2: exact copy of a, near copy of b (one appended token), one new
+    s2 = [
+        {"url": "c", "text": base},
+        {"url": "d", "text": other + " tailtoken"},
+        {"url": "e", "text": "brand new unrelated text tokens everywhere " * 4},
+    ]
+    kept2, index = streaming_dedup_neardup(
+        rd.from_pandas(pd.DataFrame(s2)), index=index, concurrency=1
+    )
+    assert sorted(kept2.to_pandas()["url"]) == ["e"]
+    sizes = ray.get([s.size.remote() for s in index])
+    assert sum(sizes) > 0
+
+
+def test_streaming_neardup_within_batch(ray_session):
+    """Duplicates arriving in the SAME batch are caught too (within-batch
+    candidate tracking)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from fastq_dupaway_ray.stages.streaming import streaming_dedup_neardup
+
+    t = "some repeated web page boilerplate content tokens " * 5
+    rows = [{"url": f"u{i}", "text": t} for i in range(10)]
+    kept, _ = streaming_dedup_neardup(rd.from_pandas(pd.DataFrame(rows)), concurrency=1)
+    assert kept.count() == 1
