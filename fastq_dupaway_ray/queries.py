@@ -204,6 +204,75 @@ SQL_CLUSTERS_EXACT_DOCS = f"""
 """
 
 
+def q_cluster_size_hist_docs(sf_dir: str):
+    """Duplicate-cluster size histogram — the dedup-report aggregate a corpus
+    operator reads first (how much boilerplate, how deep the copies). One
+    slim identity shuffle (combiner-style partial counts per batch), cluster
+    sizes re-aggregated into the histogram — payload never moves."""
+    from .stages.dedup_exact import _identity128
+    from .stages.minhash import _default_shuffle_buckets
+
+    B = _default_shuffle_buckets()
+    ds = augmented_docs(sf_dir)
+
+    def slim(t: pa.Table) -> pa.Table:
+        k1, k2 = _identity128(t, ["text"])
+        df = pd.DataFrame({"k1": k1, "k2": k2}).groupby(["k1", "k2"], as_index=False).size()
+        return pa.table(
+            {
+                "k1": pa.array(df["k1"].to_numpy(), pa.uint64()),
+                "k2": pa.array(df["k2"].to_numpy(), pa.uint64()),
+                "n": pa.array(df["size"].to_numpy(), pa.int64()),
+                "_bkt": pa.array((df["k1"].to_numpy() % np.uint64(B)).astype(np.int64)),
+            }
+        )
+
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["k1", "k2"], as_index=False).agg(sz=("n", "sum"))
+        return g.groupby("sz", as_index=False).size().rename(
+            columns={"sz": "cluster_size", "size": "n_clusters"}
+        )
+
+    out = (
+        ds.map_batches(slim, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(sizes, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.groupby("cluster_size", as_index=False).agg(n_clusters=("n_clusters", "sum"))
+
+
+SQL_CLUSTER_SIZE_HIST_DOCS = f"""
+    WITH aug AS ({_AUGMENT_SQL}),
+    c AS (SELECT count(*) AS cluster_size FROM aug GROUP BY text)
+    SELECT cluster_size, count(*) AS n_clusters FROM c GROUP BY cluster_size
+"""
+
+
+def q_train_split_docs(sf_dir: str):
+    """Deterministic held-out split by content-independent id hash (md5 —
+    byte-identical in Python and DuckDB): ~10% of docs to 'val', rest
+    'train'. The reproducible split every training-corpus pipeline needs —
+    stable under re-runs, resharding and retries."""
+    import hashlib
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(str(i).encode()).hexdigest()[:2] for i in df["doc_id"]]
+        out = df[["doc_id", "lang"]].copy()
+        out["split"] = np.where(np.array(h, dtype=object) < "1a", "val", "train")
+        return out
+
+    return _docs(sf_dir).map_batches(split, batch_format="pandas")
+
+
+SQL_TRAIN_SPLIT_DOCS = """
+    SELECT doc_id, lang,
+           CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '1a'
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+"""
+
+
 def q_dedup_counts_docs(sf_dir: str):
     """Run-summary counters (--verbose, SURVEY.md A7).
 
@@ -1503,6 +1572,8 @@ REGISTRY = {
     "dedup_exact_composite_docs": (q_dedup_exact_composite_docs, SQL_DEDUP_EXACT_COMPOSITE_DOCS),
     "clusters_exact_docs": (q_clusters_exact_docs, SQL_CLUSTERS_EXACT_DOCS),
     "dedup_counts_docs": (q_dedup_counts_docs, SQL_DEDUP_COUNTS_DOCS),
+    "cluster_size_hist_docs": (q_cluster_size_hist_docs, SQL_CLUSTER_SIZE_HIST_DOCS),
+    "train_split_docs": (q_train_split_docs, SQL_TRAIN_SPLIT_DOCS),
     "dedup_loose_docs": (q_dedup_loose_docs, SQL_DEDUP_LOOSE_DOCS),
     "dedup_loose_paired_docs": (q_dedup_loose_paired_docs, SQL_DEDUP_LOOSE_PAIRED_DOCS),
     "dedup_tight_paired_docs": (q_dedup_tight_paired_docs, SQL_DEDUP_TIGHT_PAIRED_DOCS),
