@@ -34,21 +34,77 @@ class JoinResult:
     unmatched: int  # rows with no partner on the other side, summed over both sides
 
 
-def _first_per_key(ds: ray.data.Dataset, key: str, order_cols, num_buckets: int = 32) -> ray.data.Dataset:
-    """Keep the first row per key by order (vectorized bucketed pass).
+def _first_per_key(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols,
+    num_buckets: int = 32,
+    drop_broadcast_budget: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Keep the first row per key by order.
 
-    Schema-preserving: ``map_groups`` over pandas batches can hand the UDF an
-    empty schema-less frame (observed on ``read_parquet`` inputs), and a
-    schema-less empty block downstream breaks the Arrow hash join ("No match
-    or multiple matches for key field"). Degenerate frames are replaced by a
-    correctly-typed empty table derived from the input schema."""
-    schema = ds.schema()
-    names = list(schema.names)
-    order_cols = [c for c in order_cols if c in names]
-    try:
-        arrow_schema = pa.schema(
-            [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
+    Default path (order columns present): a SLIM (key, order) projection
+    finds the losing rows via one bucketed groupby; the drop set — the
+    duplicate keys only, usually tiny — broadcasts back as a filter over the
+    original blocks. The payload never enters a shuffle, and the output
+    keeps the input schema even when empty (a full-row map_groups pass can
+    emit schema-less empty blocks that break downstream Arrow hash joins).
+    Falls back to the payload-shuffle pass when no order column exists (no
+    way to name a loser row) or the drop set exceeds the broadcast budget."""
+    names = list(ds.schema().names)
+    ocols = [c for c in order_cols if c in names and c != key]
+    if not ocols:
+        return _first_per_key_shuffle(ds, key, [], num_buckets)
+    slim_cols = [key, *ocols]
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[slim_cols].copy()
+        out["_jbucket"] = pd.util.hash_array(out[key].to_numpy(dtype=object)) % num_buckets
+        return out
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or key not in df.columns:
+            return pd.DataFrame({c: [] for c in slim_cols})
+        df = df.sort_values(ocols, kind="mergesort")
+        lose = df.duplicated(subset=[key], keep="first")
+        return df.loc[lose, slim_cols]
+
+    drops = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("_jbucket")
+        .map_groups(losers, batch_format="pandas")
+        .materialize()
+    )
+    n_drops = drops.count()
+    if n_drops == 0:
+        return ds
+    # the broadcast filter wins when duplicates are RARE (web-crawl ids):
+    # the payload never shuffles. With heavy duplication (e.g. many orders
+    # per customer) the per-batch tuple-set membership dwarfs one shuffle —
+    # fall back. Both limbs are exact.
+    if n_drops > drop_broadcast_budget or n_drops * 10 > ds.count():
+        return _first_per_key_shuffle(ds, key, ocols, num_buckets)
+
+    from .minhash import _fetch_cached
+
+    ddf = drops.to_pandas()
+    drop_ref = ray.put(pa.table({c: pa.array(ddf[c]) for c in slim_cols}))
+
+    def keep_filter(df: pd.DataFrame) -> pd.DataFrame:
+        dlist = _fetch_cached(
+            drop_ref, lambda t: set(zip(*(t[c].to_pylist() for c in slim_cols)))
         )
+        idx = pd.MultiIndex.from_arrays([df[c] for c in slim_cols])
+        return df[~idx.isin(dlist)]
+
+    return ds.map_batches(keep_filter, batch_format="pandas")
+
+
+def _first_per_key_shuffle(ds: ray.data.Dataset, key: str, ocols, num_buckets: int) -> ray.data.Dataset:
+    """Payload-shuffle fallback (schema-preserving empty guard included)."""
+    schema = ds.schema()
+    try:
+        arrow_schema = pa.schema([pa.field(n, t) for n, t in zip(schema.names, schema.types)])
         empty_df = arrow_schema.empty_table().to_pandas()
     except Exception:
         empty_df = None
@@ -61,8 +117,8 @@ def _first_per_key(ds: ray.data.Dataset, key: str, order_cols, num_buckets: int 
     def first(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0 or key not in df.columns:
             return empty_df if empty_df is not None else df
-        if order_cols:
-            df = df.sort_values(order_cols, kind="mergesort")
+        if ocols:
+            df = df.sort_values(ocols, kind="mergesort")
         return df.drop_duplicates(subset=[key], keep="first").drop(columns=["_jbucket"])
 
     return (
@@ -78,23 +134,33 @@ def join_unordered(
     key: str = "url",
     order_cols=DEFAULT_ORDER,
     num_partitions: int | None = None,
+    broadcast_budget: int = 2_000_000,
 ) -> JoinResult:
     """Inner join on ``key`` with unmatched accounting (both sides deduped to
-    first-occurrence-per-key first, mirroring the reference's unique-id merge)."""
+    first-occurrence-per-key first, mirroring the reference's unique-id merge).
+
+    When one side fits ``broadcast_budget`` rows it is broadcast once via
+    ``ray.put`` and the join runs as a map-side pandas merge over the big
+    side — zero shuffle (the canonical dimension-join pattern at 100 TB).
+    Suffix semantics match ``Dataset.join`` (clashing non-key columns get
+    _l/_r), which handles the above-budget fallback."""
     num_partitions = num_partitions or default_join_partitions()
     # coalesce: map_groups can emit schema-less empty blocks that break the
     # Arrow hash join (reproduced with read_parquet inputs at 32 CPUs)
     l1 = coalesce_schema_blocks(_first_per_key(left, key, order_cols)).materialize()
     r1 = coalesce_schema_blocks(_first_per_key(right, key, order_cols)).materialize()
     lt, rt = l1.count(), r1.count()
-    pairs = l1.join(
-        r1,
-        "inner",
-        num_partitions=num_partitions,
-        on=(key,),
-        left_suffix="_l",
-        right_suffix="_r",
-    ).materialize()
+    if min(lt, rt) <= broadcast_budget:
+        pairs = _broadcast_inner_join(l1, r1, key, small_is_right=(rt <= lt)).materialize()
+    else:
+        pairs = l1.join(
+            r1,
+            "inner",
+            num_partitions=num_partitions,
+            on=(key,),
+            left_suffix="_l",
+            right_suffix="_r",
+        ).materialize()
     matched = pairs.count()
     return JoinResult(
         pairs=pairs,
@@ -103,3 +169,38 @@ def join_unordered(
         matched=matched,
         unmatched=(lt - matched) + (rt - matched),
     )
+
+
+def _broadcast_inner_join(
+    l1: ray.data.Dataset, r1: ray.data.Dataset, key: str, small_is_right: bool
+) -> ray.data.Dataset:
+    """Map-side inner join: the small side ships once as Arrow via ray.put
+    and each big-side batch pandas-merges against the worker-cached frame
+    (suffixes ("_l", "_r") on clashing non-key columns, like Dataset.join)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from .minhash import _fetch_cached
+
+    big, small = (l1, r1) if small_is_right else (r1, l1)
+
+    def _to_arrow(ds: ray.data.Dataset) -> pa.Table:
+        tabs = [b for b in ds.iter_batches(batch_format="pyarrow")]
+        return pa.concat_tables(tabs) if tabs else None
+
+    small_tab = _to_arrow(small)
+    if small_tab is None or small_tab.num_rows == 0:
+        # empty small side -> empty inner join with the joined schema
+        def empty(df: pd.DataFrame) -> pd.DataFrame:
+            return df.iloc[0:0]
+
+        return big.map_batches(empty, batch_format="pandas")
+    small_ref = _ray.put(small_tab)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        sdf = _fetch_cached(small_ref, lambda t: t.to_pandas())
+        if small_is_right:
+            return df.merge(sdf, on=key, how="inner", suffixes=("_l", "_r"))
+        return sdf.merge(df, on=key, how="inner", suffixes=("_l", "_r"))
+
+    return big.map_batches(merge, batch_format="pandas")
