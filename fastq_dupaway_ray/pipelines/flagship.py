@@ -105,8 +105,12 @@ def run_flagship(
     metrics["exact_dup_removed"] = metrics["valid"] - metrics["after_exact"]
 
     if out_dir:
-        kept.write_parquet(os.path.join(out_dir, "kept"))
-        clusters.write_parquet(os.path.join(out_dir, "clusters"))
+        # final sinks go through the same manifest machinery as stage
+        # checkpoints: per-partition row counts, atomic rename, and
+        # skip-if-complete on re-run (resumable output, north rule)
+        fp3 = fingerprint("kept", fp2)
+        kept = checkpoint(kept, out_dir, "kept", fp3)
+        clusters = checkpoint(clusters, out_dir, "clusters", fingerprint("clusters", fp3))
         with open(os.path.join(out_dir, "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=1)
     return kept, clusters, metrics

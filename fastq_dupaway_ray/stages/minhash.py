@@ -390,8 +390,14 @@ def verify_edges_jaccard(
                 b if isinstance(b, pa.Table) else pa.Table.from_pandas(b, preserve_index=False)
                 for b in blocks
             ]
-            t = pa.concat_tables(tabs)
-            return t.select([id_col, text_col])
+            # pandas-backed pipelines emit empty blocks whose inferred schema
+            # (null types) mismatches the real one — keep non-empty only and
+            # unify to the first real schema before concat
+            tabs = [t for t in tabs if t.num_rows > 0]
+            if not tabs:
+                return pa.table({id_col: pa.array([]), text_col: pa.array([], pa.string())})
+            schema = tabs[0].select([id_col, text_col]).schema
+            return pa.concat_tables([t.select([id_col, text_col]).cast(schema) for t in tabs])
 
         block_refs = [
             ref for bundle in picked.iter_internal_ref_bundles() for ref, _meta in bundle.blocks
