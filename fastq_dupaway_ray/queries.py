@@ -170,6 +170,17 @@ SQL_DEDUP_EXACT_DOCS = f"""
 """
 
 
+def q_dedup_exact_paranoid_docs(sf_dir: str):
+    """Byte-exact dedup mode: actual key values compared inside each hash
+    bucket (zero collision exposure, like the reference's setRecord
+    equality) — the payload-shuffle path as a first-class mode."""
+    from .stages.dedup_exact import dedup_exact
+
+    return dedup_exact(
+        augmented_docs(sf_dir), key_cols=("text",), order_cols=("doc_id",), paranoid=True
+    )
+
+
 def q_dedup_exact_composite_docs(sf_dir: str):
     """Composite-key dedup = paired-mode AND semantics (SURVEY.md A2)."""
     from .stages.dedup_exact import dedup_exact
@@ -1570,6 +1581,7 @@ REGISTRY = {
     "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "dedup_exact_composite_docs": (q_dedup_exact_composite_docs, SQL_DEDUP_EXACT_COMPOSITE_DOCS),
+    "dedup_exact_paranoid_docs": (q_dedup_exact_paranoid_docs, SQL_DEDUP_EXACT_DOCS),
     "clusters_exact_docs": (q_clusters_exact_docs, SQL_CLUSTERS_EXACT_DOCS),
     "dedup_counts_docs": (q_dedup_counts_docs, SQL_DEDUP_COUNTS_DOCS),
     "cluster_size_hist_docs": (q_cluster_size_hist_docs, SQL_CLUSTER_SIZE_HIST_DOCS),

@@ -107,6 +107,7 @@ def dedup_exact(
     order_cols=DEFAULT_ORDER,
     num_buckets: int = 64,
     drop_broadcast_budget: int = 5_000_000,
+    paranoid: bool = False,
 ) -> ray.data.Dataset:
     """Distributed exact keep-first dedup; returns the kept rows (lazy).
 
@@ -119,9 +120,17 @@ def dedup_exact(
     width — size it ~2-4x total cores; skew is no concern because bucketing
     is by uniform hash. Falls back to the payload-shuffle path when the
     drop set exceeds ``drop_broadcast_budget`` rows.
+
+    ``paranoid=True`` selects the payload-shuffle path unconditionally: it
+    compares ACTUAL key values inside each hash bucket, giving the
+    reference's byte-exact equality (/root/reference/src/hash_dup_remover.cpp
+    :10-33) with zero hash-collision exposure, at the cost of shuffling the
+    payload once.
     """
     key_cols = list(key_cols)
     order_cols = list(order_cols)
+    if paranoid:
+        return _dedup_exact_shuffle(ds, key_cols, order_cols, num_buckets)
 
     def slim(batch: pa.Table) -> pa.Table:
         k1, k2 = _identity128(batch, key_cols)
