@@ -237,13 +237,14 @@ def simhash64_batch(texts, token_ngram: int = 2) -> np.ndarray:
         tpos += m
         fpos += c
     bits = np.unpackbits(h.view(np.uint8).reshape(len(h), 8), axis=1, bitorder="little")
-    # segment sums via one cumsum + end-column differencing (segments tile
-    # the feature axis contiguously). Work transposed so the scan runs along
-    # the contiguous axis — axis-0 cumsum on (F, 64) is stride-hostile.
-    csum = np.cumsum(np.ascontiguousarray(bits.T), axis=1, dtype=np.int64)  # (64, F)
-    ends = np.cumsum(counts[nz]) - 1
-    sums = csum[:, ends].T.copy()  # (n_nz, 64)
-    sums[1:] -= csum[:, ends[:-1]].T
+    # per-doc bit votes: 64 bincounts over the doc-id vector — measured
+    # ~32 us/doc vs ~450 us/doc for 2D reduceat and ~740 us/doc for the
+    # transposed-cumsum formulation (both pay per-row/segment ufunc dispatch;
+    # bincount is one tight C loop per bit)
+    doc_ids = np.repeat(np.arange(len(nz)), counts[nz])
+    sums = np.empty((len(nz), 64), dtype=np.int64)
+    for b in range(64):
+        sums[:, b] = np.bincount(doc_ids, weights=bits[:, b], minlength=len(nz))
     votes = sums * 2 - counts[nz][:, None]  # (+1/-1 votes)
     out_bits = (votes >= 0).astype(np.uint8)
     out[nz] = np.packbits(out_bits, axis=1, bitorder="little").view(np.uint64).ravel()
