@@ -1156,7 +1156,9 @@ SQL_QUALITY_SCORES_DOCS = r"""
 
 
 def q_lang_id_docs(sf_dir: str):
-    """Stopword-vote language ID (heuristic; rows-only check)."""
+    """Stopword-vote language ID — the heuristic is exactly SQL-expressible
+    (distinct-token intersection counts per language, earlier-code tiebreak),
+    so the oracle is generated from the SAME stopword lists."""
     from .functions.textstats import language_id
 
     def add(df: pd.DataFrame) -> pd.DataFrame:
@@ -1165,6 +1167,39 @@ def q_lang_id_docs(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(add, batch_format="pandas")
+
+
+def _lang_id_sql() -> str:
+    from .functions.textstats import _LANG_STOPWORDS
+
+    def lst(lang):
+        return "[" + ", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang])) + "]"
+
+    votes = ",\n               ".join(
+        f"len(list_intersect(toks, {lst(lang)})) AS v_{lang}"
+        for lang in sorted(_LANG_STOPWORDS)
+    )
+    # python picks the FIRST lexicographic lang with a strictly higher vote:
+    # the CASE cascade in sorted order with >= reproduces that tie-break
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS toks
+            FROM documents
+        ), v AS (
+            SELECT doc_id,
+               {votes}
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(v_de, v_en, v_es, v_fr) = 0 THEN 'und'
+                    WHEN v_de >= v_en AND v_de >= v_es AND v_de >= v_fr THEN 'de'
+                    WHEN v_en >= v_es AND v_en >= v_fr THEN 'en'
+                    WHEN v_es >= v_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM v
+    """
+
 
 
 def q_fingerprint_docs(sf_dir: str):
@@ -1606,7 +1641,7 @@ REGISTRY = {
     "token_counts_docs": (q_token_counts_docs, SQL_TOKEN_COUNTS_DOCS),
     "token_counts_bpe_docs": (q_token_counts_bpe_docs, SQL_TOKEN_COUNTS_BPE_DOCS),
     "quality_scores_docs": (q_quality_scores_docs, SQL_QUALITY_SCORES_DOCS),
-    "lang_id_docs": (q_lang_id_docs, None),
+    "lang_id_docs": (q_lang_id_docs, _lang_id_sql()),
     "fingerprint_docs": (q_fingerprint_docs, None),
     "minhash_dedup_docs": (q_minhash_dedup_docs, SQL_NEAR_KEPT),
     "minhash_oph_dedup_docs": (q_minhash_oph_dedup_docs, SQL_NEAR_KEPT),
