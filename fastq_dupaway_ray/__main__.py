@@ -159,10 +159,19 @@ def main(argv=None) -> int:
 
         def side_projection(suffix):
             side_cols = [c for c in names if c.endswith(suffix)]
+            # columns present on only one input side stay unsuffixed after the
+            # join (suffixes apply only to clashing names) — keep them in both
+            # sinks under their original name rather than silently dropping
+            shared = [
+                c for c in names
+                if c != args.id_col and not (c.endswith("_l") or c.endswith("_r"))
+            ]
 
             def project(df):
-                out_df = df[[args.id_col, *side_cols]].copy()
-                out_df.columns = [args.id_col, *[c[: -len(suffix)] for c in side_cols]]
+                out_df = df[[args.id_col, *shared, *side_cols]].copy()
+                out_df.columns = [
+                    args.id_col, *shared, *[c[: -len(suffix)] for c in side_cols]
+                ]
                 return out_df
 
             return project

@@ -50,7 +50,10 @@ def _first_per_key(
     keeps the input schema even when empty (a full-row map_groups pass can
     emit schema-less empty blocks that break downstream Arrow hash joins).
     Falls back to the payload-shuffle pass when no order column exists (no
-    way to name a loser row) or the drop set exceeds the broadcast budget."""
+    way to name a loser row), the drop set exceeds the broadcast budget, or
+    any loser's (key, order) tuple TIES its winner's — the tuple then cannot
+    name the loser alone and the broadcast filter would drop the winner too
+    (every kept row of that key)."""
     names = list(ds.schema().names)
     ocols = [c for c in order_cols if c in names and c != key]
     if not ocols:
@@ -64,10 +67,20 @@ def _first_per_key(
 
     def losers(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0 or key not in df.columns:
-            return pd.DataFrame({c: [] for c in slim_cols})
+            return pd.DataFrame(
+                {**{c: [] for c in slim_cols}, "_ambig": pd.Series([], dtype=bool)}
+            )
         df = df.sort_values(ocols, kind="mergesort")
         lose = df.duplicated(subset=[key], keep="first")
-        return df.loc[lose, slim_cols]
+        out = df.loc[lose, slim_cols].copy()
+        # a loser whose full (key, order) tuple equals its key's winner tuple
+        # is indistinguishable from the winner in the broadcast filter — flag
+        # it so the caller takes the exact shuffle limb instead
+        winners = df.loc[~lose, slim_cols]
+        widx = pd.MultiIndex.from_arrays([winners[c] for c in slim_cols])
+        lidx = pd.MultiIndex.from_arrays([out[c] for c in slim_cols])
+        out["_ambig"] = lidx.isin(widx)
+        return out
 
     drops = (
         ds.map_batches(bucketize, batch_format="pandas")
@@ -88,6 +101,10 @@ def _first_per_key(
     from .minhash import _fetch_cached
 
     ddf = drops.to_pandas()
+    if bool(ddf["_ambig"].any()):
+        # at least one loser ties its winner on every order column — only the
+        # shuffle pass can keep exactly one row of that key
+        return _first_per_key_shuffle(ds, key, ocols, num_buckets)
     drop_ref = ray.put(pa.table({c: pa.array(ddf[c]) for c in slim_cols}))
 
     def keep_filter(df: pd.DataFrame) -> pd.DataFrame:

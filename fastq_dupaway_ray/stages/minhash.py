@@ -452,6 +452,10 @@ def _verify_edges_join(
         .rename_columns({text_col: "_text_a"})
         .materialize()  # two join operators in one plan can over-pin aggregator actors
     )
+    # empty join partitions skip the rename Project and keep the pre-rename
+    # schema; the second hash join then sees mixed schemas and rejects the
+    # key ("No match or multiple matches") — drop the empties first
+    ea = coalesce_schema_blocks(ea)
     eab = ea.join(
         texts, "inner", num_partitions=num_partitions, on=("b",), right_on=(id_col,)
     ).rename_columns({text_col: "_text_b"})
@@ -464,8 +468,12 @@ def _verify_edges_join(
         both = np.concatenate(
             [df["_text_a"].to_numpy(dtype=object), df["_text_b"].to_numpy(dtype=object)]
         )
-        uniq, inv = np.unique(both.astype(str), return_inverse=True)
-        sets = [shingles(t or "") for t in uniq]
+        # normalize nulls to "" (astype(str) would turn None into the literal
+        # string "None" — a real one-token document in word-shingle mode,
+        # diverging from the broadcast verify path's `t or ""` handling)
+        both = np.array([t if isinstance(t, str) else "" for t in both], dtype=object)
+        uniq, inv = np.unique(both, return_inverse=True)
+        sets = [shingles(t) for t in uniq]
         counts = np.array([len(s) for s in sets], dtype=np.int64)
         starts = np.cumsum(counts) - counts
         allv = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)

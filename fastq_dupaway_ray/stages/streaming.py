@@ -159,29 +159,62 @@ class BandIndexShard:
     """
 
     def __init__(self, max_bucket: int = 64):
-        self.buckets: dict = {}  # band_key -> (list[id], list[np.ndarray sig])
+        # band_key -> [ids list, sigs list, cached stacked matrix | None]
+        self.buckets: dict = {}
         self.max_bucket = max_bucket
 
     def query(self, band_keys: np.ndarray):
-        """For each band key: the resident (ids, sig matrix) of its bucket."""
-        out = []
-        for k in band_keys.tolist():
+        """Stacked response for a whole batch of band keys: ``lengths[j]``
+        candidates live under ``band_keys[j]``; their ids and signatures come
+        back concatenated in key order (one allocation — the per-key
+        ``np.stack`` of round 2 is now a cached per-bucket matrix)."""
+        lengths = np.zeros(len(band_keys), dtype=np.int64)
+        ids: list = []
+        mats = []
+        for j, k in enumerate(band_keys.tolist()):
             b = self.buckets.get(k)
-            if b is None:
-                out.append(None)
-            else:
-                out.append((list(b[0]), np.stack(b[1])))
-        return out
+            if b:
+                m = b[2]
+                if m is None:
+                    m = b[2] = np.stack(b[1])
+                lengths[j] = len(b[0])
+                ids.extend(b[0])
+                mats.append(m)
+        sigs = np.concatenate(mats, axis=0) if mats else None
+        return lengths, ids, sigs
 
-    def add(self, band_keys: np.ndarray, ids, sigs: np.ndarray):
+    def add(self, band_keys: np.ndarray, ids, sigs: np.ndarray) -> np.ndarray:
         """Insert kept docs' signatures under their band keys (bounded per
         bucket — hot boilerplate bands keep only the first max_bucket heads,
-        the salted-star memory bound)."""
-        for k, i, s in zip(band_keys.tolist(), ids, sigs):
-            b = self.buckets.setdefault(k, ([], []))
+        the salted-star memory bound). Returns bool[n] inserted mask so the
+        caller can guarantee every kept doc lands in at least one bucket
+        (``force_add`` fallback when all of a doc's bands are full)."""
+        inserted = np.zeros(len(ids), dtype=bool)
+        for j, (k, i) in enumerate(zip(band_keys.tolist(), ids)):
+            b = self.buckets.get(k)
+            if b is None:
+                b = self.buckets[k] = [[], [], None]
             if len(b[0]) < self.max_bucket:
                 b[0].append(i)
-                b[1].append(s)
+                b[1].append(sigs[j])
+                b[2] = None
+                inserted[j] = True
+        return inserted
+
+    def force_add(self, band_key: int, doc_id, sig: np.ndarray):
+        """Evict-oldest insert: a kept doc whose EVERY band bucket is full
+        would otherwise never be indexed anywhere, so later near-duplicates
+        of it could not find it (recall loss beyond the documented
+        concurrent-ingest caveat). FIFO eviction keeps the memory bound."""
+        b = self.buckets.get(band_key)
+        if b is None:
+            b = self.buckets[band_key] = [[], [], None]
+        if len(b[0]) >= self.max_bucket:
+            b[0].pop(0)
+            b[1].pop(0)
+        b[0].append(doc_id)
+        b[1].append(sig)
+        b[2] = None
 
     def size(self) -> int:
         return sum(len(b[0]) for b in self.buckets.values())
@@ -219,9 +252,11 @@ class StreamingNearDedup:
         if n == 0:
             return batch
         sigs = hasher.signatures_batch(texts)  # (n, K)
-        keys = hasher.band_keys_batch(sigs)  # (n, bands)
+        keys = hasher.band_keys_batch(sigs)  # (n, B)
+        B = keys.shape[1]
         S = len(self.shards)
         flat_keys = keys.ravel()
+        flat_doc = np.repeat(np.arange(n), B)
         owner = (flat_keys % np.uint64(S)).astype(np.int64)
         futures, slots = [], []
         for s in range(S):
@@ -229,52 +264,85 @@ class StreamingNearDedup:
             if len(rows):
                 futures.append(self.shards[s].query.remote(flat_keys[rows]))
                 slots.append(rows)
-        responses = [None] * len(flat_keys)
-        for rows, res in zip(slots, ray.get(futures)):
-            for r, v in zip(rows, res):
-                responses[r] = v
-        K = self.params.num_perms
+        # assemble ALL shard candidates into one (doc, id, signature) column
+        # set — one stacked matrix compare per batch, no per-row Python
+        cand_doc_parts, cand_id_parts, cand_sig_parts = [], [], []
+        for rows, (lengths, cids, csigs) in zip(slots, ray.get(futures)):
+            if csigs is not None and len(cids):
+                cand_doc_parts.append(np.repeat(flat_doc[rows], lengths))
+                cand_id_parts.append(np.array(cids, dtype=object))
+                cand_sig_parts.append(csigs)
         keep = np.ones(n, dtype=bool)
-        kept_sigs: dict = {}  # within-batch kept docs also candidate against each other
-        kept_keys: dict = {}
-        for i in range(n):
-            dup = False
-            cand_sigs, seen_ids = [], set()
-            for b in range(keys.shape[1]):
-                resp = responses[i * keys.shape[1] + b]
-                if resp is not None:
-                    for cid, csig in zip(resp[0], resp[1]):
-                        if cid not in seen_ids:
-                            seen_ids.add(cid)
-                            cand_sigs.append(csig)
-                # within-batch candidates from earlier kept rows of this batch
-                prior = kept_keys.get(int(keys[i, b]))
-                if prior is not None:
-                    for cid in prior:
-                        if cid not in seen_ids:
-                            seen_ids.add(cid)
-                            cand_sigs.append(kept_sigs[cid])
-            if cand_sigs:
-                agree = (np.stack(cand_sigs) == sigs[i][None, :]).mean(axis=1)
-                dup = bool((agree >= self.threshold).any())
-            keep[i] = not dup
-            if not dup:
-                kept_sigs[ids[i]] = sigs[i]
-                for b in range(keys.shape[1]):
-                    kept_keys.setdefault(int(keys[i, b]), []).append(ids[i])
+        if cand_doc_parts:
+            cdoc = np.concatenate(cand_doc_parts)
+            cid = np.concatenate(cand_id_parts)
+            csig = np.concatenate(cand_sig_parts, axis=0)
+            # same head can sit in several of a doc's band buckets — compare
+            # each (doc, candidate) once
+            _, code = np.unique(cid, return_inverse=True)
+            pairkey = cdoc.astype(np.int64) * (int(code.max()) + 1) + code
+            sel = np.unique(pairkey, return_index=True)[1]
+            agree = (csig[sel] == sigs[cdoc[sel]]).mean(axis=1)
+            keep[np.unique(cdoc[sel][agree >= self.threshold])] = False
+        # within-batch chaining (grouped pass): rows sharing a band key form
+        # candidate pairs; all pair agreements score in ONE vectorized compare,
+        # then a tiny scalar pass applies first-wins chain semantics
+        order = np.argsort(flat_keys, kind="stable")
+        sk, sd = flat_keys[order], flat_doc[order]
+        run_start = np.ones(len(sk), dtype=bool)
+        run_start[1:] = sk[1:] != sk[:-1]
+        starts = np.nonzero(run_start)[0]
+        ends = np.append(starts[1:], len(sk))
+        pi_parts, pj_parts = [], []
+        for s0, e0 in zip(starts[ends - starts > 1], ends[ends - starts > 1]):
+            docs = np.unique(sd[s0:e0])
+            if len(docs) > 1:
+                ii, jj = np.triu_indices(len(docs), k=1)
+                pi_parts.append(docs[ii])
+                pj_parts.append(docs[jj])
+        if pi_parts:
+            pi = np.concatenate(pi_parts)
+            pj = np.concatenate(pj_parts)
+            sel = np.unique(pi * n + pj, return_index=True)[1]
+            pi, pj = pi[sel], pj[sel]
+            match = (sigs[pi] == sigs[pj]).mean(axis=1) >= self.threshold
+            pi, pj = pi[match], pj[match]
+            o2 = np.argsort(pj, kind="stable")
+            for i_, j_ in zip(pi[o2].tolist(), pj[o2].tolist()):
+                # j is dropped iff an earlier KEPT row matches; keep[i] is
+                # final here because every pair has i < j and j's ascend
+                if keep[i_] and keep[j_]:
+                    keep[j_] = False
         # register the kept docs' bands
         kept_rows = np.nonzero(keep)[0]
         if len(kept_rows):
             kk = keys[kept_rows].ravel()
             kown = (kk % np.uint64(S)).astype(np.int64)
-            ksigs = np.repeat(sigs[kept_rows], keys.shape[1], axis=0)
-            kids = np.repeat(np.array(ids, dtype=object)[kept_rows], keys.shape[1])
-            adds = []
+            ksigs = np.repeat(sigs[kept_rows], B, axis=0)
+            kids = np.repeat(np.array(ids, dtype=object)[kept_rows], B)
+            adds, add_rows = [], []
             for s in range(S):
                 rows = np.nonzero(kown == s)[0]
                 if len(rows):
-                    adds.append(self.shards[s].add.remote(kk[rows], kids[rows].tolist(), ksigs[rows]))
-            ray.get(adds)
+                    adds.append(
+                        self.shards[s].add.remote(kk[rows], kids[rows].tolist(), ksigs[rows])
+                    )
+                    add_rows.append(rows)
+            inserted = np.zeros(len(kk), dtype=bool)
+            for rows, mask in zip(add_rows, ray.get(adds)):
+                inserted[rows] = mask
+            # docs whose every band bucket was full would vanish from the
+            # index — force-insert (evict-oldest) into their first band
+            orphans = np.nonzero(~inserted.reshape(len(kept_rows), B).any(axis=1))[0]
+            if len(orphans):
+                forced = []
+                for o in orphans.tolist():
+                    r = kept_rows[o]
+                    k0 = int(keys[r, 0])
+                    forced.append(
+                        self.shards[k0 % S].force_add.remote(k0, ids[r], sigs[r])
+                    )
+                ray.get(forced)
         return batch.filter(pa.array(keep))
 
 

@@ -202,3 +202,23 @@ def test_dedup_exact_integer_key(ray_session):
     ).to_pandas()
     assert sorted(kept["k"]) == [0, 1, 2, 3, 4]
     assert sorted(kept["url"]) == [f"u{i}" for i in range(5)]
+
+
+def test_cli_paired_one_sided_column_survives(tmp_path, ray_session):
+    """Advice r2: a column present on only ONE input side stays unsuffixed
+    after the join (suffixes apply only to clashing names) and must survive
+    into both sinks under its original name, not be silently dropped."""
+    lids, rids = [1, 2, 3, 4, 5], [1, 2, 3, 4, 5]
+    in1, in2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    out1, out2 = str(tmp_path / "out1"), str(tmp_path / "out2")
+    lt = _pages_table(lids, "L")
+    lt = lt.append_column("crawl_batch", [["b0"] * lt.num_rows])
+    rt = _pages_table(rids, "R")
+    for d, t in ((in1, lt), (in2, rt)):
+        os.makedirs(d)
+        pq.write_table(t, os.path.join(d, "part-0.parquet"))
+    assert main(["-i", in1, "-u", in2, "-o", out1, "-p", out2, "--fast", "--unordered"]) == 0
+    t1, t2 = pq.read_table(out1), pq.read_table(out2)
+    assert "crawl_batch" in t1.column_names
+    assert "crawl_batch" in t2.column_names
+    assert set(t1["crawl_batch"].to_pylist()) == {"b0"}

@@ -282,3 +282,31 @@ def test_verify_join_fallback_matches_broadcast(ray_session, tmp_path):
     ).to_pandas()
     key = lambda df: sorted(zip(df["a"], df["b"], df["jaccard"].round(9)))
     assert key(via_broadcast) == key(via_join)
+
+
+def test_verify_paths_agree_on_null_text(ray_session):
+    """Advice r2: the join verify's astype(str) turned None into the literal
+    "None" (a real word-shingle token) — both verify paths must treat null
+    text as empty."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from fastq_dupaway_ray.functions.sketches import MinHashParams
+    from fastq_dupaway_ray.stages.minhash import verify_edges_jaccard
+
+    rows = [
+        {"url": "a", "warc_ts": 1, "text": None},
+        {"url": "b", "warc_ts": 2, "text": None},
+        {"url": "c", "warc_ts": 3, "text": "None None None tokens here repeated"},
+    ]
+    pages = rd.from_pandas(pd.DataFrame(rows))
+    edges = rd.from_pandas(pd.DataFrame({"a": ["a", "a"], "b": ["b", "c"]}))
+    params = MinHashParams(shingle="word")
+    kw = dict(params=params)
+    broad = verify_edges_jaccard(edges, pages, 0.0, **kw).to_pandas()
+    join = verify_edges_jaccard(
+        edges, pages, 0.0, broadcast_edge_budget=0, **kw
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["a"], df["b"], df["jaccard"].round(9)))
+    assert key(broad) == key(join)

@@ -144,3 +144,52 @@ def test_streaming_neardup_within_batch(ray_session):
     rows = [{"url": f"u{i}", "text": t} for i in range(10)]
     kept, _ = streaming_dedup_neardup(rd.from_pandas(pd.DataFrame(rows)), concurrency=1)
     assert kept.count() == 1
+
+
+def test_band_shard_force_add_when_buckets_full(ray_session):
+    """Advice r2: a kept doc whose every band bucket is full must still be
+    indexed somewhere (evict-oldest force insert), or later near-dups of it
+    would never find it."""
+    import numpy as np
+
+    import ray
+
+    from fastq_dupaway_ray.stages.streaming import BandIndexShard
+
+    s = BandIndexShard.remote(max_bucket=1)
+    sig_a = np.arange(8, dtype=np.uint64)
+    sig_b = np.arange(8, dtype=np.uint64) + 100
+    keys = np.array([5], dtype=np.uint64)
+    ins1 = ray.get(s.add.remote(keys, ["a"], sig_a[None, :]))
+    assert ins1.tolist() == [True]
+    ins2 = ray.get(s.add.remote(keys, ["b"], sig_b[None, :]))
+    assert ins2.tolist() == [False]  # bucket full -> caller must force_add
+    ray.get(s.force_add.remote(5, "b", sig_b))
+    lengths, ids, sigs = ray.get(s.query.remote(keys))
+    assert lengths.tolist() == [1]
+    assert ids == ["b"]  # oldest evicted, newest resident
+    assert (sigs[0] == sig_b).all()
+
+
+def test_band_shard_query_stacked_layout(ray_session):
+    """query returns per-key lengths + concatenated ids/sigs in key order."""
+    import numpy as np
+
+    import ray
+
+    from fastq_dupaway_ray.stages.streaming import BandIndexShard
+
+    s = BandIndexShard.remote(max_bucket=4)
+    K = 8
+    ray.get(
+        s.add.remote(
+            np.array([1, 1, 2], dtype=np.uint64),
+            ["x", "y", "z"],
+            np.arange(3 * K, dtype=np.uint64).reshape(3, K),
+        )
+    )
+    lengths, ids, sigs = ray.get(s.query.remote(np.array([2, 3, 1], dtype=np.uint64)))
+    assert lengths.tolist() == [1, 0, 2]
+    assert ids == ["z", "x", "y"]
+    assert sigs.shape == (3, K)
+    assert sigs[0, 0] == 2 * K  # z's first signature slot
