@@ -32,15 +32,26 @@ def _pow_vector(base: int, k: int) -> "np.ndarray":
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
-def hash64(values) -> np.ndarray:
+_HASH_KEY_2 = "fdr-second-key0!"  # exactly 16 chars, pandas hash_key contract
+
+
+def hash64(values, alt_key: bool = False) -> np.ndarray:
     """Deterministic 64-bit hash of an array of strings/bytes -> uint64 ndarray.
 
     Uses pandas' SipHash-based ``hash_array`` with its fixed default key:
     vectorized in C, stable across processes (verified), suitable as a
     shuffle/groupby key. Reference analogue: ``seq2hash``
     (/root/reference/src/seq_utils.cpp:35-49).
+
+    ``alt_key=True`` hashes with an INDEPENDENT SipHash key. 128-bit
+    identities must combine two independent hashes of the content — deriving
+    the second word arithmetically from the first collapses the collision
+    resistance back to 64 bits (two inputs colliding on hash one collide on
+    both), which is not acceptable at 10^12 documents.
     """
     arr = np.asarray(values, dtype=object)
+    if alt_key:
+        return pd.util.hash_array(arr, hash_key=_HASH_KEY_2, categorize=False)
     return pd.util.hash_array(arr, categorize=False)
 
 

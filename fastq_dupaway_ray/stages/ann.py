@@ -242,12 +242,24 @@ def ivf_topk(
     return df
 
 
+_HP_CACHE: dict = {}
+
+
+def _hyperplanes(dim: int, planes: int, seed: int) -> np.ndarray:
+    """Once-per-worker hyperplane matrix (deterministic in seed) — state
+    setup must not happen inside per-batch calls."""
+    key = (dim, planes, seed)
+    H = _HP_CACHE.get(key)
+    if H is None:
+        H = _HP_CACHE[key] = np.random.RandomState(seed).normal(size=(dim, planes))
+    return H
+
+
 class HyperplaneSigner:
     """Actor-pool callable: embedding -> 64-bit random-hyperplane sign signature."""
 
     def __init__(self, dim: int, vec_col: str = "embedding", seed: int = 0xA5, planes: int = 64):
-        rng = np.random.RandomState(seed)
-        self.H = rng.normal(size=(dim, planes))
+        self.H = _hyperplanes(dim, planes, seed)
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -291,16 +303,24 @@ def embedding_neardup_exact(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    broadcast_budget: int = 2_000_000,
 ) -> ray.data.Dataset:
     """All-pairs cosine near-dup edges (a < b, cos_sim >= threshold).
 
     Exact formulation: the full (ids, matrix) is broadcast once (``ray.put``)
     and every task scores its rows against it in one float64 matmul —
-    distributed over blocks, O(n^2/B) per task. Use for corpora whose matrix
-    fits the object store (n*d*8 bytes); beyond that use
-    ``embedding_neardup_lsh`` (hyperplane-bucketed, tested recall).
+    distributed over blocks, O(n^2/B) per task. The driver materialization is
+    budget-gated like every other small-side shortcut in this repo: above
+    ``broadcast_budget`` rows it falls back to ``embedding_neardup_lsh``
+    (hyperplane-bucketed, tested recall) instead of pulling the matrix onto
+    the driver.
     """
-    df = vectors.select_columns([id_col, vec_col]).to_pandas()
+    slim = vectors.select_columns([id_col, vec_col])
+    if slim.count() > broadcast_budget:
+        return embedding_neardup_lsh(
+            vectors, threshold=threshold, vec_col=vec_col, id_col=id_col
+        )
+    df = slim.to_pandas()
     ids_all = df[id_col].to_numpy()
     X = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
     norms = np.linalg.norm(X, axis=1)
@@ -352,9 +372,8 @@ def embedding_neardup_lsh(
     bits_per_band = planes // bands
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        rng = np.random.RandomState(seed)
         X = _batch_embeddings(batch, vec_col).astype(np.float64)
-        H = rng.normal(size=(X.shape[1], planes))
+        H = _hyperplanes(X.shape[1], planes, seed)  # once-per-worker cache
         bits = (X @ H >= 0).astype(np.uint64)  # (n, planes)
         n = len(bits)
         keys = np.zeros((n, bands), dtype=np.uint64)

@@ -85,19 +85,23 @@ def _local_keep_first(df: pd.DataFrame, key_cols, order_cols) -> pd.DataFrame:
 
 
 def _identity128(batch: pa.Table, key_cols) -> tuple:
-    """Two independent 64-bit identity hashes + folded lengths."""
-    parts = []
+    """Two independent 64-bit identity hashes + folded lengths.
+
+    k2 folds a SECOND SipHash of the content (independent key), not an
+    arithmetic remix of k1's inputs — a remix collapses collision resistance
+    to 64 bits (inputs colliding on the first hash collide on both), which at
+    10^12 docs yields thousands of expected false merges."""
+    parts, parts2 = [], []
     for col in key_cols:
         arr = batch[col]
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         vals = arr.to_numpy(zero_copy_only=False).astype(object)
-        h = hash64(vals)
         lens = _value_lengths(vals)
-        parts.append(h)
-        parts.append(lens)
+        parts.extend((hash64(vals), lens))
+        parts2.extend((hash64(vals, alt_key=True), lens))
     k1 = combine_hash64(*parts)
-    k2 = combine_hash64(*parts, np.full(len(k1), _SALT2, dtype=np.uint64))
+    k2 = combine_hash64(*parts2, np.full(len(k1), _SALT2, dtype=np.uint64))
     return k1, k2
 
 

@@ -128,6 +128,7 @@ def lsh_candidate_edges(
     order_cols=("warc_ts", "url"),
     max_bucket: int = 256,
     num_shuffle_buckets: int | None = None,
+    emit_edge_bucket: int | None = None,
 ) -> ray.data.Dataset:
     """band rows -> star candidate edges (a, b) with a = LSH-bucket head.
 
@@ -145,6 +146,12 @@ def lsh_candidate_edges(
     hash-partitioned into ``num_shuffle_buckets`` coarse buckets (the shuffle
     width) and each bucket runs ONE vectorized pandas groupby over all its
     band keys.
+
+    ``emit_edge_bucket``: when set, each emitted edge also carries an
+    ``_ebucket = hash(a) % emit_edge_bucket`` column, so the caller's
+    duplicate-edge groupby can shuffle DIRECTLY on it — fusing what used to
+    be a separate bucketize pass over the whole edge list (one fewer task
+    round between the two shuffles).
     """
     order_cols = [c for c in order_cols]
     B = num_shuffle_buckets or _default_shuffle_buckets()
@@ -175,9 +182,14 @@ def lsh_candidate_edges(
         global_head_pos = np.maximum.accumulate(global_head_pos)
         ca = ids[global_head_pos[chain_sel]]
         cb = ids[chain_sel]
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"a": np.concatenate([a, ca]), "b": np.concatenate([b, cb])}
         )
+        if emit_edge_bucket:
+            out["_ebucket"] = (
+                pd.util.hash_array(out["a"].to_numpy(dtype=object)) % emit_edge_bucket
+            ).astype(np.int64)
+        return out
 
     return (
         band_rows.map_batches(bucketize, batch_format="pyarrow")
@@ -220,42 +232,51 @@ def _fetch_cached(ref, build=None):
     return val
 
 
-def _build_text_map(t: pa.Table) -> dict:
-    return dict(zip(t.column(0).to_pylist(), t.column(1).to_pylist()))
-
-
 _IDX_SALT = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
 def _id_hash_pair(vals: np.ndarray):
     from ..functions.hashing import combine_hash64, hash64
 
+    # h2 must be an INDEPENDENT hash of the values (different SipHash key);
+    # deriving it from h1 would collapse the 128-bit check to 64 bits
     h1 = hash64(vals)
-    h2 = combine_hash64(h1, np.full(len(h1), _IDX_SALT, dtype=np.uint64))
+    h2 = combine_hash64(hash64(vals, alt_key=True), np.full(len(h1), _IDX_SALT, dtype=np.uint64))
     return h1, h2
 
 
-def _build_text_index(t: pa.Table):
-    """Worker-local broadcast-text index keyed by a 128-bit id hash.
+def _id_member_mask_pre(index, q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
+    """Membership for PRE-HASHED query pairs (lets callers reuse the hashes)."""
+    h1s, h2s = index
+    n = len(h1s)
+    if n == 0 or len(q1) == 0:
+        return np.zeros(len(q1), dtype=bool)
+    left = np.searchsorted(h1s, q1, side="left")
+    right = np.searchsorted(h1s, q1, side="right")
+    pos = np.minimum(left, n - 1)
+    out = (right - left == 1) & (h1s[pos] == q1) & (h2s[pos] == q2)
+    for i in np.nonzero(right - left > 1)[0]:  # birthday-rare h1 runs
+        out[i] = q2[i] in h2s[left[i] : right[i]]
+    return out
 
-    Materializing every broadcast TEXT into a python dict cost ~6 s per
-    worker at ~500k endpoints (measured); even the id strings alone cost
-    ~1-2 s to materialize + argsort. Hash ids to (h1, h2) uint64 pairs and
-    sort by h1 instead — C-speed, size-independent of text length; the texts
-    stay zero-copy in Arrow and each batch extracts just ITS endpoints via
-    searchsorted + take. The 128-bit check makes a wrong-text lookup as
-    unlikely as the engine's exact-dedup identity collisions (~2^-128)."""
-    ids = t.column(0).to_numpy(zero_copy_only=False).astype(object)
-    h1, h2 = _id_hash_pair(ids)
-    order = np.argsort(h1, kind="stable").astype(np.int64)
-    texts = t.column(1)
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    return h1[order], h2[order], texts, order
+
+def _id_member_mask(index, ids: np.ndarray) -> np.ndarray:
+    """bool[n]: which ``ids`` are in the _build_id_index set (exact up to the
+    2^-128 double-hash collision bound; rare equal-h1 runs scanned exactly)."""
+    if len(ids) == 0:
+        return np.zeros(0, dtype=bool)
+    q1, q2 = _id_hash_pair(ids)
+    return _id_member_mask_pre(index, q1, q2)
 
 
 def _index_lookup_texts(index, want_ids: np.ndarray) -> list:
-    """Texts for ``want_ids`` from a _build_text_index (missing -> None)."""
+    """Texts for ``want_ids`` from a ready (h1, h2, texts, order) index
+    (missing -> None). The index is assembled ONCE — on the driver or in one
+    remote task — and broadcast ready-to-use: building it per worker is a
+    broadcast tax that grows with cluster size (measured ~1-8 s per worker at
+    ~460k endpoints — it alone inverted 8->32 CPU scaling). Texts stay
+    zero-copy Arrow; the 128-bit check makes a wrong-text lookup as unlikely
+    as the engine's exact-dedup identity collisions (~2^-128)."""
     h1s, h2s, text_arr, order = index
     n = len(h1s)
     if n == 0:
@@ -318,20 +339,45 @@ def pairwise_jaccard(
 def _verify_score_batch(df: pd.DataFrame, texts_ref, spec, threshold: float) -> pd.DataFrame:
     """Exact-Jaccard scoring of one edge batch: shingle each unique endpoint
     once (numpy polynomial hashing per doc; texts pulled zero-copy from the
-    broadcast Arrow index), then the searchsorted pairwise_jaccard kernel."""
-    index = _fetch_cached(texts_ref, _build_text_index)
-    shingles = _shingle_fn(spec)
+    broadcast Arrow index), then the searchsorted pairwise_jaccard kernel.
+
+    Byte-identical endpoints short-circuit: a pair whose texts agree on a
+    128-bit content hash has Jaccard exactly 1 — no shingling needed. On
+    dup-heavy web corpora the bulk of candidate edges are exact copies, so
+    this removes most of the verify CPU (the reference's equal-hash fast path
+    before byte compare, /root/reference/src/hash_dup_remover.hpp:122-139)."""
+    from ..functions.hashing import hash64
+
+    # texts_ref holds the READY (h1, h2, texts, order) index assembled
+    # remotely — zero per-worker build (numpy/Arrow components come back
+    # zero-copy from the object store)
+    index = _fetch_cached(texts_ref)
     ids = pd.unique(np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]))
     batch_texts = _index_lookup_texts(index, np.asarray(ids, dtype=object))
-    sets = [shingles(t or "") for t in batch_texts]
-    counts = np.array([len(s) for s in sets], dtype=np.int64)
-    starts = np.cumsum(counts) - counts
-    allv = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
-    lut = {v: i for i, v in enumerate(ids)}
-    a_idx = df["a"].map(lut).to_numpy(dtype=np.int64)
-    b_idx = df["b"].map(lut).to_numpy(dtype=np.int64)
+    texts_arr = np.array([t or "" for t in batch_texts], dtype=object)
+    # vectorized id -> endpoint slot (hash-based C indexer, not per-row .map)
+    idx = pd.Index(ids)
+    a_idx = idx.get_indexer(df["a"]).astype(np.int64)
+    b_idx = idx.get_indexer(df["b"]).astype(np.int64)
+    th1 = hash64(texts_arr)
+    th2 = hash64(texts_arr, alt_key=True)
+    same = (th1[a_idx] == th1[b_idx]) & (th2[a_idx] == th2[b_idx])
+    jac = np.ones(len(df), dtype=np.float64)
+    rest = np.nonzero(~same)[0]
+    if len(rest):
+        shingles = _shingle_fn(spec)
+        need = np.unique(np.concatenate([a_idx[rest], b_idx[rest]]))
+        remap = np.full(len(ids), -1, dtype=np.int64)
+        remap[need] = np.arange(len(need))
+        sets = [shingles(texts_arr[i]) for i in need]
+        counts = np.array([len(s) for s in sets], dtype=np.int64)
+        starts = np.cumsum(counts) - counts
+        allv = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
+        jac[rest] = pairwise_jaccard(
+            remap[a_idx[rest]], remap[b_idx[rest]], allv, starts, counts
+        )
     out = df[["a", "b"]].copy()
-    out["jaccard"] = pairwise_jaccard(a_idx, b_idx, allv, starts, counts)
+    out["jaccard"] = jac
     return out[out["jaccard"] >= threshold]
 
 
@@ -344,8 +390,14 @@ def verify_edges_jaccard(
     text_col: str = "text",
     num_partitions: int | None = None,
     broadcast_edge_budget: int = 500_000,
+    spread: bool = True,
 ) -> ray.data.Dataset:
     """Exact-Jaccard verification of candidate edges against the real shingles.
+
+    ``spread=False`` skips the pre-scoring repartition — pass it when the
+    edge list is already distributed over enough blocks (e.g. the fused
+    edge-dedup groupby emits ~2x-CPU blocks); the repartition is an
+    all-to-all barrier worth avoiding at scale.
 
     Dispatch on edge-list size (the candidate relation is a few % of the
     corpus by LSH design):
@@ -367,17 +419,30 @@ def verify_edges_jaccard(
     if n_edges <= broadcast_edge_budget:
         edf = edges.to_pandas()
         endpoints = pd.unique(np.concatenate([edf["a"].to_numpy(), edf["b"].to_numpy()]))
-        ep_ref = ray.put(pa.array(endpoints))
+        # ready (sorted h1, h2) endpoint index built here on the driver (the
+        # edge list is already local) — pick workers fetch zero-copy numpy
+        eh1, eh2 = _id_hash_pair(np.asarray(endpoints, dtype=object))
+        eorder = np.argsort(eh1, kind="stable")
+        ep_ref = ray.put((eh1[eorder], eh2[eorder]))
 
         def pick(t: pa.Table) -> pa.Table:
-            eps = _fetch_cached(ep_ref, lambda a: set(a.to_pylist()))
+            # emit the id hashes computed for the membership test — the
+            # assemble task below builds the READY lookup index from them, so
+            # scorer workers never hash/convert the endpoint ids themselves
+            eps = _fetch_cached(ep_ref)
             ids = t[id_col].to_numpy(zero_copy_only=False).astype(object)
-            mask = pd.Series(ids).isin(eps).to_numpy()
-            return t.select([id_col, text_col]).filter(pa.array(mask))
+            q1, q2 = _id_hash_pair(ids)
+            mask = _id_member_mask_pre(eps, q1, q2)
+            out = t.select([id_col, text_col]).filter(pa.array(mask))
+            out = out.append_column("_h1", pa.array(q1[mask], pa.uint64()))
+            return out.append_column("_h2", pa.array(q2[mask], pa.uint64()))
 
         # the endpoint texts never touch the driver: picked blocks stay in
         # the object store and a remote task concatenates them into the ONE
-        # broadcast table whose ref the scorers fetch
+        # broadcast READY index (sorted hash arrays + zero-copy Arrow texts)
+        # the scorers fetch. Building the index per WORKER instead (round-2
+        # design) cost several CPU-seconds x every worker — a per-worker
+        # broadcast tax that grows with cluster size and inverts scaling.
         picked = (
             pages.select_columns([id_col, text_col])
             .map_batches(pick, batch_format="pyarrow")
@@ -393,11 +458,22 @@ def verify_edges_jaccard(
             # pandas-backed pipelines emit empty blocks whose inferred schema
             # (null types) mismatches the real one — keep non-empty only and
             # unify to the first real schema before concat
+            cols = [id_col, text_col, "_h1", "_h2"]
             tabs = [t for t in tabs if t.num_rows > 0]
             if not tabs:
-                return pa.table({id_col: pa.array([]), text_col: pa.array([], pa.string())})
-            schema = tabs[0].select([id_col, text_col]).schema
-            return pa.concat_tables([t.select([id_col, text_col]).cast(schema) for t in tabs])
+                empty = np.empty(0, dtype=np.uint64)
+                texts = pa.table({id_col: pa.array([]), text_col: pa.array([], pa.string())})
+                return empty, empty, texts[text_col].combine_chunks(), np.empty(0, np.int64)
+            schema = tabs[0].select(cols).schema
+            tab = pa.concat_tables([t.select(cols).cast(schema) for t in tabs])
+            h1 = tab["_h1"].to_numpy()
+            h2 = tab["_h2"].to_numpy()
+            order = np.argsort(h1, kind="stable").astype(np.int64)
+            texts = tab[text_col]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            # ready (h1, h2, texts, order) tuple — scorers use it as-is
+            return h1[order], h2[order], texts, order
 
         block_refs = [
             ref for bundle in picked.iter_internal_ref_bundles() for ref, _meta in bundle.blocks
@@ -405,8 +481,11 @@ def verify_edges_jaccard(
         texts_ref = _assemble.remote(*block_refs)
         # scoring parallelism = block count; the edge list often lands in a
         # handful of groupby output blocks, so spread it before the pool
-        n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
-        return edges.repartition(n_blocks).map_batches(
+        # (unless the caller already did — spread=False)
+        if spread:
+            n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+            edges = edges.repartition(n_blocks)
+        return edges.map_batches(
             _verify_score_batch,
             fn_kwargs={
                 "texts_ref": texts_ref,
@@ -494,6 +573,7 @@ def dedup_edges_minhash(
     threshold: float | None = None,
     signer_concurrency=None,
     max_bucket: int = 256,
+    raw_edge_budget: int = 2_000_000,
 ) -> ray.data.Dataset:
     """pages -> verified near-duplicate candidate edges (a, b)[, jaccard].
 
@@ -521,17 +601,48 @@ def dedup_edges_minhash(
             batch_size=2048,
             concurrency=signer_concurrency,
         )
-    edges = lsh_candidate_edges(band_rows, id_col=id_col, order_cols=order_cols, max_bucket=max_bucket)
     # the same (a, b) pair can surface from several bands — dedup the slim
-    # edge list (bucketed vectorized pass) before the expensive verify join.
+    # edge list before the expensive verify. The edge-bucket key is emitted
+    # INSIDE the LSH per-bucket pass (no separate bucketize round), sized to
+    # 2x CPUs so the deduped blocks are already spread wide enough for the
+    # verify task pool (no repartition barrier needed).
     # materialize: the edge list is tiny relative to the corpus, and breaking
-    # the plan here releases the signer/band actor pools before the join
-    # operator pins its aggregators (deadlock-free on small CPU counts).
-    from .simhash import dedup_edge_list
+    # the plan here releases the signer/band actor pools before downstream
+    # operators pin their actors (deadlock-free on small CPU counts).
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    EB = max(8, ncpu * 2)
+    edges = lsh_candidate_edges(
+        band_rows, id_col=id_col, order_cols=order_cols, max_bucket=max_bucket,
+        emit_edge_bucket=EB,
+    ).materialize()
+    if edges.count() <= raw_edge_budget:
+        # small raw edge list: one vectorized driver drop_duplicates replaces
+        # the distributed hash-shuffle, whose aggregator-pool spawn is a
+        # multi-second fixed cost that GROWS with cluster CPUs (anti-scaling
+        # on the small side); result re-enters the cluster pre-split so the
+        # verify pool still fans out
+        edf = edges.to_pandas().drop_duplicates(subset=["a", "b"])
+        if "_ebucket" in edf.columns:
+            edf = edf.drop(columns=["_ebucket"])
+        n_chunks = max(1, min(len(edf), EB))
+        edges = ray.data.from_pandas(
+            [c.reset_index(drop=True) for c in np.array_split(edf, n_chunks)]
+        )
+    else:
 
-    edges = dedup_edge_list(edges).materialize()
+        def _drop_dup_edges(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "a" not in df.columns:
+                return pd.DataFrame({"a": [], "b": []})
+            return df.drop_duplicates(subset=["a", "b"]).drop(columns=["_ebucket"])
+
+        edges = (
+            edges.groupby("_ebucket")
+            .map_groups(_drop_dup_edges, batch_format="pandas")
+            .materialize()
+        )
     if verify:
         edges = verify_edges_jaccard(
-            edges, pages, threshold, params=params, id_col=id_col, text_col=text_col
+            edges, pages, threshold, params=params, id_col=id_col, text_col=text_col,
+            spread=False,
         )
     return edges

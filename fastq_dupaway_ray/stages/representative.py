@@ -56,36 +56,38 @@ def apply_cluster_labels(
         )
         return pages, ray.data.from_pandas(empty)
 
+    import numpy as np
     import pyarrow as pa
 
-    from .minhash import _build_text_map, _fetch_cached
+    from .minhash import _fetch_cached, _id_hash_pair
 
-    # broadcast as zero-copy Arrow; each worker builds its dict ONCE (a
-    # python-dict broadcast re-pays deserialization per worker process,
-    # a fixed cost that grows with parallelism)
+    # the label table is already on the driver — build the READY lookup
+    # index here (hash + argsort once) and broadcast it; per-WORKER index
+    # builds are a broadcast tax that grows with cluster size. Fetches are
+    # zero-copy (numpy + Arrow from plasma); lookups are vectorized
+    # searchsorted over 128-bit id hashes, not per-row dict .map
+    _nodes = label_df["node"].to_numpy(dtype=object)
+    _lh1, _lh2 = _id_hash_pair(_nodes)
+    _lorder = np.argsort(_lh1, kind="stable").astype(np.int64)
     label_ref = ray.put(
-        pa.table({"node": pa.array(label_df["node"]), "label": pa.array(label_df["label"])})
+        (_lh1[_lorder], _lh2[_lorder], pa.array(label_df["label"]), _lorder)
     )
     slim_cols = sorted(set([id_col, *order_cols]))
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
-        lab = df[id_col].map(_fetch_cached(label_ref, _build_text_map))
-        out = df.loc[lab.notna(), slim_cols].copy()
-        out["label"] = lab[lab.notna()]
+        h1s, h2s, labels_arr, order = _fetch_cached(label_ref)
+        ids = df[id_col].to_numpy(dtype=object)
+        q1, q2 = _id_hash_pair(ids)
+        pos = np.searchsorted(h1s, q1)
+        pos[pos == len(h1s)] = max(len(h1s) - 1, 0)
+        found = (h1s[pos] == q1) & (h2s[pos] == q2)
+        out = df.loc[found, slim_cols].copy()
+        # Arrow take of only the FOUND labels (clustered members — the small
+        # subset); no per-row Python over the full corpus
+        out["label"] = labels_arr.take(pa.array(order[pos[found]])).to_pylist()
         return out
 
     members = pages.select_columns(slim_cols).map_batches(attach, batch_format="pandas")
-
-    # two-level bucketing: hash-partition clusters into coarse buckets, then
-    # ONE vectorized pandas groupby per bucket (not one Python call per cluster)
-    from .minhash import _default_shuffle_buckets
-
-    B = _default_shuffle_buckets()
-
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_bkt"] = pd.util.hash_array(df["label"].to_numpy()) % B
-        return df
 
     def pick_reps(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["label", *order_cols], kind="mergesort")
@@ -98,19 +100,57 @@ def apply_cluster_labels(
             }
         )
 
-    clusters = (
-        members.map_batches(bucketize, batch_format="pandas")
-        .groupby("_bkt")
-        .map_groups(pick_reps, batch_format="pandas")
-        .materialize()
-    )
+    # the members table is at most as large as the label table, which ALREADY
+    # sits on the driver (to_pandas above) — so when labels fit the driver
+    # budget, one vectorized pandas groupby there replaces a distributed
+    # hash-shuffle whose aggregator-pool spawn is a multi-second FIXED cost
+    # that grows with cluster CPUs (measured 4.6 s for 57k rows at 32 CPUs —
+    # pure anti-scaling overhead on the small side). Above the budget, the
+    # two-level bucketed shuffle is the scale path.
+    if len(label_df) <= 2_000_000:
+        import numpy as _np
 
-    cdf = clusters.to_pandas()
-    drop_ref = ray.put(pa.array(cdf.loc[~cdf["is_representative"], "member"]))
+        cdf = pick_reps(members.to_pandas())
+        n_chunks = max(1, min(len(cdf), 8))
+        clusters = ray.data.from_pandas(
+            [c.reset_index(drop=True) for c in _np.array_split(cdf, n_chunks)]
+        )
+    else:
+        from .minhash import _default_shuffle_buckets
 
-    def keep_filter(df: pd.DataFrame) -> pd.DataFrame:
-        drops = _fetch_cached(drop_ref, lambda a: set(a.to_pylist()))
-        return df[~df[id_col].isin(drops)]
+        B = _default_shuffle_buckets()
 
-    kept = pages.map_batches(keep_filter, batch_format="pandas")
+        def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_bkt"] = pd.util.hash_array(df["label"].to_numpy()) % B
+            return df
+
+        clusters = (
+            members.map_batches(bucketize, batch_format="pandas")
+            .groupby("_bkt")
+            .map_groups(
+                lambda d: pick_reps(d.drop(columns=["_bkt"])), batch_format="pandas"
+            )
+            .materialize()
+        )
+        cdf = clusters.to_pandas()
+
+    from .minhash import _id_member_mask
+
+    # ready (sorted h1, h2) membership index built on the driver (cdf is
+    # already local) — workers fetch zero-copy numpy, no per-worker build
+    _drops = cdf.loc[~cdf["is_representative"], "member"].to_numpy(dtype=object)
+    _dh1, _dh2 = _id_hash_pair(_drops)
+    _dorder = np.argsort(_dh1, kind="stable")
+    drop_ref = ray.put((_dh1[_dorder], _dh2[_dorder]))
+
+    def keep_filter(t: pa.Table) -> pa.Table:
+        # Arrow-native: the heavy html/text payload stays zero-copy — a
+        # pandas batch format here converts every binary column per batch,
+        # which dominated the stage wall time and killed its scaling
+        drops = _fetch_cached(drop_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(object)
+        return t.filter(pa.array(~_id_member_mask(drops, ids)))
+
+    kept = pages.map_batches(keep_filter, batch_format="pyarrow")
     return kept, clusters

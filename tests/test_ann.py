@@ -101,3 +101,23 @@ def test_embedding_neardup_lsh_recall(ray_session):
     assert got <= truth  # verify step is exact -> no false positives
     recall = len(got & truth) / len(truth)
     assert recall >= 0.99, recall
+
+
+def test_embedding_neardup_exact_budget_gate(ray_session, monkeypatch):
+    """Verdict r2: the exact path's driver materialization is budget-gated —
+    a tiny budget must route to the LSH limb instead of to_pandas."""
+    from fastq_dupaway_ray.queries import augmented_embeddings
+    from fastq_dupaway_ray.stages import ann
+
+    aug = augmented_embeddings(SF).materialize()
+    called = {}
+    real_lsh = ann.embedding_neardup_lsh
+
+    def sentinel(vectors, threshold, vec_col, id_col):
+        called["lsh"] = True
+        return real_lsh(vectors, threshold=threshold, vec_col=vec_col, id_col=id_col)
+
+    monkeypatch.setattr(ann, "embedding_neardup_lsh", sentinel)
+    out = ann.embedding_neardup_exact(aug, threshold=0.95, broadcast_budget=1).to_pandas()
+    assert called.get("lsh"), "gate did not engage the LSH fallback"
+    assert len(out) > 0
