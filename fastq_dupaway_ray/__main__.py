@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--unordered", action="store_true", help="id-join paired inputs first (fast mode only)")
     p.add_argument("--write-clusters", action="store_true")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--format", choices=["fasta", "fastq"], default=None,
+                   help="force FASTA/FASTQ input parsing (reference --format; "
+                        "otherwise inferred from the file extension)")
     p.add_argument("--id-col", default="url")
     p.add_argument("--text-col", default="text")
     p.add_argument("--checkpoint-root", default=None, help="stage checkpoint dir (resume support)")
@@ -107,12 +110,32 @@ def main(argv=None) -> int:
         print("--checkpoint-root currently applies to single-input --minhash runs; ignored",
               file=sys.stderr)
 
-    ds = rd.read_parquet(args.input_1)
+    from .sources.fastx import dir_has_fastx, is_fastx_path, read_fastx
+
+    def _load(path):
+        # native reference formats lift to the pages schema; malformed
+        # records are dropped with a counter instead of aborting (M9)
+        if args.format or is_fastx_path(path) or dir_has_fastx(path):
+            fx = read_fastx(path, args.format)
+            if args.verbose:
+                bad = fx.map_batches(
+                    lambda t: t.filter(__import__("pyarrow").compute.invert(t["_valid"])),
+                    batch_format="pyarrow",
+                ).count()
+                if bad:
+                    print(f"quarantined {bad} malformed records from {path}", file=sys.stderr)
+            return fx.map_batches(
+                lambda t: t.filter(t["_valid"]).drop_columns(["_valid"]),
+                batch_format="pyarrow",
+            )
+        return rd.read_parquet(path)
+
+    ds = _load(args.input_1)
     paired = bool(args.input_2)
     if paired:
         from .stages.join import join_unordered
 
-        jr = join_unordered(ds, rd.read_parquet(args.input_2), key=args.id_col)
+        jr = join_unordered(ds, _load(args.input_2), key=args.id_col)
         if args.verbose:
             print(f"joined: {jr.matched} matched, {jr.unmatched} unmatched", file=sys.stderr)
         ds = jr.pairs
@@ -149,6 +172,16 @@ def main(argv=None) -> int:
         emit_clusters=args.write_clusters,
     )
     out = run_dedup(ds, cfg)
+    from .sources.fastx import write_fastx
+
+    if is_fastx_path(args.output_1) and not paired:
+        # drop-in reference parity: single fastx sink, records in file order
+        n = write_fastx(out.kept, args.output_1, fmt=args.format)
+        if args.write_clusters and out.clusters is not None:
+            out.clusters.write_parquet(args.output_1 + ".clusters")
+        if args.verbose:
+            print(json.dumps({**out.metrics, "written": n}))
+        return 0
     os.makedirs(args.output_1, exist_ok=True)
     if paired and args.output_2:
         # reference parity: two sinks, one per mate file

@@ -25,12 +25,29 @@ PAGES_SCHEMA = pa.schema(
 
 
 def read_pages(path, columns=None) -> ray.data.Dataset:
-    """Read a pages Parquet directory with column pruning at the scan.
+    """Read a pages source with column pruning at the scan.
+
+    Parquet by default; FASTA/FASTQ(.gz) paths (the reference's native
+    formats) dispatch to ``sources.fastx.read_fastx``, which lifts records to
+    this same schema — so every pipeline accepts the reference's inputs
+    directly (S3 source factory).
 
     Pass ``columns`` whenever downstream stages don't need the heavy ``html``
     payload — at 100 TB the html column dominates the table and must not leave
     storage unless a stage actually decodes it.
     """
+    from .fastx import dir_has_fastx, is_fastx_path, read_fastx
+
+    p = str(path) if not isinstance(path, (list, tuple)) else None
+    if p is not None and (is_fastx_path(p) or dir_has_fastx(p)):
+        ds = read_fastx(p)
+        if columns:
+            keep = [*columns, "_valid"]
+            ds = ds.map_batches(
+                lambda t: t.select([c for c in keep if c in t.column_names]),
+                batch_format="pyarrow",
+            )
+        return ds
     return ray.data.read_parquet(path, columns=columns)
 
 
@@ -40,6 +57,8 @@ def validate_pages_batch(batch: pa.Table) -> pa.Table:
     Invariants (per FIXTURES.md / input_hint): url non-empty, text non-null,
     warc_ts non-null. Invalid rows are flagged, not dropped — callers either
     filter them into the main flow or write them to a quarantine sink.
+    A pre-existing ``_valid`` column (the fastx parser's record-shape checks)
+    is folded in with AND.
     """
     ok = pc.and_(
         pc.and_(
@@ -48,6 +67,9 @@ def validate_pages_batch(batch: pa.Table) -> pa.Table:
         ),
         pc.is_valid(batch["warc_ts"]),
     )
+    if "_valid" in batch.column_names:
+        ok = pc.and_(ok, batch["_valid"])
+        batch = batch.drop_columns(["_valid"])
     return batch.append_column("_valid", ok)
 
 

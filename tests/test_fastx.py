@@ -1,0 +1,133 @@
+"""Native FASTA/FASTQ(.gz) source + sink (sources.fastx) — the reference's
+actual input formats (/root/reference/src/fastqview.cpp, fastaview.cpp,
+file_utils.cpp:71-79) flowing through the engine end-to-end."""
+
+import gzip
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+REF = "/root/reference/test"
+
+FASTQ = (
+    b"@r1 first\nACGT\n+\nIIII\n"
+    b"@r2\nACGTA\n+\nIIIII\n"
+    b"@r3\nACGT\n+\nIII\n"  # qual len mismatch -> invalid (fastqview.cpp:117)
+    b"Xr4\nACGT\n+\nIIII\n"  # bad start marker -> invalid (fastqview.cpp:92)
+)
+
+FASTA = b">a\nACGT\n>b\nGGGG\n>c\nACGT\n"
+
+
+def test_parse_fastq_validation(ray_session):
+    from fastq_dupaway_ray.sources.fastx import parse_fastx_bytes
+
+    t = parse_fastx_bytes(FASTQ, "fastq")
+    assert t["url"].to_pylist() == ["r1 first", "r2", "r3", "r4"]
+    assert t["_valid"].to_pylist() == [True, True, False, False]
+    assert t["text"].to_pylist()[:2] == ["ACGT", "ACGTA"]
+    # raw record bytes round-trip
+    assert t["html"].to_pylist()[0] == b"@r1 first\nACGT\n+\nIIII\n"
+
+
+def test_parse_fasta_and_trailing_garbage(ray_session):
+    from fastq_dupaway_ray.sources.fastx import parse_fastx_bytes
+
+    t = parse_fastx_bytes(FASTA + b">partial", "fasta")
+    assert t["url"].to_pylist()[:3] == ["a", "b", "c"]
+    assert t["_valid"].to_pylist() == [True, True, True, False]
+
+
+def test_read_fastx_gz_and_order(ray_session, tmp_path):
+    from fastq_dupaway_ray.sources.fastx import read_fastx
+
+    p = str(tmp_path / "in.fastq.gz")
+    with gzip.open(p, "wb") as f:
+        f.write(FASTQ)
+    ds = read_fastx(p)
+    df = ds.to_pandas()
+    assert list(df["url"][:2]) == ["r1 first", "r2"]
+    assert df["_valid"].tolist() == [True, True, False, False]
+    # arrival order is encoded in warc_ts
+    assert df["warc_ts"].is_monotonic_increasing
+
+
+def test_read_pages_dispatches_fastx(ray_session, tmp_path):
+    from fastq_dupaway_ray.sources.pages import read_pages, split_quarantine
+
+    p = str(tmp_path / "in.fa")
+    with open(p, "wb") as f:
+        f.write(FASTA)
+    good, bad = split_quarantine(read_pages(p))
+    assert sorted(good.to_pandas()["url"]) == ["a", "b", "c"]
+    assert bad.count() == 0
+
+
+def test_reference_fixture_through_engine_source(ray_session):
+    """The reference's own .fa fixture parses identically via the engine."""
+    from fastq_dupaway_ray.sources.fastx import read_fastx
+
+    path = os.path.join(REF, "inputs", "single_fast.fa")
+    df = read_fastx(path).to_pandas()
+    assert df["_valid"].all()
+    rows = []
+    with open(path) as f:
+        rid = None
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith(">"):
+                rid = line[1:]
+            elif rid is not None:
+                rows.append((rid, line))
+                rid = None
+    assert list(df["url"]) == [r[0] for r in rows]
+    assert list(df["text"]) == [r[1] for r in rows]
+
+
+def test_cli_fasta_input_and_output(ray_session, tmp_path):
+    """CLI accepts a FASTA path directly (-i x.fa -o y.fa --fast) and the
+    fastx sink reproduces the reference's byte format on kept records."""
+    from fastq_dupaway_ray.__main__ import main
+
+    src = os.path.join(REF, "inputs", "single_fast.fa")
+    out = str(tmp_path / "kept.fa")
+    assert main(["-i", src, "-o", out, "--fast"]) == 0
+    kept = open(out, "rb").read()
+    expected = open(os.path.join(REF, "expected", "single_fast.fa"), "rb").read()
+
+    def ids_and_seqs(blob):
+        recs = {}
+        lines = blob.decode().splitlines()
+        for i in range(0, len(lines) - 1, 2):
+            recs[lines[i][1:]] = lines[i + 1]
+        return recs
+
+    assert ids_and_seqs(kept) == ids_and_seqs(expected)
+
+
+def test_cli_fasta_to_parquet(ray_session, tmp_path):
+    from fastq_dupaway_ray.__main__ import main
+
+    src = os.path.join(REF, "inputs", "single_fast.fa")
+    out = str(tmp_path / "kept")
+    assert main(["-i", src, "-o", out, "--fast"]) == 0
+    t = pq.read_table(out)
+    assert {"url", "warc_ts", "html", "text", "lang"} <= set(t.column_names)
+    assert t.num_rows > 0
+
+
+def test_write_fastx_roundtrip(ray_session, tmp_path):
+    from fastq_dupaway_ray.sources.fastx import read_fastx, write_fastx
+
+    p = str(tmp_path / "in.fq")
+    with open(p, "wb") as f:
+        f.write(b"@r1\nACGT\n+\nIIII\n@r2\nGG\n+\nII\n")
+    ds = read_fastx(p).map_batches(
+        lambda t: t.filter(t["_valid"]).drop_columns(["_valid"]),
+        batch_format="pyarrow",
+    )
+    out = str(tmp_path / "out.fq.gz")
+    n = write_fastx(ds, out)
+    assert n == 2
+    assert gzip.open(out, "rb").read() == b"@r1\nACGT\n+\nIIII\n@r2\nGG\n+\nII\n"

@@ -46,6 +46,17 @@ def _pages(rows):
     )
 
 
+def _pages_engine(path):
+    """The ENGINE's native fastx source (sources.fastx) — the reference's own
+    .fa fixture flows through the real ingest path, not test scaffolding."""
+    from fastq_dupaway_ray.sources.fastx import read_fastx
+
+    return read_fastx(path).map_batches(
+        lambda t: t.filter(t["_valid"]).drop_columns(["_valid"]),
+        batch_format="pyarrow",
+    )
+
+
 def _expected_ids(name):
     return sorted(r[0] for r in _read_fasta(os.path.join(REF, "expected", name)))
 
@@ -62,9 +73,9 @@ def test_reference_seq_goldens(ray_session, fixture, mode, distance):
     """The reference's sequence-mode golden runs (test/test_seq.py:7-38)."""
     from fastq_dupaway_ray.stages.adjacency import dedup_adjacency
 
-    rows = _read_fasta(os.path.join(REF, "inputs", fixture))
     res = dedup_adjacency(
-        _pages(rows), mode=mode, distance=distance, order_cols=("warc_ts", "url")
+        _pages_engine(os.path.join(REF, "inputs", fixture)),
+        mode=mode, distance=distance, order_cols=("warc_ts", "url"),
     )
     got = sorted(res.kept.to_pandas()["url"])
     assert got == _expected_ids(fixture), fixture
@@ -74,9 +85,9 @@ def test_reference_fast_golden(ray_session):
     """The reference's fast-mode golden run (test/test_fast.py single-end)."""
     from fastq_dupaway_ray.stages.dedup_exact import dedup_exact
 
-    rows = _read_fasta(os.path.join(REF, "inputs", "single_fast.fa"))
     kept = dedup_exact(
-        _pages(rows), key_cols=("text",), order_cols=("warc_ts", "url")
+        _pages_engine(os.path.join(REF, "inputs", "single_fast.fa")),
+        key_cols=("text",), order_cols=("warc_ts", "url"),
     ).to_pandas()
     assert sorted(kept["url"]) == _expected_ids("single_fast.fa")
 
