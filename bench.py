@@ -161,6 +161,32 @@ def run_benchmarks() -> dict:
 
     timed("streaming_dedup", streaming)
 
+    def components_distributed():
+        # the 10^12-doc limb: force min-label propagation (no driver
+        # union-find) on a synthetic 3M-edge graph — ~1M chained triples plus
+        # cross-links so convergence needs pointer doubling, not one round
+        import numpy as np
+        import pandas as pd
+
+        from fastq_dupaway_ray.stages.components import connected_components
+
+        n = 1_000_000
+        a = np.arange(n, dtype=np.int64)
+        chain = a[a % 1024 != 1023]  # 1024-triple chains: diameter ~3k,
+        frames = [                   # forcing the O(log d) doubling rounds
+            pd.DataFrame({"a": a * 3, "b": a * 3 + 1}),
+            pd.DataFrame({"a": a * 3 + 1, "b": a * 3 + 2}),
+            pd.DataFrame({"a": chain * 3 + 2, "b": (chain + 1) * 3}),
+        ]
+        edges = rd.from_pandas(
+            [c.reset_index(drop=True) for f in frames for c in np.array_split(f, 16)]
+        )
+        labels = connected_components(edges, local_edge_budget=0)
+        return labels.count()
+
+    n_labels = timed("components_distributed_3m_edges", components_distributed)
+    assert n_labels > 2_000_000, n_labels
+
     headline = timings["flagship_minhash_oph"]
     result = {
         "metric": "flagship_minhash_oph_neardup_sec",

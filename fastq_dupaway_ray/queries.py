@@ -1203,18 +1203,63 @@ def _lang_id_sql() -> str:
 
 
 def q_fingerprint_docs(sf_dir: str):
-    """Rolling-hash document fingerprinting (rows-only: not SQL-expressible)."""
+    """Rolling-hash document fingerprinting (SQL_FINGERPRINT_DOCS replays the
+    identical polynomial arithmetic in DuckDB — oracle-checked)."""
+    import numpy as np
+
     from .functions.hashing import rolling_fingerprint
 
     def add(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "fingerprint": [int(rolling_fingerprint(t)) for t in df["text"]],
+                "fingerprint": np.array(
+                    [rolling_fingerprint(t or "") for t in df["text"]], dtype=np.uint64
+                ),
             }
         )
 
     return _docs(sf_dir).map_batches(add, batch_format="pandas")
+
+
+# the exact rolling_fingerprint arithmetic (functions/hashing.py:85-105) in
+# SQL: powers of the base mod 2^64 via a recursive CTE (HUGEINT keeps every
+# intermediate product exact before the explicit mod), one row per
+# (doc, window-aligned sample, byte) for the polynomial terms, wrap-mod sums
+# per window, bit_xor across samples. Codepoints == UTF-8 bytes because the
+# documents corpus is ASCII (validated: octet_length == length for all rows).
+SQL_FINGERPRINT_DOCS = """
+WITH RECURSIVE pw(e, p) AS (
+  SELECT 0, 1::HUGEINT
+  UNION ALL
+  SELECT e + 1, (p * 1000003) % 18446744073709551616::HUGEINT FROM pw WHERE e < 63
+),
+chars AS (
+  SELECT doc_id, text, length(text) AS n, least(64, length(text)) AS w
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+),
+samples AS (
+  SELECT doc_id, text, w, unnest(range(0, n - w + 1, w)) AS s FROM chars
+),
+terms AS (
+  SELECT doc_id, s,
+    (ord(substring(text, (s + j.j + 1)::INT, 1))::HUGEINT * pw.p)
+      % 18446744073709551616::HUGEINT AS term
+  FROM samples
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+  JOIN pw ON pw.e = samples.w - 1 - j.j
+  WHERE j.j < samples.w
+),
+winhash AS (
+  SELECT doc_id, s,
+         (sum(term) % 18446744073709551616::HUGEINT)::UBIGINT AS h
+  FROM terms GROUP BY doc_id, s
+)
+SELECT doc_id, bit_xor(h) AS fingerprint FROM winhash GROUP BY doc_id
+UNION ALL
+SELECT doc_id, 0::UBIGINT AS fingerprint
+FROM documents WHERE text IS NULL OR length(text) = 0
+"""
 
 
 def q_minhash_dedup_docs(sf_dir: str):
@@ -1547,24 +1592,78 @@ SQL_EVENTS_WINDOW = """
 # ----------------------------------------------------------------------- pages
 
 def q_multimodal_features(sf_dir: str):
-    """Multimodal plumbing over the pages html binary column: image-feature
-    + frame-sample + audio-energy stages (decode stubbed deterministically;
-    rows-only — binary feature extraction is not SQL-expressible)."""
-    from .corpus import pages_from_documents
-    from .stages.multimodal import AudioFeatures, FrameSampler, image_pipeline
+    """REAL multimodal decode, oracle-checked: deterministic per-doc PNG and
+    WAV payloads (pure-stdlib encoders) flow through the actor-pool decode
+    stages with ``require_real=True``; every output column is an integer the
+    SQL oracle recomputes from ``doc_id`` arithmetic — dims and pixel value
+    straight from the image generator, sample count and 16-bit-quantized RMS
+    from the audio generator."""
+    import numpy as np
+    import pyarrow as pa
 
-    table = pages_from_documents(sf_dir)
-    ds = rd.from_arrow(table.select(["url", "html"]))
-    out = image_pipeline(ds, bin_col="html", concurrency=2, batch_size=64)
-    out = out.map_batches(
-        FrameSampler, fn_constructor_kwargs={"bin_col": "html", "k": 4},
-        batch_format="pyarrow", batch_size=64, concurrency=2,
+    from .functions.codecs import encode_png, encode_wav
+    from .stages.multimodal import AudioFeatures, ImageFeatures
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        pngs, wavs = [], []
+        for i in ids:
+            i = int(i)
+            w, h, v = 16 + i % 32, 16 + i % 16, i % 256
+            pngs.append(encode_png(np.full((h, w), v, dtype=np.uint8)))
+            n, a = 800 + i % 100, (i % 100) / 100.0
+            wavs.append(encode_wav(np.full(n, a)))
+        return pd.DataFrame({"doc_id": ids, "image": pngs, "audio": wavs})
+
+    # num_cpus=0.5: two stacked 2-actor pools must not pin every core of a
+    # small session (4-CPU test fixture) or the upstream read starves — the
+    # documented join/actor-pool deadlock pattern
+    ds = _docs(sf_dir).map_batches(build, batch_format="pandas")
+    ds = ds.map_batches(
+        ImageFeatures, fn_constructor_kwargs={"bin_col": "image", "require_real": True},
+        batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=0.5,
     )
-    out = out.map_batches(
-        AudioFeatures, fn_constructor_kwargs={"bin_col": "html"},
-        batch_format="pyarrow", batch_size=64, concurrency=2,
+    ds = ds.map_batches(
+        AudioFeatures, fn_constructor_kwargs={"bin_col": "audio", "require_real": True},
+        batch_format="pyarrow", batch_size=64, concurrency=2, num_cpus=0.5,
     )
-    return out.select_columns(["url", "width", "height", "n_bytes"])
+
+    def project(t: pa.Table) -> pa.Table:
+        feats = np.asarray(t["image_feat"].combine_chunks().flatten()).reshape(
+            t.num_rows, ImageFeatures.FEATURE_DIM
+        )
+        energy = np.asarray(t["audio_energy"].combine_chunks().flatten()).reshape(
+            t.num_rows, AudioFeatures.BINS
+        )
+        # integer-exact projections: constant-gray image -> grid mean * 255
+        # is exactly the planted pixel value; constant-amplitude audio ->
+        # RMS * 10000 rounds to the planted amplitude scaled (quantization
+        # error < 0.2 vs a .5 rounding boundary)
+        gray = np.round(feats.mean(axis=1) * 255.0).astype(np.int64)
+        rms = np.round(energy.mean(axis=1).astype(np.float64) * 10000.0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "width": t["width"].cast(pa.int64()),
+                "height": t["height"].cast(pa.int64()),
+                "gray": pa.array(gray, pa.int64()),
+                "n_samples": t["n_bytes"].cast(pa.int64()),
+                "rms_x10k": pa.array(rms, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id,
+       (16 + doc_id % 32)::BIGINT AS width,
+       (16 + doc_id % 16)::BIGINT AS height,
+       (doc_id % 256)::BIGINT AS gray,
+       (800 + doc_id % 100)::BIGINT AS n_samples,
+       round(round((doc_id % 100) / 100.0 * 32767) / 32767 * 10000)::BIGINT AS rms_x10k
+FROM documents
+"""
 
 
 def q_pages_flagship(sf_dir: str):
@@ -1642,7 +1741,7 @@ REGISTRY = {
     "token_counts_bpe_docs": (q_token_counts_bpe_docs, SQL_TOKEN_COUNTS_BPE_DOCS),
     "quality_scores_docs": (q_quality_scores_docs, SQL_QUALITY_SCORES_DOCS),
     "lang_id_docs": (q_lang_id_docs, _lang_id_sql()),
-    "fingerprint_docs": (q_fingerprint_docs, None),
+    "fingerprint_docs": (q_fingerprint_docs, SQL_FINGERPRINT_DOCS),
     "minhash_dedup_docs": (q_minhash_dedup_docs, SQL_NEAR_KEPT),
     "minhash_oph_dedup_docs": (q_minhash_oph_dedup_docs, SQL_NEAR_KEPT),
     "ngram_jaccard_dedup_docs": (q_ngram_jaccard_dedup_docs, SQL_NEAR_KEPT),
@@ -1655,5 +1754,5 @@ REGISTRY = {
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "pages_flagship": (q_pages_flagship, SQL_PAGES_FLAGSHIP),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }

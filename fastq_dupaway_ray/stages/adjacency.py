@@ -287,9 +287,15 @@ def _block_to_df(block) -> pd.DataFrame:
 
 
 @ray.remote(num_returns=2)
-def _chain_scan_block(block, state, head_id, mode: str, distance: int, tcols, id_col: str):
+def _chain_scan_block(block, prev_meta, mode: str, distance: int, tcols, id_col: str):
     """One link of the hamming serial chain: scan a sorted block given the
-    incoming comparator state; returns (flagged Arrow table, (state, head))."""
+    incoming (state, head) pair; returns (flagged Arrow table, (state, head)).
+
+    ``prev_meta`` arrives as the PREDECESSOR TASK'S OUTPUT REF — Ray resolves
+    it just-in-time, so the whole chain is submitted up front and each link
+    starts the moment its predecessor's O(1) state lands, with no driver
+    round-trip between links (round-2 looped ``ray.get`` per block)."""
+    state, head_id = prev_meta if prev_meta is not None else (None, None)
     df = _block_to_df(block)
     if len(df) == 0:
         out = df.assign(_kept=pd.Series([], dtype=bool), _head=pd.Series([], dtype=object))
@@ -335,14 +341,15 @@ def _chain_scan(
         (i for i in range(len(block_refs)) if firsts[i] is not None), key=lambda i: firsts[i]
     )
 
-    state, head = None, None
+    meta = None  # first link starts with empty comparator state
     flagged_refs = []
     for i in order:
-        tbl_ref, meta_ref = _chain_scan_block.remote(
-            block_refs[i], state, head, mode, distance, tuple(tcols), id_col
+        tbl_ref, meta = _chain_scan_block.remote(
+            block_refs[i], meta, mode, distance, tuple(tcols), id_col
         )
         flagged_refs.append(tbl_ref)
-        state, head = ray.get(meta_ref)  # O(1) state hop — the serial link
+        # no ray.get: the next link consumes `meta` as a task-arg future, so
+        # submission is instant and block prefetch overlaps the state hop
     if not flagged_refs:
         return sorted_ds.map_batches(
             lambda df: df.assign(_kept=pd.Series([], dtype=bool), _head=pd.Series([], dtype=object)),

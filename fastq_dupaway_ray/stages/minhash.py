@@ -389,7 +389,7 @@ def verify_edges_jaccard(
     id_col: str = "url",
     text_col: str = "text",
     num_partitions: int | None = None,
-    broadcast_edge_budget: int = 500_000,
+    broadcast_edge_budget: int = 2_000_000,
     spread: bool = True,
 ) -> ray.data.Dataset:
     """Exact-Jaccard verification of candidate edges against the real shingles.

@@ -2,12 +2,13 @@
 
 The engine treats media exactly as it treats ``html``: an opaque ``binary``
 column with typed metadata, transformed by actor-pool ``map_batches`` stages.
-Real decode paths exist behind optional imports (PIL for images, soundfile
-for audio — neither ships in this container); without the libs a
-clearly-marked deterministic stub computes hash/byte-derived features so the
-Ray-side contract — schema, small batch sizes for wide binary rows, actor
-signatures, zero-copy Arrow access — is fully exercised end-to-end. Pass
-``require_real=True`` to fail loudly instead of faking.
+``require_real=True`` decodes for REAL: PNG and WAV need no optional deps
+(``functions.codecs`` is a pure-stdlib decoder pair); PIL / soundfile extend
+coverage to other formats when installed, and undecodable payloads fail
+loudly. ``require_real=False`` keeps the deterministic hash/byte-derived
+stub — useful for exercising the Ray-side contract (schema, small batch
+sizes for wide binary rows, actor signatures, zero-copy Arrow access) on
+arbitrary junk bytes.
 
 Scale notes: binary payloads dominate block size — callers should read with
 ``columns=`` pruning and pass a small ``batch_size`` (e.g. 64) so
@@ -63,41 +64,63 @@ def _flat_bytes(col: pa.Array):
 class ImageFeatures:
     """Actor-pool callable: binary image -> (width, height, feature vector).
 
-    With PIL available (and ``require_real=True``) images are decoded for
-    real: true dimensions plus a mean-pooled 4x4 grayscale grid feature.
-    Without it, a deterministic hash-derived fake keeps the pipeline shape
-    testable (vectorized — only the first 64 payload bytes are touched).
+    ``require_real=True``: REAL decode — PNG via the pure-stdlib
+    ``functions.codecs`` decoder (PIL for other formats when installed);
+    true dimensions plus a mean-pooled 4x4 grayscale grid feature.
+    ``require_real=False``: deterministic hash-derived fake for arbitrary
+    bytes (vectorized — only the first 64 payload bytes are touched).
     """
 
     FEATURE_DIM = 16
 
     def __init__(self, bin_col: str = "payload", require_real: bool = False):
         self.bin_col = bin_col
-        if require_real and not _HAVE_PIL:
-            raise NotImplementedError(
-                "real image decode requires PIL, which is not available here; "
-                "run with require_real=False for the deterministic stub"
-            )
-        self.real = _HAVE_PIL and require_real
+        # real decode needs no optional deps for PNG (functions.codecs is a
+        # pure-stdlib decoder); PIL extends coverage to other formats when
+        # installed. Undecodable payloads fail loudly in real mode.
+        self.real = require_real
 
-    def _real_decode(self, col: pa.Array):  # pragma: no cover - needs PIL
+    def _real_decode(self, col: pa.Array):
         import io
+
+        from ..functions.codecs import PNG_MAGIC, decode_png
 
         widths = np.empty(len(col), dtype=np.int32)
         heights = np.empty(len(col), dtype=np.int32)
         feats = np.zeros((len(col), self.FEATURE_DIM), dtype=np.float32)
         g = int(np.sqrt(self.FEATURE_DIM))
-        for i in range(len(col)):
-            img = Image.open(io.BytesIO(col[i].as_py())).convert("L")
-            widths[i], heights[i] = img.size
-            small = np.asarray(img.resize((g, g)), dtype=np.float32) / 255.0
-            feats[i] = small.ravel()
+        bufs = col.to_pylist()  # one loop per IMAGE (decode is per-payload by
+        # nature); all pixel math inside is numpy/zlib, no per-pixel Python
+        for i, buf in enumerate(bufs):
+            buf = buf or b""
+            if buf[:8] == PNG_MAGIC:
+                img = decode_png(buf)
+                gray = (
+                    img[..., :3].mean(axis=2) if img.ndim == 3 else img
+                ).astype(np.float64)
+            elif _HAVE_PIL:  # pragma: no cover - PIL not in this container
+                pim = Image.open(io.BytesIO(buf)).convert("L")
+                gray = np.asarray(pim, dtype=np.float64)
+            else:
+                raise ValueError(
+                    f"cannot decode image payload (row {i}): not PNG and PIL unavailable"
+                )
+            h0, w0 = gray.shape
+            widths[i], heights[i] = w0, h0
+            # mean-pool to a g x g grid via bin-index scatter-add
+            yb = np.arange(h0, dtype=np.int64) * g // h0
+            xb = np.arange(w0, dtype=np.int64) * g // w0
+            grid = np.zeros((g, g))
+            cnt = np.zeros((g, g))
+            np.add.at(grid, (yb[:, None], xb[None, :]), gray)
+            np.add.at(cnt, (yb[:, None], xb[None, :]), 1.0)
+            feats[i] = (grid / np.maximum(cnt, 1.0)).ravel() / 255.0
         return widths, heights, feats
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = _as_binary_array(batch[self.bin_col])
         n = len(col)
-        if self.real:  # pragma: no cover - needs PIL
+        if self.real:
             widths, heights, feats = self._real_decode(col)
         else:
             # deterministic stub: hash of the first 64 payload bytes drives
@@ -142,11 +165,12 @@ class FrameSampler:
         return batch.append_column("frame_offsets", arr)
 
 
-def image_pipeline(ds, bin_col: str = "payload", concurrency=(1, 4), batch_size: int = 64):
+def image_pipeline(ds, bin_col: str = "payload", concurrency=(1, 4), batch_size: int = 64,
+                   require_real: bool = False):
     """Standard decode stage wiring: small batches, actor pool, arrow-only."""
     return ds.map_batches(
         ImageFeatures,
-        fn_constructor_kwargs={"bin_col": bin_col},
+        fn_constructor_kwargs={"bin_col": bin_col, "require_real": require_real},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -156,8 +180,9 @@ def image_pipeline(ds, bin_col: str = "payload", concurrency=(1, 4), batch_size:
 class AudioFeatures:
     """Actor-pool callable: binary audio -> (n_samples, k-bin energy profile).
 
-    With soundfile available (and ``require_real=True``) the payload is
-    decoded and an RMS energy profile computed over real samples. Without it,
+    ``require_real=True``: REAL decode — WAV via the stdlib ``wave`` decoder
+    in ``functions.codecs`` (soundfile for other formats when installed);
+    RMS energy over true samples. ``require_real=False``:
     the profile is computed over the RAW bytes in k equal windows — one
     vectorized ``np.add.reduceat`` over the column's flat Arrow data buffer,
     no per-row Python.
@@ -167,21 +192,28 @@ class AudioFeatures:
 
     def __init__(self, bin_col: str = "payload", require_real: bool = False):
         self.bin_col = bin_col
-        if require_real and not _HAVE_SOUNDFILE:
-            raise NotImplementedError(
-                "real audio decode requires soundfile, which is not available here; "
-                "run with require_real=False for the byte-window stub"
-            )
-        self.real = _HAVE_SOUNDFILE and require_real
+        # WAV decodes with the pure-stdlib functions.codecs decoder;
+        # soundfile extends coverage to other formats when installed
+        self.real = require_real
 
-    def _real_decode(self, col: pa.Array):  # pragma: no cover - needs soundfile
+    def _real_decode(self, col: pa.Array):
         import io
+
+        from ..functions.codecs import WAV_MAGIC, decode_wav
 
         n = len(col)
         feats = np.zeros((n, self.BINS), dtype=np.float32)
         sizes = np.zeros(n, dtype=np.int64)
         for i in range(n):
-            samples, _sr = soundfile.read(io.BytesIO(col[i].as_py()), dtype="float32")
+            buf = col[i].as_py() or b""
+            if buf[:4] == WAV_MAGIC:
+                samples, _sr = decode_wav(buf)
+            elif _HAVE_SOUNDFILE:  # pragma: no cover - not in this container
+                samples, _sr = soundfile.read(io.BytesIO(buf), dtype="float32")
+            else:
+                raise ValueError(
+                    f"cannot decode audio payload (row {i}): not WAV and soundfile unavailable"
+                )
             if samples.ndim > 1:
                 samples = samples.mean(axis=1)
             sizes[i] = len(samples)
@@ -194,7 +226,7 @@ class AudioFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = _as_binary_array(batch[self.bin_col])
         n = len(col)
-        if self.real:  # pragma: no cover - needs soundfile
+        if self.real:
             sizes, feats = self._real_decode(col)
         else:
             data, starts, sizes = _flat_bytes(col)

@@ -162,3 +162,82 @@ def test_word_ngram_hashes():
     assert len(word_ngram_hashes("a b c d", 2)) == 3
     assert len(word_ngram_hashes("", 2)) == 0
     assert len(word_ngram_hashes("one", 3)) == 1
+
+
+def test_png_codec_roundtrip():
+    import numpy as np
+
+    from fastq_dupaway_ray.functions.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, (13, 21), dtype=np.uint8)
+    assert (decode_png(encode_png(gray)) == gray).all()
+    rgb = rng.randint(0, 256, (8, 5, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(rgb)) == rgb).all()
+
+
+def test_png_decode_all_filters():
+    """Decoder handles Sub/Up/Average/Paeth scanlines (spec §9), not just the
+    filter-0 rows our encoder writes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from fastq_dupaway_ray.functions.codecs import PNG_MAGIC, decode_png
+
+    h, w = 5, 6
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+    # re-filter each row with a different filter type (bpp=1)
+    rows = []
+    prev = np.zeros(w, dtype=np.int64)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = img[y].astype(np.int64)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - np.concatenate([[0], cur[:-1]])
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            left = np.concatenate([[0], cur[:-1]])
+            enc = cur - (left + prev) // 2
+        else:
+            left = np.concatenate([[0], cur[:-1]])
+            ul = np.concatenate([[0], prev[:-1]])
+            p = left + prev - ul
+            pred = np.where(
+                (abs(p - left) <= abs(p - prev)) & (abs(p - left) <= abs(p - ul)),
+                left,
+                np.where(abs(p - prev) <= abs(p - ul), prev, ul),
+            )
+            enc = cur - pred
+        rows.append(bytes([f]) + (enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+    raw = b"".join(rows)
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(
+            ">I", zlib.crc32(typ + data) & 0xFFFFFFFF
+        )
+
+    blob = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(blob) == img).all()
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from fastq_dupaway_ray.functions.codecs import decode_wav, encode_wav
+
+    x = np.sin(np.linspace(0, 20, 1000)) * 0.5
+    got, rate = decode_wav(encode_wav(x, rate=8000))
+    assert rate == 8000
+    assert len(got) == 1000
+    assert np.abs(got - x).max() < 1e-4

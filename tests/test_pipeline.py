@@ -116,28 +116,40 @@ def test_multimodal_plumbing(ds):
 
 
 def test_multimodal_require_real(ds):
-    """require_real=True either fails loudly (libs absent — this container)
-    or decodes for real (libs present): both branches covered, neither fakes."""
+    """require_real=True decodes for REAL — PNG/WAV need only the stdlib
+    codecs; undecodable payloads fail loudly, never fake."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fastq_dupaway_ray.functions.codecs import encode_png, encode_wav
     from fastq_dupaway_ray.stages import multimodal as mm
 
-    if not mm._HAVE_PIL:
-        with pytest.raises(NotImplementedError):
-            mm.ImageFeatures(require_real=True)
-    else:  # pragma: no cover - exercised only where PIL is installed
-        import io
+    img = np.arange(200, dtype=np.uint8).reshape(10, 20)
+    t = pa.table(
+        {
+            "payload": pa.array(
+                [encode_png(img), encode_png(np.full((6, 9), 77, np.uint8))], pa.binary()
+            )
+        }
+    )
+    out = mm.ImageFeatures(require_real=True)(t)
+    assert out["width"][0].as_py() == 20 and out["height"][0].as_py() == 10
+    assert out["width"][1].as_py() == 9 and out["height"][1].as_py() == 6
+    # constant image -> every grid cell equals the pixel value / 255
+    flat = np.array(out["image_feat"].to_pylist()[1])
+    assert np.abs(flat - 77 / 255.0).max() < 1e-3
 
-        from PIL import Image
+    wav = encode_wav(np.full(500, 0.25))
+    ta = pa.table({"payload": pa.array([wav], pa.binary())})
+    oa = mm.AudioFeatures(require_real=True)(ta)
+    assert oa["n_bytes"][0].as_py() == 500
+    assert abs(np.array(oa["audio_energy"].to_pylist()[0]).mean() - 0.25) < 1e-3
 
-        import pyarrow as pa
-
-        buf = io.BytesIO()
-        Image.new("RGB", (20, 10)).save(buf, format="PNG")
-        t = pa.table({"payload": pa.array([buf.getvalue()], pa.binary())})
-        out = mm.ImageFeatures(require_real=True)(t)
-        assert out["width"][0].as_py() == 20 and out["height"][0].as_py() == 10
-    if not mm._HAVE_SOUNDFILE:
-        with pytest.raises(NotImplementedError):
-            mm.AudioFeatures(require_real=True)
+    junk = pa.table({"payload": pa.array([b"not media"], pa.binary())})
+    with pytest.raises(ValueError):
+        mm.ImageFeatures(require_real=True)(junk)
+    with pytest.raises(ValueError):
+        mm.AudioFeatures(require_real=True)(junk)
 
 
 def test_audio_energy_matches_slow_reference():
