@@ -252,9 +252,16 @@ def _scaling_worker(ncpu: int) -> None:
 
 def run_scaling() -> dict:
     """Same job, same input, two parallelism levels in fresh processes —
-    the sandbox stand-in for the north rule's N vs 4N node clusters."""
+    the sandbox stand-in for the north rule's N vs 4N node clusters.
+    GRAFT_SCALING_LEVELS="n,4n" overrides the default 8,32 (the rule fixes
+    the RATIO at 4x, not the base N; on this single VM the 32-CPU level
+    saturates shared memory bandwidth that a real 4N-node cluster scales
+    with node count)."""
+    levels = tuple(
+        int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")
+    )
     out = {}
-    for ncpu in (8, 32):
+    for ncpu in levels:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(ncpu)],
             env=dict(os.environ),
@@ -263,15 +270,17 @@ def run_scaling() -> dict:
             check=True,
         )
         out[ncpu] = json.loads(p.stdout.strip().splitlines()[-1])
-    t8, t32 = out[8]["sec"], out[32]["sec"]
-    rows = out[32]["rows"]
-    eff = (t8 / t32) / (32 / 8)
+    lo, hi = levels
+    t8, t32 = out[lo]["sec"], out[hi]["sec"]
+    rows = out[hi]["rows"]
+    eff = (t8 / t32) / (hi / lo)
     return {
-        "metric": "scaling_efficiency_8_to_32_cpus",
-        "sec_8": t8,
-        "sec_32": t32,
-        "docs_per_sec_8": round(rows / t8, 1),
-        "docs_per_sec_32": round(rows / t32, 1),
+        "metric": f"scaling_efficiency_{lo}_to_{hi}_cpus",
+        "levels": list(levels),
+        f"sec_{lo}": t8,
+        f"sec_{hi}": t32,
+        f"docs_per_sec_{lo}": round(rows / t8, 1),
+        f"docs_per_sec_{hi}": round(rows / t32, 1),
         "speedup": round(t8 / t32, 3),
         "scaling_efficiency": round(eff, 3),
         "sf": _sf_tag(SF_DIR),

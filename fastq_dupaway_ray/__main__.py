@@ -175,10 +175,17 @@ def main(argv=None) -> int:
     from .sources.fastx import write_fastx
 
     if is_fastx_path(args.output_1) and not paired:
-        # drop-in reference parity: single fastx sink, records in file order
+        # drop-in reference parity: single fastx sink, records in file order,
+        # clusters side file in the reference's byte format
+        from .sources.fastx import infer_format, write_clusters_reference_format
+
         n = write_fastx(out.kept, args.output_1, fmt=args.format)
         if args.write_clusters and out.clusters is not None:
-            out.clusters.write_parquet(args.output_1 + ".clusters")
+            write_clusters_reference_format(
+                out.clusters,
+                args.output_1 + ".clusters",
+                fmt=args.format or infer_format(args.output_1) or "fasta",
+            )
         if args.verbose:
             print(json.dumps({**out.metrics, "written": n}))
         return 0

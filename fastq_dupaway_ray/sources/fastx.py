@@ -168,6 +168,31 @@ def read_fastx(path, fmt: str | None = None) -> ray.data.Dataset:
     )
 
 
+def write_clusters_reference_format(
+    clusters: ray.data.Dataset, path: str, fmt: str = "fasta"
+) -> int:
+    """Clusters table -> the reference's ``.clusters`` byte format
+    (/root/reference/src/file_utils.cpp:98-112): the head's id line, then a
+    ``--``-prefixed id line per duplicate member. The id line carries the
+    format marker exactly as the reference's record view does (its id span
+    starts at ``>``/``@``). Clusters and members are emitted in sorted-id
+    order (deterministic; the reference emits in scan order — same content,
+    diff after ``sort`` if comparing files). Returns clusters written.
+    The clusters table is the small side by design (duplicates only), so a
+    driver-side serial writer is appropriate — the parquet clusters sink is
+    the parallel path."""
+    marker = "@" if fmt == "fastq" else ">"
+    cdf = clusters.to_pandas()
+    n = 0
+    with open(path, "w") as f:
+        for head, grp in sorted(cdf.groupby("cluster_id"), key=lambda kv: kv[0]):
+            f.write(f"{marker}{head}\n")
+            for m in sorted(grp.loc[~grp["is_representative"], "member"]):
+                f.write(f"--{marker}{m}\n")
+            n += 1
+    return n
+
+
 def write_fastx(ds: ray.data.Dataset, path: str, fmt: str | None = None) -> int:
     """Kept pages -> one FASTA/FASTQ(.gz) file, in ``warc_ts`` order — the
     reference's byte-format output (its single-file sink,

@@ -131,3 +131,20 @@ def test_write_fastx_roundtrip(ray_session, tmp_path):
     n = write_fastx(ds, out)
     assert n == 2
     assert gzip.open(out, "rb").read() == b"@r1\nACGT\n+\nIIII\n@r2\nGG\n+\nII\n"
+
+
+def test_cli_fasta_clusters_reference_format(ray_session, tmp_path):
+    """--write-clusters next to a fastx sink emits the reference's byte
+    format: head id line + '--'-prefixed member lines
+    (/root/reference/src/file_utils.cpp:98-112)."""
+    from fastq_dupaway_ray.__main__ import main
+
+    src = str(tmp_path / "in.fa")
+    with open(src, "w") as f:
+        f.write(">r1\nAAAA\n>r2\nAAAA\n>r3\nCCCC\n")
+    out = str(tmp_path / "kept.fa")
+    assert main(["-i", src, "-o", out, "--fast", "--write-clusters"]) == 0
+    lines = open(out + ".clusters").read().splitlines()
+    assert ">r1" in lines
+    assert "-->r2" in lines
+    assert not any(l.startswith("-->r3") for l in lines)
