@@ -163,18 +163,20 @@ def char_ngram_hashes_batch(texts, k: int = 8, base: int = 1000003):
         all_hashes = (sliding * powers).sum(axis=1, dtype=np.uint64)
     else:
         all_hashes = np.empty(0, dtype=np.uint64)
-    for i in range(len(enc)):
-        n = lens[i]
-        if n == 0:
-            continue
-        s = starts[i]
-        if n >= k:
-            values[s : s + counts[i]] = all_hashes[offsets[i] : offsets[i] + n - k + 1]
-        else:
-            # short doc: one shingle over the whole text (k' = n)
-            p = _pow_vector(base, int(n))
-            seg = data[offsets[i] : offsets[i] + n]
-            values[s] = (seg * p).sum(dtype=np.uint64)
+    # long docs (n >= k): one vectorized gather — window w of doc i lives at
+    # all_hashes[offsets[i] + w]; the index array maps every output slot there
+    long = lens >= k
+    if long.any():
+        lc, ls, lo = counts[long], starts[long], offsets[long]
+        seg_off = np.cumsum(lc) - lc  # exclusive prefix over the long docs
+        within = np.arange(int(lc.sum()), dtype=np.int64) - np.repeat(seg_off, lc)
+        values[np.repeat(ls, lc) + within] = all_hashes[np.repeat(lo, lc) + within]
+    # short docs (0 < n < k): one whole-text shingle each (k' = n) — rare
+    for i in np.nonzero((lens > 0) & ~long)[0]:
+        n = int(lens[i])
+        p = _pow_vector(base, n)
+        seg = data[offsets[i] : offsets[i] + n]
+        values[starts[i]] = (seg * p).sum(dtype=np.uint64)
     return values, starts, counts
 
 

@@ -131,18 +131,61 @@ class MinHasher:
     def signatures_batch(self, texts) -> np.ndarray:
         """(n_docs, num_perms) signatures for a batch of texts.
 
-        Per-doc loop over ``sign_text`` — measured faster than a
-        reduceat-over-concatenated-shingles formulation on both random and
-        templated web text, because the per-doc ``np.unique`` shrinks the
-        (perms x shingles) work and small-array numpy overhead is dwarfed by
-        the hashing itself. Kept as the single entry point so the hot path
-        has one place to optimize.
+        OPH + char shingles takes the fully-batched path (one shingling pass
+        over the concatenated batch, one flat scatter-min, batched
+        densification — bit-identical to per-doc ``sign_text``, test-pinned).
+        The classic K-permutation scheme keeps the per-doc loop: measured
+        faster than a reduceat-over-concatenated-shingles formulation on both
+        random and templated web text, because the per-doc ``np.unique``
+        shrinks the (perms x shingles) work and small-array numpy overhead is
+        dwarfed by the hashing itself.
         """
+        if self.params.scheme == "oph" and self.params.shingle == "char":
+            return self.signatures_oph_batch(texts)
         K = self.params.num_perms
         n = len(texts)
         sig = np.empty((n, K), dtype=np.uint64)
         for i, t in enumerate(texts):
             sig[i] = self.sign_text(t or "")
+        return sig
+
+    def signatures_oph_batch(self, texts) -> np.ndarray:
+        """Batched OPH signing: the whole batch's char shingles are hashed in
+        one vectorized pass and scatter-min'd into a flat (n_docs * K) bin
+        array in ONE ``np.minimum.at`` call; densification probes advance for
+        every still-empty (doc, bin) together per attempt. Bit-identical to
+        per-doc ``signature_oph`` (same hash family, same probe chain; docs
+        are independent because flat indices never cross a doc boundary)."""
+        from .hashing import char_ngram_hashes_batch
+
+        p = self.params
+        K = p.num_perms
+        n = len(texts)
+        sig = np.full(n * K, _MASK64, dtype=np.uint64)
+        values, starts, counts = char_ngram_hashes_batch(texts, k=p.shingle_k)
+        if len(values):
+            x = values * self.a[0] + self.b[0]
+            bins = (x % np.uint64(K)).astype(np.int64)
+            doc_base = np.repeat(np.arange(n, dtype=np.int64) * K, counts)
+            np.minimum.at(sig, doc_base + bins, x)
+        sig = sig.reshape(n, K)
+        empty_doc, empty_bin = np.nonzero(sig == _MASK64)
+        if len(empty_doc):
+            # zero-shingle docs stay all-sentinel (per-doc path's early
+            # return) — densifying them would spin to the pathological guard
+            has = counts[empty_doc] > 0
+            empty_doc, empty_bin = empty_doc[has], empty_bin[has]
+        a1, b1 = self.a[1 % len(self.a)], self.b[1 % len(self.b)]
+        attempt = 1
+        while len(empty_bin):
+            probe = ((empty_bin.astype(np.uint64) + np.uint64(attempt)) * a1 + b1) % np.uint64(K)
+            src = sig[empty_doc, probe.astype(np.int64)]
+            ok = src != _MASK64
+            sig[empty_doc[ok], empty_bin[ok]] = src[ok]
+            empty_doc, empty_bin = empty_doc[~ok], empty_bin[~ok]
+            attempt += 1
+            if attempt > 64 * K:  # all-empty pathological guard
+                break
         return sig
 
     def band_keys_batch(self, sigs: np.ndarray) -> np.ndarray:

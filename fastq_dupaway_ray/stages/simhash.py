@@ -79,7 +79,9 @@ def emit_chunk_keys(batch: pa.Table, distance: int, id_col: str = "url",
     take = pa.array(idx)
     cols = {
         "chunk_key": pa.array(keys.ravel(), pa.uint64()),
-        id_col: _take(batch[id_col], take),
+        # ids repeat d+1 times — dictionary-encode so the chunk shuffle ships
+        # each url's bytes once per block (decoded after the shuffle)
+        id_col: _take(batch[id_col], take, dict_encode=True),
         SIMHASH_COL: pa.array(sig[idx], pa.uint64()),
     }
     for i in range(1, n_sides):
@@ -91,9 +93,11 @@ def emit_chunk_keys(batch: pa.Table, distance: int, id_col: str = "url",
     return pa.table(cols)
 
 
-def _take(arr, take):
+def _take(arr, take, dict_encode: bool = False):
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if dict_encode and (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        arr = arr.dictionary_encode()
     return arr.take(take)
 
 
@@ -159,6 +163,11 @@ def simhash_candidate_edges(
         """One coarse shuffle bucket: vectorized star verify over ALL chunk
         groups at once; dense all-pairs only for small multi-member groups
         (those are the actual duplicate clusters — rare by construction)."""
+        # dict-encoded shuffle columns arrive as Categoricals whose sort order
+        # is category order — decode so head selection stays lexicographic
+        for c in df.columns:
+            if isinstance(df[c].dtype, pd.CategoricalDtype):
+                df[c] = np.asarray(df[c].astype(object))
         df = df.sort_values(["chunk_key", *order_cols], kind="mergesort")
         df = df.drop_duplicates(subset=["chunk_key", id_col])
         g = df.groupby("chunk_key", sort=False)

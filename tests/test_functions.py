@@ -241,3 +241,43 @@ def test_wav_codec_roundtrip():
     assert rate == 8000
     assert len(got) == 1000
     assert np.abs(got - x).max() < 1e-4
+
+
+def test_char_ngram_hashes_batch_matches_per_doc():
+    """The batched shingling pass (one gather over the concatenated batch)
+    must agree with per-doc char_ngram_hashes on every doc shape: long,
+    exactly-k, shorter-than-k, empty, unicode."""
+    from fastq_dupaway_ray.functions.hashing import char_ngram_hashes, char_ngram_hashes_batch
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "", "short", "exactly8", "1234567", "ünïcødé — текст 漢字",
+        "aaaaaaaaaaaaaaaa", None, "x",
+    ]
+    values, starts, counts = char_ngram_hashes_batch(texts, k=8)
+    for i, t in enumerate(texts):
+        got = values[starts[i] : starts[i] + counts[i]]
+        want = char_ngram_hashes(t or "", k=8, unique=False)
+        assert np.array_equal(got, want), (i, t)
+
+
+def test_oph_batch_signatures_bit_identical():
+    """signatures_oph_batch (flat scatter-min + batched densification) must be
+    bit-identical to the per-doc signature_oph path — the oracle-checked LSH
+    keys derive from these bits."""
+    from fastq_dupaway_ray.functions.sketches import MinHasher, MinHashParams
+
+    p = MinHashParams(scheme="oph")
+    h = MinHasher(p)
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 4,
+        "", "short", "the quick brown fox jumps over the lazy dog " * 4,
+        "tiny", "a" * 7, "b" * 8, "common prefix with divergent tails A",
+        "common prefix with divergent tails B",
+    ]
+    batch = h.signatures_oph_batch(texts)
+    for i, t in enumerate(texts):
+        per = h.sign_text(t or "")
+        assert np.array_equal(batch[i], per), (i, t)
+    # dispatch: signatures_batch routes char-shingle OPH through the batch path
+    assert np.array_equal(h.signatures_batch(texts), batch)
