@@ -77,10 +77,13 @@ def _sign_and_band_table(
     keys = hasher.band_keys_batch(sigs)
     cols = {
         "band_key": pa.array(keys.ravel(), pa.uint64()),
-        # ids repeat ``bands`` times each — dictionary-encode so the LSH
-        # shuffle ships each url's bytes once per block plus int32 indices
-        # (~8x fewer band-row bytes on the wire; decoded after the shuffle)
-        id_col: _repeat_col(batch[id_col], p.bands, dict_encode=True),
+        # ids repeat ``bands`` times each; dict_encode=True would ship each
+        # url's bytes once per block + int32 indices, but MEASURED SLOWER
+        # end-to-end on this single node (+10s/1M docs at 32 CPUs: Arrow
+        # dictionary unification in the shuffle reduce outweighs the wire
+        # savings when "the wire" is shared memory). Revisit on a real
+        # multi-node cluster where network bytes dominate.
+        id_col: _repeat_col(batch[id_col], p.bands),
     }
     for c in order_cols:
         cols[c] = _repeat_col(batch[c], p.bands)

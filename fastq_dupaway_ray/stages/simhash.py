@@ -79,9 +79,10 @@ def emit_chunk_keys(batch: pa.Table, distance: int, id_col: str = "url",
     take = pa.array(idx)
     cols = {
         "chunk_key": pa.array(keys.ravel(), pa.uint64()),
-        # ids repeat d+1 times — dictionary-encode so the chunk shuffle ships
-        # each url's bytes once per block (decoded after the shuffle)
-        id_col: _take(batch[id_col], take, dict_encode=True),
+        # ids repeat d+1 times; dict_encode measured slower end-to-end on a
+        # single node (dictionary unification in the shuffle reduce — see
+        # minhash._sign_and_band_table). Revisit on real multi-node network.
+        id_col: _take(batch[id_col], take),
         SIMHASH_COL: pa.array(sig[idx], pa.uint64()),
     }
     for i in range(1, n_sides):

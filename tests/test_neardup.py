@@ -310,3 +310,28 @@ def test_verify_paths_agree_on_null_text(ray_session):
     ).to_pandas()
     key = lambda df: sorted(zip(df["a"], df["b"], df["jaccard"].round(9)))
     assert key(broad) == key(join)
+
+
+def test_min_label_numpy_matches_union_find_random():
+    """The vectorized driver components (factorize + minimum.at relaxation)
+    must equal the per-edge union-find oracle on random graphs: chains,
+    stars, self-loops, duplicate edges, string + int ids."""
+    from fastq_dupaway_ray.stages.components import _components_min_label_numpy
+
+    rng = np.random.default_rng(17)
+    for trial in range(8):
+        n = int(rng.integers(2, 200))
+        m = int(rng.integers(1, 400))
+        a = rng.integers(0, n, size=m)
+        b = rng.integers(0, n, size=m)
+        ids = np.array([f"u/{i:04d}" for i in range(n)], dtype=object)
+        ea, eb = ids[a], ids[b]
+        nodes, labels = _components_min_label_numpy(ea, eb)
+        ref = refmodel.union_find_components(list(zip(ea, eb)))
+        assert dict(zip(nodes, labels)) == ref, trial
+    # long chain in adversarial order (worst case for naive propagation)
+    k = 500
+    ea = np.array([f"n{i:05d}" for i in range(k - 1, 0, -1)], dtype=object)
+    eb = np.array([f"n{i:05d}" for i in range(k - 2, -1, -1)], dtype=object)
+    nodes, labels = _components_min_label_numpy(ea, eb)
+    assert set(labels) == {"n00000"}
