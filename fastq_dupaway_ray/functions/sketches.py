@@ -149,18 +149,33 @@ class MinHasher:
             sig[i] = self.sign_text(t or "")
         return sig
 
+    # Sub-batch width for OPH signing. Signing 2048 docs in one flat pass
+    # allocates ~100 MB of scratch per task; with 32 concurrent tasks the
+    # first-touch page-fault burst stalls on kernel THP compaction (measured
+    # 0.25-5 s wall for the SAME call depending on allocator state — the
+    # source of the 2-3x run-to-run jitter in the OPH flagship). 256-doc
+    # chunks keep scratch ~L3-resident and malloc-recycled: measured 0.08 s
+    # stable vs 0.14-4.9 s for the monolithic pass at 32 procs.
+    OPH_CHUNK_DOCS = 256
+
     def signatures_oph_batch(self, texts) -> np.ndarray:
-        """Batched OPH signing: the whole batch's char shingles are hashed in
+        """Batched OPH signing: a sub-batch's char shingles are hashed in
         one vectorized pass and scatter-min'd into a flat (n_docs * K) bin
         array in ONE ``np.minimum.at`` call; densification probes advance for
         every still-empty (doc, bin) together per attempt. Bit-identical to
         per-doc ``signature_oph`` (same hash family, same probe chain; docs
         are independent because flat indices never cross a doc boundary)."""
+        n = len(texts)
+        step = self.OPH_CHUNK_DOCS
+        if n > step:
+            out = np.empty((n, self.params.num_perms), dtype=np.uint64)
+            for i in range(0, n, step):
+                out[i : i + step] = self.signatures_oph_batch(texts[i : i + step])
+            return out
         from .hashing import char_ngram_hashes_batch
 
         p = self.params
         K = p.num_perms
-        n = len(texts)
         sig = np.full(n * K, _MASK64, dtype=np.uint64)
         values, starts, counts = char_ngram_hashes_batch(texts, k=p.shingle_k)
         if len(values):
