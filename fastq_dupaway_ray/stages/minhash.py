@@ -138,6 +138,7 @@ def lsh_candidate_edges(
     max_bucket: int = 256,
     num_shuffle_buckets: int | None = None,
     emit_edge_bucket: int | None = None,
+    exchange: str = "tasks",
 ) -> ray.data.Dataset:
     """band rows -> star candidate edges (a, b) with a = LSH-bucket head.
 
@@ -161,6 +162,21 @@ def lsh_candidate_edges(
     duplicate-edge groupby can shuffle DIRECTLY on it — fusing what used to
     be a separate bucketize pass over the whole edge list (one fewer task
     round between the two shuffles).
+
+    ``exchange`` picks the physical shuffle:
+    * ``"tasks"`` (default) — a manual hash exchange with raw Ray tasks:
+      each band-row block is split into B bucket slices (one stable argsort
+      + zero-copy Arrow slices, num_returns=B), and B reduce tasks concat
+      their slices and run the star pass; the edge blocks re-enter Ray Data
+      via ``from_arrow_refs``. Chosen by measurement: Ray Data's sort-based
+      ``groupby().map_groups`` costs a flat ~13-16 s for this 16.5M-row
+      exchange at 1M docs regardless of CPU count (and the 2.49 hash-shuffle
+      strategy measured 47-74 s); the task exchange does the identical
+      grouping in 2.3-2.8 s. Partitioning assumption: bucket = band_key % B
+      co-locates complete band buckets — exactly what groupby provided; edge
+      output is bit-identical for any B.
+    * ``"groupby"`` — the Dataset-native path (kept as the multi-node-
+      robustness fallback; Ray's shuffle handles spill/locality for free).
     """
     order_cols = [c for c in order_cols]
     B = num_shuffle_buckets or _default_shuffle_buckets()
@@ -176,10 +192,11 @@ def lsh_candidate_edges(
         # object churn ANTI-scales with concurrency (allocator/THP stalls).
         # pc.sort_indices sorts UTF-8 bytes = codepoint order, matching the
         # old pandas mergesort; ids only ever move via zero-copy take.
-        empty = pa.table(
-            {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
-        )
-        if t.num_rows == 0:
+        ecols = {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+        if emit_edge_bucket:  # keep one schema across all blocks
+            ecols["_ebucket"] = pa.array([], pa.int64())
+        empty = pa.table(ecols)
+        if t is None or t.num_rows == 0:
             return empty
         for i, f in enumerate(t.schema):  # dict-encoded ids: decode for
             if pa.types.is_dictionary(f.type):  # value-order sort + plain take
@@ -229,11 +246,59 @@ def lsh_candidate_edges(
             )
         return pa.table(cols)
 
+    if exchange == "tasks":
+        return _hash_exchange_tasks(band_rows, "band_key", B, per_bucket)
     return (
         band_rows.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_bkt")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+@ray.remote
+def _exchange_map(block: pa.Table, key: str, B: int):
+    """Split one block into B bucket slices (stable argsort by key % B +
+    zero-copy Arrow slices). Deterministic, so Ray task retries are safe."""
+    vals = block[key].to_numpy().astype(np.uint64, copy=False)
+    bkt = (vals % np.uint64(B)).astype(np.int64)
+    order = np.argsort(bkt, kind="stable")
+    t = block.take(pa.array(order))
+    bounds = np.searchsorted(bkt[order], np.arange(B + 1))
+    out = [t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(B)]
+    return out if B > 1 else out[0]
+
+
+@ray.remote
+def _exchange_reduce(fn, *shards):
+    """Concat one bucket's slices from every map task and run the group fn."""
+    parts = [s for s in shards if s.num_rows]
+    if not parts:
+        return fn(shards[0].slice(0, 0)) if shards else None
+    return fn(pa.concat_tables(parts).combine_chunks())
+
+
+def _hash_exchange_tasks(ds: ray.data.Dataset, key: str, B: int, fn) -> ray.data.Dataset:
+    """Manual hash exchange: co-locate rows by ``key % B`` across ``B``
+    reduce tasks, apply ``fn`` per bucket, return the results as a Dataset.
+
+    Raw Ray tasks on purpose — this is the documented last-resort drop-down:
+    the Dataset sort-groupby pays a flat double-digit-seconds machinery cost
+    for multi-million-row exchanges on slim rows (see ``lsh_candidate_edges``
+    measurements), while map-side argsort + zero-copy slices + one concat per
+    reducer is bounded by actual bytes moved. Every intermediate stays in the
+    object store (map returns ``num_returns=B`` slice objects; reducers fetch
+    only their column of the slice matrix — on multi-node, Ray fetches those
+    slices over the network exactly like shuffle blocks).
+    """
+    refs = ds.materialize().to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(fn(None))
+    if B <= 1:
+        red = [_exchange_reduce.remote(fn, *refs)]
+    else:
+        split = [_exchange_map.options(num_returns=B).remote(r, key, B) for r in refs]
+        red = [_exchange_reduce.remote(fn, *[s[j] for s in split]) for j in range(B)]
+    return ray.data.from_arrow_refs(red)
 
 
 def _default_shuffle_buckets(mult: int = 4) -> int:
@@ -611,12 +676,14 @@ def dedup_edges_minhash(
     threshold: float | None = None,
     signer_concurrency=None,
     max_bucket: int = 256,
-    raw_edge_budget: int = 2_000_000,
+    raw_edge_budget: int = 2_000_000,  # retired: dedup is now a task exchange
 ) -> ray.data.Dataset:
     """pages -> verified near-duplicate candidate edges (a, b)[, jaccard].
 
     The full candidate half of the MinHash pipeline; feed the result into
     stages.components.connected_components and stages.representative.
+    (``raw_edge_budget`` is kept for API compatibility; the edge dedup no
+    longer needs a driver-vs-distributed budget decision — see below.)
     """
     threshold = params.threshold() if threshold is None else threshold
     slim = pages.select_columns(sorted(set([id_col, text_col, *order_cols])))
@@ -639,45 +706,31 @@ def dedup_edges_minhash(
             batch_size=2048,
             concurrency=signer_concurrency,
         )
-    # the same (a, b) pair can surface from several bands — dedup the slim
-    # edge list before the expensive verify. The edge-bucket key is emitted
-    # INSIDE the LSH per-bucket pass (no separate bucketize round), sized to
-    # 2x CPUs so the deduped blocks are already spread wide enough for the
-    # verify task pool (no repartition barrier needed).
-    # materialize: the edge list is tiny relative to the corpus, and breaking
-    # the plan here releases the signer/band actor pools before downstream
-    # operators pin their actors (deadlock-free on small CPU counts).
+    # the same (a, b) pair can surface from several bands (~9x duplication at
+    # typical configs) — dedup the slim edge list before the expensive
+    # verify. The edge-bucket key (_ebucket = hash(a) % EB) is emitted INSIDE
+    # the LSH per-bucket pass, so the dedup exchange routes directly on it:
+    # duplicate pairs share `a`, hence share a bucket. One task exchange +
+    # per-bucket Arrow group_by-distinct replaces BOTH former limbs (a
+    # driver-serial drop_duplicates that grew linearly with the corpus, and a
+    # Dataset groupby whose aggregator spawn was a flat multi-second cost);
+    # ~6.7 s -> ~1.5 s at 2.3M raw edges, and it scales with CPUs. EB is
+    # sized to 2x CPUs so the deduped blocks are already spread wide enough
+    # for the verify task pool (no repartition barrier needed).
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     EB = max(8, ncpu * 2)
     edges = lsh_candidate_edges(
         band_rows, id_col=id_col, order_cols=order_cols, max_bucket=max_bucket,
         emit_edge_bucket=EB,
-    ).materialize()
-    if edges.count() <= raw_edge_budget:
-        # small raw edge list: one vectorized driver drop_duplicates replaces
-        # the distributed hash-shuffle, whose aggregator-pool spawn is a
-        # multi-second fixed cost that GROWS with cluster CPUs (anti-scaling
-        # on the small side); result re-enters the cluster pre-split so the
-        # verify pool still fans out
-        edf = edges.to_pandas().drop_duplicates(subset=["a", "b"])
-        if "_ebucket" in edf.columns:
-            edf = edf.drop(columns=["_ebucket"])
-        n_chunks = max(1, min(len(edf), EB))
-        edges = ray.data.from_pandas(
-            [c.reset_index(drop=True) for c in np.array_split(edf, n_chunks)]
-        )
-    else:
+    )
 
-        def _drop_dup_edges(df: pd.DataFrame) -> pd.DataFrame:
-            if len(df) == 0 or "a" not in df.columns:
-                return pd.DataFrame({"a": [], "b": []})
-            return df.drop_duplicates(subset=["a", "b"]).drop(columns=["_ebucket"])
+    def _dedup_bucket(t: pa.Table | None) -> pa.Table:
+        if t is None or t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+        # Arrow group_by-distinct: vectorized C++, no Python objects
+        return t.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
 
-        edges = (
-            edges.groupby("_ebucket")
-            .map_groups(_drop_dup_edges, batch_format="pandas")
-            .materialize()
-        )
+    edges = _hash_exchange_tasks(edges, "_ebucket", EB, _dedup_bucket)
     if verify:
         edges = verify_edges_jaccard(
             edges, pages, threshold, params=params, id_col=id_col, text_col=text_col,

@@ -74,46 +74,76 @@ def apply_cluster_labels(
     )
     slim_cols = sorted(set([id_col, *order_cols]))
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
+    def attach(t: pa.Table) -> pa.Table:
+        # Arrow-native: only the id column is lifted to Python objects (the
+        # hash needs str), rows move via zero-copy take — a pandas batch
+        # format here converted every slim column of the full corpus
         h1s, h2s, labels_arr, order = _fetch_cached(label_ref)
-        ids = df[id_col].to_numpy(dtype=object)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(object)
         q1, q2 = _id_hash_pair(ids)
         pos = np.searchsorted(h1s, q1)
         pos[pos == len(h1s)] = max(len(h1s) - 1, 0)
         found = (h1s[pos] == q1) & (h2s[pos] == q2)
-        out = df.loc[found, slim_cols].copy()
+        sel = np.nonzero(found)[0]
+        out = t.select(slim_cols).take(pa.array(sel, pa.int64()))
         # Arrow take of only the FOUND labels (clustered members — the small
         # subset); no per-row Python over the full corpus
-        out["label"] = labels_arr.take(pa.array(order[pos[found]])).to_pylist()
-        return out
+        return out.append_column("label", labels_arr.take(pa.array(order[pos[sel]])))
 
-    members = pages.select_columns(slim_cols).map_batches(attach, batch_format="pandas")
+    members = pages.select_columns(slim_cols).map_batches(attach, batch_format="pyarrow")
 
-    def pick_reps(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["label", *order_cols], kind="mergesort")
-        rep = df.groupby("label", sort=False)[id_col].transform("first")
-        return pd.DataFrame(
+    import pyarrow.compute as pc
+
+    def pick_reps_arrow(mt: pa.Table) -> pa.Table:
+        """Arrow-native keep-first: sort by (label, order), run starts are
+        the representatives. The former pandas formulation merge-sorted the
+        member table as Python objects — 2.2 s of the stage's 5 s at 431k
+        members; this is the same ~0.2 s C++ sort the LSH pass uses."""
+        sk = [("label", "ascending")] + [(c, "ascending") for c in order_cols]
+        mt = mt.take(pc.sort_indices(mt, sort_keys=sk)).combine_chunks()
+        n = mt.num_rows
+        lab = mt["label"]
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        new_run = np.empty(n, dtype=bool)
+        if n:
+            new_run[0] = True
+            new_run[1:] = pc.not_equal(lab.slice(1), lab.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        pos = np.arange(n, dtype=np.int64)
+        rs = np.where(new_run, pos, 0)
+        np.maximum.accumulate(rs, out=rs)
+        ids_a = mt[id_col]
+        if isinstance(ids_a, pa.ChunkedArray):
+            ids_a = ids_a.combine_chunks()
+        return pa.table(
             {
-                "cluster_id": rep.to_numpy(),
-                "member": df[id_col].to_numpy(),
-                "is_representative": (rep.to_numpy() == df[id_col].to_numpy()),
+                "cluster_id": ids_a.take(pa.array(rs, pa.int64())),
+                "member": ids_a,
+                # member ids are unique, so the first row of each label run
+                # IS the representative
+                "is_representative": pa.array(new_run),
             }
         )
 
+    def pick_reps(df: pd.DataFrame) -> pd.DataFrame:
+        out = pick_reps_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        return out.to_pandas()
+
     # the members table is at most as large as the label table, which ALREADY
     # sits on the driver (to_pandas above) — so when labels fit the driver
-    # budget, one vectorized pandas groupby there replaces a distributed
+    # budget, one vectorized Arrow pass there replaces a distributed
     # hash-shuffle whose aggregator-pool spawn is a multi-second FIXED cost
     # that grows with cluster CPUs (measured 4.6 s for 57k rows at 32 CPUs —
     # pure anti-scaling overhead on the small side). Above the budget, the
     # two-level bucketed shuffle is the scale path.
     if len(label_df) <= 2_000_000:
-        import numpy as _np
-
-        cdf = pick_reps(members.to_pandas())
-        n_chunks = max(1, min(len(cdf), 8))
-        clusters = ray.data.from_pandas(
-            [c.reset_index(drop=True) for c in _np.array_split(cdf, n_chunks)]
+        ctab = pick_reps_arrow(
+            pa.concat_tables(ray.get(members.materialize().to_arrow_refs()))
+        )
+        clusters = ray.data.from_arrow(
+            [ctab.slice(o, 500_000) for o in range(0, max(ctab.num_rows, 1), 500_000)]
         )
     else:
         from .minhash import _default_shuffle_buckets
@@ -133,13 +163,17 @@ def apply_cluster_labels(
             )
             .materialize()
         )
-        cdf = clusters.to_pandas()
+        ctab = pa.concat_tables(ray.get(clusters.to_arrow_refs()))
 
     from .minhash import _id_member_mask
 
-    # ready (sorted h1, h2) membership index built on the driver (cdf is
+    # ready (sorted h1, h2) membership index built on the driver (ctab is
     # already local) — workers fetch zero-copy numpy, no per-worker build
-    _drops = cdf.loc[~cdf["is_representative"], "member"].to_numpy(dtype=object)
+    _drops = (
+        ctab.filter(pc.invert(ctab["is_representative"].combine_chunks()))["member"]
+        .to_numpy(zero_copy_only=False)
+        .astype(object)
+    )
     _dh1, _dh2 = _id_hash_pair(_drops)
     _dorder = np.argsort(_dh1, kind="stable")
     drop_ref = ray.put((_dh1[_dorder], _dh2[_dorder]))
