@@ -348,6 +348,52 @@ def _id_hash_pair(vals: np.ndarray):
     return h1, h2
 
 
+@ray.remote
+def _hash_pair_shard(arr: pa.Array):
+    return _id_hash_pair(arr.to_numpy(zero_copy_only=False).astype(object))
+
+
+@ray.remote
+def _edge_endpoint_hashes(block: pa.Table):
+    """Unique (h1, h2) id-hash pairs over one edge block's a+b endpoints."""
+    arrs = []
+    for c in ("a", "b"):
+        col = block[c]
+        arrs.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    arr = pa.concat_arrays(arrs)
+    q1, q2 = _id_hash_pair(arr.to_numpy(zero_copy_only=False).astype(object))
+    o = np.lexsort((q2, q1))
+    q1, q2 = q1[o], q2[o]
+    if len(q1):
+        keep = np.empty(len(q1), dtype=bool)
+        keep[0] = True
+        keep[1:] = (q1[1:] != q1[:-1]) | (q2[1:] != q2[:-1])
+        q1, q2 = q1[keep], q2[keep]
+    return q1, q2
+
+
+def _id_hash_pair_arrow(arr, chunk: int = 262_144):
+    """(h1, h2) for an Arrow string array, hashed in parallel remote tasks.
+
+    The driver-serial formulation (``to_numpy(object)`` + SipHash over
+    Python strings) runs at ~1-2M ids/s and showed up as seconds of serial
+    wall in every index build at multi-million-row corpora. Arrow slices
+    ship zero-copy; the object materialization AND the hashing happen in the
+    tasks. Same values as ``_id_hash_pair`` (same keys), just sharded."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n < 2 * chunk:
+        return _id_hash_pair(arr.to_numpy(zero_copy_only=False).astype(object))
+    parts = ray.get(
+        [_hash_pair_shard.remote(arr.slice(i, chunk)) for i in range(0, n, chunk)]
+    )
+    return (
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+    )
+
+
 def _id_member_mask_pre(index, q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
     """Membership for PRE-HASHED query pairs (lets callers reuse the hashes)."""
     h1s, h2s = index
@@ -520,13 +566,24 @@ def verify_edges_jaccard(
     if n_edges == 0:
         return edges
     if n_edges <= broadcast_edge_budget:
-        edf = edges.to_pandas()
-        endpoints = pd.unique(np.concatenate([edf["a"].to_numpy(), edf["b"].to_numpy()]))
-        # ready (sorted h1, h2) endpoint index built here on the driver (the
-        # edge list is already local) — pick workers fetch zero-copy numpy
-        eh1, eh2 = _id_hash_pair(np.asarray(endpoints, dtype=object))
-        eorder = np.argsort(eh1, kind="stable")
-        ep_ref = ray.put((eh1[eorder], eh2[eorder]))
+        # endpoint hash set built WITHOUT the edge strings ever visiting the
+        # driver: per-block remote tasks hash (a, b) endpoints and pre-unique
+        # them; the driver only merges uint64 pairs (the former
+        # to_pandas + pd.unique + serial SipHash cost seconds of driver wall
+        # per million edges and grew linearly with the corpus)
+        ep_parts = ray.get(
+            [_edge_endpoint_hashes.remote(r) for r in edges.to_arrow_refs()]
+        )
+        eh1 = np.concatenate([p[0] for p in ep_parts] or [np.empty(0, np.uint64)])
+        eh2 = np.concatenate([p[1] for p in ep_parts] or [np.empty(0, np.uint64)])
+        eo = np.lexsort((eh2, eh1))
+        eh1, eh2 = eh1[eo], eh2[eo]
+        if len(eh1):
+            keep = np.empty(len(eh1), dtype=bool)
+            keep[0] = True
+            keep[1:] = (eh1[1:] != eh1[:-1]) | (eh2[1:] != eh2[:-1])
+            eh1, eh2 = eh1[keep], eh2[keep]
+        ep_ref = ray.put((eh1, eh2))
 
         def pick(t: pa.Table) -> pa.Table:
             # emit the id hashes computed for the membership test — the

@@ -44,9 +44,16 @@ def apply_cluster_labels(
     num_partitions: int | None = None,  # kept for API stability; unused (join-free path)
 ):
     """Returns (kept_pages, clusters) — both lazy Datasets."""
+    import numpy as np
+    import pyarrow as pa
+    import ray as _ray
+
     order_cols = [c for c in order_cols]
-    label_df = labels.to_pandas()  # clustered members only — the small side
-    if len(label_df) == 0:
+    # clustered members only — the small side; stays Arrow (zero-copy local
+    # refs), the driver never materializes label strings as Python objects
+    ltab = pa.concat_tables(_ray.get(labels.materialize().to_arrow_refs()))
+    n_labels = ltab.num_rows
+    if n_labels == 0:
         empty = pd.DataFrame(
             {
                 "cluster_id": pd.Series([], dtype=object),
@@ -56,22 +63,20 @@ def apply_cluster_labels(
         )
         return pages, ray.data.from_pandas(empty)
 
-    import numpy as np
-    import pyarrow as pa
+    from .minhash import _fetch_cached, _id_hash_pair, _id_hash_pair_arrow
 
-    from .minhash import _fetch_cached, _id_hash_pair
-
-    # the label table is already on the driver — build the READY lookup
-    # index here (hash + argsort once) and broadcast it; per-WORKER index
-    # builds are a broadcast tax that grows with cluster size. Fetches are
-    # zero-copy (numpy + Arrow from plasma); lookups are vectorized
-    # searchsorted over 128-bit id hashes, not per-row dict .map
-    _nodes = label_df["node"].to_numpy(dtype=object)
-    _lh1, _lh2 = _id_hash_pair(_nodes)
+    # READY lookup index: node-id hashing is sharded across remote tasks
+    # (_id_hash_pair_arrow — the serial SipHash over objects cost seconds of
+    # driver wall per million labels); the driver only argsorts uint64s.
+    # Per-WORKER index builds would be a broadcast tax that grows with
+    # cluster size. Fetches are zero-copy (numpy + Arrow from plasma);
+    # lookups are vectorized searchsorted over 128-bit id hashes.
+    _lh1, _lh2 = _id_hash_pair_arrow(ltab["node"])
     _lorder = np.argsort(_lh1, kind="stable").astype(np.int64)
-    label_ref = ray.put(
-        (_lh1[_lorder], _lh2[_lorder], pa.array(label_df["label"]), _lorder)
-    )
+    _labels_arr = ltab["label"]
+    if isinstance(_labels_arr, pa.ChunkedArray):
+        _labels_arr = _labels_arr.combine_chunks()
+    label_ref = ray.put((_lh1[_lorder], _lh2[_lorder], _labels_arr, _lorder))
     slim_cols = sorted(set([id_col, *order_cols]))
 
     def attach(t: pa.Table) -> pa.Table:
@@ -138,7 +143,7 @@ def apply_cluster_labels(
     # that grows with cluster CPUs (measured 4.6 s for 57k rows at 32 CPUs —
     # pure anti-scaling overhead on the small side). Above the budget, the
     # two-level bucketed shuffle is the scale path.
-    if len(label_df) <= 2_000_000:
+    if n_labels <= 2_000_000:
         ctab = pick_reps_arrow(
             pa.concat_tables(ray.get(members.materialize().to_arrow_refs()))
         )
@@ -167,14 +172,13 @@ def apply_cluster_labels(
 
     from .minhash import _id_member_mask
 
-    # ready (sorted h1, h2) membership index built on the driver (ctab is
-    # already local) — workers fetch zero-copy numpy, no per-worker build
-    _drops = (
-        ctab.filter(pc.invert(ctab["is_representative"].combine_chunks()))["member"]
-        .to_numpy(zero_copy_only=False)
-        .astype(object)
-    )
-    _dh1, _dh2 = _id_hash_pair(_drops)
+    # ready (sorted h1, h2) membership index — member-id hashing sharded
+    # across remote tasks (zero-copy Arrow in); the driver only argsorts
+    # uint64s and workers fetch the ready arrays, no per-worker build
+    _drops_arr = ctab.filter(pc.invert(ctab["is_representative"].combine_chunks()))[
+        "member"
+    ]
+    _dh1, _dh2 = _id_hash_pair_arrow(_drops_arr)
     _dorder = np.argsort(_dh1, kind="stable")
     drop_ref = ray.put((_dh1[_dorder], _dh2[_dorder]))
 
