@@ -58,10 +58,25 @@ class DedupOutput:
 
 def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig = DedupConfig()) -> DedupOutput:
     total = ds.count()
+    # kept-row counts come out of the slim dedup machinery (drop-set /
+    # non-representative counters) whenever the fast limbs run, so the
+    # filtered PAYLOAD is never materialized or counted here — consuming a
+    # web-scale corpus purely to count it is memory-bandwidth burned. kept
+    # stays lazy; callers that write it pay the one payload pass they need.
+    n_kept = None
     if cfg.mode == "exact":
+        ctr: dict = {}
         kept = _exact.dedup_exact(
-            ds, key_cols=cfg.key_cols, order_cols=cfg.order_cols, num_buckets=cfg.num_buckets
-        ).materialize()
+            ds,
+            key_cols=cfg.key_cols,
+            order_cols=cfg.order_cols,
+            num_buckets=cfg.num_buckets,
+            counters=ctr,
+        )
+        if "drops" in ctr:
+            n_kept = total - ctr["drops"]
+        else:  # payload-shuffle fallback limb: count the result
+            kept = kept.materialize()
         clusters = (
             _exact.dedup_exact_clusters(
                 ds,
@@ -109,15 +124,25 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig = DedupConfig()) -> DedupOu
                 signer_concurrency=cfg.signer_concurrency,
             )
         labels = _comp.connected_components(edges.materialize()).materialize()
+        ctr = {}
+        # attach labels over a SLIM projection; the full-column dataset only
+        # feeds the final keep-filter (html is never decoded to pick reps)
+        slim_cols = sorted(set([cfg.id_col, *cfg.order_cols]))
         kept, clusters = _rep.apply_cluster_labels(
-            ds, labels, id_col=cfg.id_col, order_cols=cfg.order_cols
+            ds.select_columns(slim_cols),
+            labels,
+            id_col=cfg.id_col,
+            order_cols=cfg.order_cols,
+            payload=ds,
+            counters=ctr,
         )
-        kept = kept.materialize()
+        n_kept = total - ctr["near_drops"]
         if not cfg.emit_clusters:
             clusters = None
     else:
         raise ValueError(f"unknown dedup mode: {cfg.mode}")
 
-    n_kept = kept.count()
+    if n_kept is None:
+        n_kept = kept.count()
     metrics = {"mode": cfg.mode, "total": total, "kept": n_kept, "duplicates": total - n_kept}
     return DedupOutput(kept=kept, clusters=clusters, metrics=metrics)

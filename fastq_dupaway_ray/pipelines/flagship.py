@@ -1,17 +1,26 @@
 """The flagship pipeline: full web-page near-dedup with checkpoints + metrics.
 
-End-to-end composition (the new-engine lifecycle from SURVEY.md §3):
+End-to-end composition (the new-engine lifecycle from SURVEY.md §3), fused
+for web scale — the corpus payload NEVER enters the object store between
+stages and the heavy html column is never decoded until the final sink:
 
-    read_parquet (pruned columns)
-    -> validate + quarantine split
-    -> extract(html) + verify per-url byte identity     [invariant]
-    -> exact keep-first dedup (hash shuffle)            [reference --fast]
-    -> MinHash/LSH near-dup edges (actor pools, verify) [north rule]
+    read (url, warc_ts, text only)
+    -> validate (quarantine counted, not aborted)          [invariant]
+    -> slim 128-bit content identity -> exact drop ids     [reference --fast]
+    -> numeric MinHash/LSH near-dup edges + verify         [north rule]
     -> connected components -> representative selection
-    -> kept pages + clusters + metrics manifest
+    -> kept pages (lazy full-column filter chain) + clusters + metrics
+
+Every intermediate artifact is SLIM (drop ids, candidate edges, labels);
+kept-row counts are derived arithmetically from the drop-set sizes, so the
+pipeline never runs a pure-count pass over the payload. The filtered
+full-column dataset materializes exactly once — in the output sink, if the
+caller asks for one.
 
 Optionally checkpointed per stage under a root dir (state.checkpoint):
-re-running with the same inputs resumes after the last complete stage.
+re-running with the same inputs resumes after the last complete slim stage
+(drops / edges / labels) and replays only the streaming filter passes, which
+read from the durable input anyway.
 """
 
 from __future__ import annotations
@@ -19,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 
+import ray
 import ray.data
 
 from ..functions.sketches import MinHashParams
@@ -26,8 +36,47 @@ from ..sources.pages import read_pages, split_quarantine
 from ..stages import components as _comp
 from ..stages import minhash as _mh
 from ..stages import representative as _rep
-from ..stages.dedup_exact import dedup_exact
-from ..state.checkpoint import checkpoint, fingerprint, input_identity
+from ..stages.dedup_exact import exact_drop_ids
+from ..state.checkpoint import (
+    checkpoint,
+    fingerprint,
+    input_identity,
+    is_complete,
+    read_manifest,
+)
+
+SLIM_COLS = ["url", "warc_ts", "text"]
+
+
+def _drop_filter_fn(drops_ds):
+    """Broadcast drop-id filter: sorted 128-bit id-hash membership, applied
+    as a streaming Arrow pass (the payload is filtered, never shuffled)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.minhash import (
+        _fetch_cached,
+        _id_hash_pair,
+        _id_hash_pair_arrow,
+        _id_member_mask_pre,
+    )
+
+    tabs = [t for t in ray.get(drops_ds.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return None
+    arr = pa.concat_tables(tabs)["url"]
+    dh1, dh2 = _id_hash_pair_arrow(arr)
+    order = np.argsort(dh1, kind="stable")
+    ref = ray.put((dh1[order], dh2[order]))
+
+    def drop_filter(t: pa.Table) -> pa.Table:
+        index = _fetch_cached(ref)
+        ids = t["url"].to_numpy(zero_copy_only=False).astype(object)
+        q1, q2 = _id_hash_pair(ids)
+        mask = _id_member_mask_pre(index, q1, q2)
+        return t.filter(pa.array(~mask))
+
+    return drop_filter
 
 
 def run_flagship(
@@ -39,9 +88,9 @@ def run_flagship(
     signer_concurrency=None,
     verify: bool = True,
 ):
-    """Returns (kept: Dataset, clusters: Dataset, metrics: dict).
+    """Returns (kept: Dataset [lazy], clusters: Dataset, metrics: dict).
 
-    metrics includes ``stage_seconds`` — wall time per materialized stage —
+    metrics includes ``stage_seconds`` — wall time per executed stage —
     the --verbose counter surface (A7) extended with the timing breakdown a
     cluster operator reads first."""
     import time as _time
@@ -55,45 +104,62 @@ def run_flagship(
         metrics["stage_seconds"][stage] = round(now - _t, 3)
         _t = now
 
-    ds = read_pages(pages_path)
-    # parquet metadata count — no data read
-    total = ds.count()
-    good, _bad = split_quarantine(ds)
-    # ONE pass over the input: materializing `good` makes its count (and the
-    # quarantine count, as total - valid) metadata-free. Counting `bad` and
-    # `good` separately re-executed the whole read+validate pipeline twice,
-    # and the exact-dedup consume re-read it a third time — a fixed cost that
-    # grows with input size and caps scaling efficiency.
-    good = good.materialize()
-    metrics["valid"] = good.count()
-    metrics["quarantined"] = total - metrics["valid"]
-    _mark("read_validate")
+    # slim read: the identity/signing passes only need (url, warc_ts, text);
+    # html stays in storage until the final sink (prune at the read)
+    slim = read_pages(pages_path, columns=SLIM_COLS)
+    total = slim.count()  # parquet metadata count — no data read
+    good_slim, _bad = split_quarantine(slim)
 
+    # ---- exact keep-first dedup (reference --fast), slim drop-id form ----
     # fold the input's content identity (file sizes + mtimes), not just its
     # path — re-running after the inputs change in place must NOT reuse the
-    # stale 'exact' checkpoint and everything chained from it
-    fp0 = fingerprint("exact", pages_path, input_identity(pages_path))
-    exact = dedup_exact(good)
-    if ckpt_root:
-        exact = checkpoint(exact, ckpt_root, "exact", fp0)
+    # stale checkpoint and everything chained from it
+    fp0 = fingerprint("exact-drops", pages_path, input_identity(pages_path))
+    if ckpt_root and is_complete(os.path.join(ckpt_root, "exact"), fp0):
+        man = read_manifest(ckpt_root, "exact")
+        drops = ray.data.read_parquet(
+            os.path.join(ckpt_root, "exact"), file_extensions=["parquet"]
+        )
+        n_drops = man["rows"]
+        metrics["valid"] = man["extra"]["n_valid"]
     else:
-        exact = exact.materialize()
-    metrics["after_exact"] = exact.count()
+        ctr: dict = {}
+        drops = exact_drop_ids(good_slim, counters=ctr).materialize()
+        n_drops = drops.count()
+        metrics["valid"] = ctr["n_input"]
+        if ckpt_root:
+            drops = checkpoint(
+                drops, ckpt_root, "exact", fp0, extra={"n_valid": metrics["valid"]}
+            )
+    metrics["quarantined"] = total - metrics["valid"]
+    metrics["after_exact"] = metrics["valid"] - n_drops
+    drop_filter = _drop_filter_fn(drops)
+    exact_slim = (
+        good_slim.map_batches(drop_filter, batch_format="pyarrow")
+        if drop_filter is not None
+        else good_slim
+    )
     _mark("exact_dedup")
 
+    # ---- near-dup candidate edges (numeric spine) + verify ----
     # fingerprints chain: editing params/threshold invalidates downstream
     fp1 = fingerprint("edges", fp0, params, threshold, verify)
-    edges = _mh.dedup_edges_minhash(
-        exact,
-        params=params,
-        verify=verify,
-        threshold=threshold,
-        signer_concurrency=signer_concurrency,
-    )
-    if ckpt_root:
-        edges = checkpoint(edges, ckpt_root, "edges", fp1)
+    if ckpt_root and is_complete(os.path.join(ckpt_root, "edges"), fp1):
+        edges = ray.data.read_parquet(
+            os.path.join(ckpt_root, "edges"), file_extensions=["parquet"]
+        )
     else:
-        edges = edges.materialize()
+        edges = _mh.dedup_edges_minhash(
+            exact_slim,
+            params=params,
+            verify=verify,
+            threshold=threshold,
+            signer_concurrency=signer_concurrency,
+        )
+        if ckpt_root:
+            edges = checkpoint(edges, ckpt_root, "edges", fp1)
+        else:
+            edges = edges.materialize()
     metrics["candidate_edges"] = edges.count()
     _mark("minhash_edges")
 
@@ -104,18 +170,30 @@ def run_flagship(
     else:
         labels = labels.materialize()
     _mark("components")
-    kept, clusters = _rep.apply_cluster_labels(exact, labels)
-    kept = kept.materialize()
+
+    # representative pick over the SLIM filtered projection; the keep-filter
+    # applies to the lazy FULL-column chain (html decoded only when consumed)
+    full_good, _ = split_quarantine(read_pages(pages_path))
+    exact_full = (
+        full_good.map_batches(drop_filter, batch_format="pyarrow")
+        if drop_filter is not None
+        else full_good
+    )
+    rctr: dict = {}
+    kept, clusters = _rep.apply_cluster_labels(
+        exact_slim, labels, payload=exact_full, counters=rctr
+    )
     clusters = clusters.materialize()
-    metrics["kept"] = kept.count()
+    metrics["kept"] = metrics["after_exact"] - rctr["near_drops"]
     _mark("representative")
-    metrics["near_dup_removed"] = metrics["after_exact"] - metrics["kept"]
-    metrics["exact_dup_removed"] = metrics["valid"] - metrics["after_exact"]
+    metrics["near_dup_removed"] = rctr["near_drops"]
+    metrics["exact_dup_removed"] = n_drops
 
     if out_dir:
         # final sinks go through the same manifest machinery as stage
         # checkpoints: per-partition row counts, atomic rename, and
-        # skip-if-complete on re-run (resumable output, north rule)
+        # skip-if-complete on re-run (resumable output, north rule) — this is
+        # the ONE pass that reads the full-column payload
         fp3 = fingerprint("kept", fp2)
         kept = checkpoint(kept, out_dir, "kept", fp3)
         clusters = checkpoint(clusters, out_dir, "clusters", fingerprint("clusters", fp3))

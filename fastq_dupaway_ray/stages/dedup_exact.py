@@ -112,6 +112,7 @@ def dedup_exact(
     num_buckets: int = 64,
     drop_broadcast_budget: int = 5_000_000,
     paranoid: bool = False,
+    counters: dict | None = None,
 ) -> ray.data.Dataset:
     """Distributed exact keep-first dedup; returns the kept rows (lazy).
 
@@ -167,6 +168,10 @@ def dedup_exact(
     n_drops = drops.count()
     if n_drops > drop_broadcast_budget:
         return _dedup_exact_shuffle(ds, key_cols, order_cols, num_buckets)
+    if counters is not None:
+        # exact duplicate count, known without consuming the filtered payload
+        # (callers use it to avoid a pure-count pass over the corpus)
+        counters["drops"] = n_drops
 
     from .minhash import _fetch_cached
 
@@ -191,6 +196,63 @@ def dedup_exact(
             return df[~idx.isin(dlist)]
 
     return ds.map_batches(keep_filter, batch_format="pandas")
+
+
+def exact_drop_ids(
+    ds: ray.data.Dataset,
+    key_cols=("text",),
+    order_cols=DEFAULT_ORDER,
+    id_col: str = "url",
+    num_buckets: int | None = None,
+    counters: dict | None = None,
+) -> ray.data.Dataset:
+    """Slim exact keep-first dedup that returns only the DROPPED ids.
+
+    The fused-flagship building block: one pass over the (pruned) input
+    computes the 128-bit content identity, a task hash-exchange co-locates
+    equal identities, and each bucket emits the ids that LOSE keep-first.
+    The payload never moves; the caller broadcasts the returned id set and
+    streams whatever filter passes it needs (the same drop-set shape
+    ``apply_cluster_labels`` uses for near-dups). ``counters`` receives
+    ``n_input`` (rows seen — the valid-count for free) when provided.
+
+    Requires ``id_col`` values to be unique per row (true for url-keyed web
+    corpora; the generic ``dedup_exact`` handles the no-unique-id case)."""
+    import pyarrow.compute as pc
+
+    from .minhash import _default_shuffle_buckets, _hash_exchange_tasks
+
+    key_cols = list(key_cols)
+    order_cols = list(order_cols)
+    B = num_buckets or _default_shuffle_buckets()
+    slim_cols = list(dict.fromkeys([id_col, *order_cols]))
+
+    def slim(batch: pa.Table) -> pa.Table:
+        k1, k2 = _identity128(batch, key_cols)
+        cols = {c: batch[c] for c in slim_cols}
+        cols["_k1"] = pa.array(k1, pa.uint64())
+        cols["_k2"] = pa.array(k2, pa.uint64())
+        return pa.table(cols)
+
+    slimtab = ds.map_batches(slim, batch_format="pyarrow").materialize()
+    if counters is not None:
+        counters["n_input"] = slimtab.count()
+
+    def bucket_drops(t: pa.Table | None) -> pa.Table:
+        if t is None or t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.string())})
+        sort_keys = [("_k1", "ascending"), ("_k2", "ascending")] + [
+            (c, "ascending") for c in order_cols
+        ]
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        k1 = t["_k1"].to_numpy()
+        k2 = t["_k2"].to_numpy()
+        lose = np.empty(len(k1), dtype=bool)
+        lose[0] = False
+        lose[1:] = (k1[1:] == k1[:-1]) & (k2[1:] == k2[:-1])
+        return t.select([id_col]).filter(pa.array(lose))
+
+    return _hash_exchange_tasks(slimtab, "_k1", B, bucket_drops)
 
 
 def _dedup_exact_shuffle(

@@ -70,12 +70,30 @@ def _cached_hasher(params: MinHashParams) -> MinHasher:
 
 
 def _sign_and_band_table(
-    batch: pa.Table, hasher: MinHasher, text_col: str, id_col: str, order_cols
+    batch: pa.Table, hasher: MinHasher, text_col: str, id_col: str, order_cols,
+    numeric_ids: bool = False,
 ) -> pa.Table:
     p = hasher.params
     texts = batch[text_col].to_pylist()
     sigs = hasher.signatures_batch(texts)
     keys = hasher.band_keys_batch(sigs)
+    if numeric_ids:
+        # NUMERIC SPINE: band rows carry the 128-bit id hash instead of the
+        # id string. At web scale the id (url) string repeated b times per
+        # doc dominates the band-row exchange (~0.6-1 GB/M docs vs 16 B/row
+        # here); the hash pair also makes every downstream sort/groupby a
+        # numeric kernel instead of a UTF-8 byte compare. Ids are re-attached
+        # from the verify stage's endpoint-text index (which stores them
+        # anyway), so the public edge contract is unchanged.
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(object)
+        h1, h2 = _id_hash_pair(ids)
+        return pa.table(
+            {
+                "band_key": pa.array(keys.ravel(), pa.uint64()),
+                "h1": pa.array(np.repeat(h1, p.bands), pa.uint64()),
+                "h2": pa.array(np.repeat(h2, p.bands), pa.uint64()),
+            }
+        )
     cols = {
         "band_key": pa.array(keys.ravel(), pa.uint64()),
         # ids repeat ``bands`` times each; dict_encode=True would ship each
@@ -97,10 +115,13 @@ def sign_and_band(
     text_col: str = "text",
     id_col: str = "url",
     order_cols=("warc_ts", "url"),
+    numeric_ids: bool = False,
 ) -> pa.Table:
     """Stateless task form of the signer — the default hot path."""
     order_cols = [c for c in order_cols if c != id_col]
-    return _sign_and_band_table(batch, _cached_hasher(params), text_col, id_col, order_cols)
+    return _sign_and_band_table(
+        batch, _cached_hasher(params), text_col, id_col, order_cols, numeric_ids=numeric_ids
+    )
 
 
 class SignAndBand:
@@ -112,14 +133,18 @@ class SignAndBand:
     Prefer the task form (``sign_and_band``) unless you need a bounded pool.
     """
 
-    def __init__(self, params: MinHashParams = MinHashParams(), text_col: str = "text", id_col: str = "url", order_cols=("warc_ts", "url")):
+    def __init__(self, params: MinHashParams = MinHashParams(), text_col: str = "text", id_col: str = "url", order_cols=("warc_ts", "url"), numeric_ids: bool = False):
         self.hasher = MinHasher(params)
         self.text_col = text_col
         self.id_col = id_col
         self.order_cols = [c for c in order_cols if c != id_col]
+        self.numeric_ids = numeric_ids
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _sign_and_band_table(batch, self.hasher, self.text_col, self.id_col, self.order_cols)
+        return _sign_and_band_table(
+            batch, self.hasher, self.text_col, self.id_col, self.order_cols,
+            numeric_ids=self.numeric_ids,
+        )
 
 
 def _repeat_col(arr, times: int, dict_encode: bool = False):
@@ -139,6 +164,7 @@ def lsh_candidate_edges(
     num_shuffle_buckets: int | None = None,
     emit_edge_bucket: int | None = None,
     exchange: str = "tasks",
+    numeric_ids: bool = False,
 ) -> ray.data.Dataset:
     """band rows -> star candidate edges (a, b) with a = LSH-bucket head.
 
@@ -181,6 +207,41 @@ def lsh_candidate_edges(
     order_cols = [c for c in order_cols]
     B = num_shuffle_buckets or _default_shuffle_buckets()
 
+    def per_bucket_numeric(t: pa.Table) -> pa.Table:
+        """Numeric-spine star pass: ids are (h1, h2) uint64 pairs, the sort
+        and every take are pure numeric kernels (no UTF-8 compares, no
+        Python objects anywhere). ``_ebucket`` routing needs no hashing —
+        h1 is already a uniform 64-bit hash."""
+        ecols = {
+            "ah1": pa.array([], pa.uint64()),
+            "ah2": pa.array([], pa.uint64()),
+            "bh1": pa.array([], pa.uint64()),
+            "bh2": pa.array([], pa.uint64()),
+        }
+        if emit_edge_bucket:
+            ecols["_ebucket"] = pa.array([], pa.int64())
+        empty = pa.table(ecols)
+        if t is None or t.num_rows == 0:
+            return empty
+        sort_keys = [("band_key", "ascending"), ("h1", "ascending"), ("h2", "ascending")]
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        ai, bi = _star_edge_indices(t["band_key"].to_numpy(), max_bucket)
+        if len(ai) == 0:
+            return empty
+        h1 = t["h1"].to_numpy()
+        h2 = t["h2"].to_numpy()
+        cols = {
+            "ah1": pa.array(h1[ai], pa.uint64()),
+            "ah2": pa.array(h2[ai], pa.uint64()),
+            "bh1": pa.array(h1[bi], pa.uint64()),
+            "bh2": pa.array(h2[bi], pa.uint64()),
+        }
+        if emit_edge_bucket:
+            cols["_ebucket"] = pa.array(
+                (h1[ai] % np.uint64(emit_edge_bucket)).astype(np.int64), pa.int64()
+            )
+        return pa.table(cols)
+
     def bucketize(t: pa.Table) -> pa.Table:
         bkt = (t["band_key"].to_numpy() % np.uint64(B)).astype(np.int64)
         return t.append_column("_bkt", pa.array(bkt, pa.int64()))
@@ -203,29 +264,7 @@ def lsh_candidate_edges(
                 t = t.set_column(i, f.name, pc.cast(t.column(i), f.type.value_type))
         sort_keys = [("band_key", "ascending")] + [(c, "ascending") for c in order_cols]
         t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
-        bk = t["band_key"].to_numpy()
-        n = len(bk)
-        pos = np.arange(n, dtype=np.int64)
-        new_run = np.empty(n, dtype=bool)
-        new_run[0] = True
-        new_run[1:] = bk[1:] != bk[:-1]
-        run_start = np.where(new_run, pos, 0)
-        np.maximum.accumulate(run_start, out=run_start)
-        rank = pos - run_start
-        # salt group = rank // max_bucket; local head = first row of the group
-        salt = rank // max_bucket
-        local_head_sel = rank % max_bucket == 0
-        # head position per (band_key, salt) via forward-fill of local heads
-        head_pos = np.where(local_head_sel, pos, -1)
-        np.maximum.accumulate(head_pos, out=head_pos)
-        # star edges within each salt group (skip the local head itself)
-        member = ~local_head_sel
-        # chain salt-group heads to the bucket's global head (salt > 0)
-        chain_sel = local_head_sel & (salt > 0)
-        global_head_pos = np.where(local_head_sel & (salt == 0), pos, -1)
-        np.maximum.accumulate(global_head_pos, out=global_head_pos)
-        ai = np.concatenate([head_pos[member], global_head_pos[chain_sel]])
-        bi = np.concatenate([pos[member], pos[chain_sel]])
+        ai, bi = _star_edge_indices(t["band_key"].to_numpy(), max_bucket)
         if len(ai) == 0:
             return empty
         ids = t[id_col]
@@ -246,13 +285,49 @@ def lsh_candidate_edges(
             )
         return pa.table(cols)
 
+    fn = per_bucket_numeric if numeric_ids else per_bucket
     if exchange == "tasks":
-        return _hash_exchange_tasks(band_rows, "band_key", B, per_bucket)
+        return _hash_exchange_tasks(band_rows, "band_key", B, fn)
     return (
         band_rows.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_bkt")
-        .map_groups(per_bucket, batch_format="pyarrow")
+        .map_groups(fn, batch_format="pyarrow")
     )
+
+
+def _star_edge_indices(bk: np.ndarray, max_bucket: int):
+    """(ai, bi) edge index pairs for a band-key-SORTED bucket table.
+
+    Star emission keeps hot buckets linear (n-1 edges per n-row bucket);
+    buckets above ``max_bucket`` are chunked into salt groups whose local
+    stars chain to the bucket's global head — full connectivity at O(n)
+    edges with no truncation. Shared by the string and numeric per-bucket
+    passes (bit-identical emission given the same sort order)."""
+    n = len(bk)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pos = np.arange(n, dtype=np.int64)
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = bk[1:] != bk[:-1]
+    run_start = np.where(new_run, pos, 0)
+    np.maximum.accumulate(run_start, out=run_start)
+    rank = pos - run_start
+    # salt group = rank // max_bucket; local head = first row of the group
+    salt = rank // max_bucket
+    local_head_sel = rank % max_bucket == 0
+    # head position per (band_key, salt) via forward-fill of local heads
+    head_pos = np.where(local_head_sel, pos, -1)
+    np.maximum.accumulate(head_pos, out=head_pos)
+    # star edges within each salt group (skip the local head itself)
+    member = ~local_head_sel
+    # chain salt-group heads to the bucket's global head (salt > 0)
+    chain_sel = local_head_sel & (salt > 0)
+    global_head_pos = np.where(local_head_sel & (salt == 0), pos, -1)
+    np.maximum.accumulate(global_head_pos, out=global_head_pos)
+    ai = np.concatenate([head_pos[member], global_head_pos[chain_sel]])
+    bi = np.concatenate([pos[member], pos[chain_sel]])
+    return ai, bi
 
 
 @ray.remote
@@ -354,6 +429,22 @@ def _hash_pair_shard(arr: pa.Array):
 
 
 @ray.remote
+def _edge_endpoint_pairs(block: pa.Table):
+    """Unique (h1, h2) endpoint pairs from a NUMERIC edge block — the
+    endpoints already are id-hash pairs, so this is a pure uint64 unique."""
+    q1 = np.concatenate([block["ah1"].to_numpy(), block["bh1"].to_numpy()])
+    q2 = np.concatenate([block["ah2"].to_numpy(), block["bh2"].to_numpy()])
+    o = np.lexsort((q2, q1))
+    q1, q2 = q1[o], q2[o]
+    if len(q1):
+        keep = np.empty(len(q1), dtype=bool)
+        keep[0] = True
+        keep[1:] = (q1[1:] != q1[:-1]) | (q2[1:] != q2[:-1])
+        q1, q2 = q1[keep], q2[keep]
+    return q1, q2
+
+
+@ray.remote
 def _edge_endpoint_hashes(block: pa.Table):
     """Unique (h1, h2) id-hash pairs over one edge block's a+b endpoints."""
     arrs = []
@@ -426,7 +517,7 @@ def _index_lookup_texts(index, want_ids: np.ndarray) -> list:
     ~460k endpoints — it alone inverted 8->32 CPU scaling). Texts stay
     zero-copy Arrow; the 128-bit check makes a wrong-text lookup as unlikely
     as the engine's exact-dedup identity collisions (~2^-128)."""
-    h1s, h2s, text_arr, order = index
+    h1s, h2s, text_arr, order = index[:4]
     n = len(h1s)
     if n == 0:
         return [None] * len(want_ids)
@@ -530,6 +621,77 @@ def _verify_score_batch(df: pd.DataFrame, texts_ref, spec, threshold: float) -> 
     return out[out["jaccard"] >= threshold]
 
 
+def _verify_score_batch_numeric(t: pa.Table, texts_ref, spec, threshold: float) -> pa.Table:
+    """Numeric-spine scorer: edge endpoints are (h1, h2) pairs looked up by
+    searchsorted in the broadcast index — no per-batch SipHash over endpoint
+    strings, no pandas objects. Emits the STRING (a, b, jaccard) contract by
+    taking ids from the index (the hashes never leave this stage)."""
+    from ..functions.hashing import hash64
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    index = _fetch_cached(texts_ref)
+    h1s, h2s, text_arr, order, ids_arr = index
+    n = len(h1s)
+    P = t.num_rows
+    q1 = np.concatenate([t["ah1"].to_numpy(), t["bh1"].to_numpy()])
+    q2 = np.concatenate([t["ah2"].to_numpy(), t["bh2"].to_numpy()])
+    if n == 0:
+        return empty
+    pos = np.searchsorted(h1s, q1)
+    pos[pos == n] = n - 1
+    found = (h1s[pos] == q1) & (h2s[pos] == q2)
+    slot = np.where(found, order[pos], -1)  # -1: endpoint missing from corpus
+    # unique endpoint slots: each text is shingled/hashed once per batch
+    uniq, inv = np.unique(slot, return_inverse=True)
+    take_idx = np.where(uniq >= 0, uniq, 0)
+    texts_u = text_arr.take(pa.array(take_idx, pa.int64())).to_pylist()
+    texts_u = np.array(
+        [tx if (u >= 0 and isinstance(tx, str)) else "" for u, tx in zip(uniq, texts_u)],
+        dtype=object,
+    )
+    a_idx, b_idx = inv[:P], inv[P:]
+    th1 = hash64(texts_u)
+    th2 = hash64(texts_u, alt_key=True)
+    same = (th1[a_idx] == th1[b_idx]) & (th2[a_idx] == th2[b_idx])
+    jac = np.ones(P, dtype=np.float64)
+    rest = np.nonzero(~same)[0]
+    if len(rest):
+        shingles = _shingle_fn(spec)
+        need = np.unique(np.concatenate([a_idx[rest], b_idx[rest]]))
+        remap = np.full(len(uniq), -1, dtype=np.int64)
+        remap[need] = np.arange(len(need))
+        sets = [shingles(texts_u[i]) for i in need]
+        counts = np.array([len(s) for s in sets], dtype=np.int64)
+        starts = np.cumsum(counts) - counts
+        allv = np.concatenate(sets) if len(sets) else np.empty(0, dtype=np.uint64)
+        jac[rest] = pairwise_jaccard(
+            remap[a_idx[rest]], remap[b_idx[rest]], allv, starts, counts
+        )
+    keep = jac >= threshold
+    sel = np.nonzero(keep)[0]
+    a_slot = slot[:P][sel]
+    b_slot = slot[P:][sel]
+    # missing endpoints (slot -1) can only survive as ""-vs-"" pairs, which
+    # cannot arise from real band rows; emit null ids for them
+    a_ids = ids_arr.take(pa.array(np.where(a_slot >= 0, a_slot, 0), pa.int64()))
+    b_ids = ids_arr.take(pa.array(np.where(b_slot >= 0, b_slot, 0), pa.int64()))
+    return pa.table(
+        {
+            "a": a_ids,
+            "b": b_ids,
+            "jaccard": pa.array(jac[sel], pa.float64()),
+        }
+    )
+
+
 def verify_edges_jaccard(
     edges: ray.data.Dataset,
     pages: ray.data.Dataset,
@@ -562,17 +724,32 @@ def verify_edges_jaccard(
     Returns edges with a ``jaccard`` column filtered to >= threshold.
     ``edges`` should be materialized by the caller (it is counted here).
     """
+    numeric = "ah1" in edges.schema().names
     n_edges = edges.count()
     if n_edges == 0:
+        if numeric:
+            # numeric spine: the public contract is string endpoints — keep
+            # the empty schema consistent with the non-empty output
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "a": pa.array([], pa.string()),
+                        "b": pa.array([], pa.string()),
+                        "jaccard": pa.array([], pa.float64()),
+                    }
+                )
+            )
         return edges
     if n_edges <= broadcast_edge_budget:
         # endpoint hash set built WITHOUT the edge strings ever visiting the
         # driver: per-block remote tasks hash (a, b) endpoints and pre-unique
         # them; the driver only merges uint64 pairs (the former
         # to_pandas + pd.unique + serial SipHash cost seconds of driver wall
-        # per million edges and grew linearly with the corpus)
+        # per million edges and grew linearly with the corpus). On the
+        # numeric spine the endpoints ARE the hash pairs — no hashing at all.
+        ep_remote = _edge_endpoint_pairs if numeric else _edge_endpoint_hashes
         ep_parts = ray.get(
-            [_edge_endpoint_hashes.remote(r) for r in edges.to_arrow_refs()]
+            [ep_remote.remote(r) for r in edges.to_arrow_refs()]
         )
         eh1 = np.concatenate([p[0] for p in ep_parts] or [np.empty(0, np.uint64)])
         eh2 = np.concatenate([p[1] for p in ep_parts] or [np.empty(0, np.uint64)])
@@ -622,8 +799,8 @@ def verify_edges_jaccard(
             tabs = [t for t in tabs if t.num_rows > 0]
             if not tabs:
                 empty = np.empty(0, dtype=np.uint64)
-                texts = pa.table({id_col: pa.array([]), text_col: pa.array([], pa.string())})
-                return empty, empty, texts[text_col].combine_chunks(), np.empty(0, np.int64)
+                none_arr = pa.array([], pa.string())
+                return empty, empty, none_arr, np.empty(0, np.int64), none_arr
             schema = tabs[0].select(cols).schema
             tab = pa.concat_tables([t.select(cols).cast(schema) for t in tabs])
             h1 = tab["_h1"].to_numpy()
@@ -632,8 +809,12 @@ def verify_edges_jaccard(
             texts = tab[text_col]
             if isinstance(texts, pa.ChunkedArray):
                 texts = texts.combine_chunks()
-            # ready (h1, h2, texts, order) tuple — scorers use it as-is
-            return h1[order], h2[order], texts, order
+            ids = tab[id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            # ready (h1, h2, texts, order, ids) tuple — scorers use it as-is;
+            # ids let the numeric spine re-attach string endpoints post-score
+            return h1[order], h2[order], texts, order, ids
 
         block_refs = [
             ref for bundle in picked.iter_internal_ref_bundles() for ref, _meta in bundle.blocks
@@ -645,14 +826,22 @@ def verify_edges_jaccard(
         if spread:
             n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
             edges = edges.repartition(n_blocks)
+        spec = (params.shingle, params.word_n if params.shingle == "word" else params.shingle_k)
+        if numeric:
+            return edges.map_batches(
+                _verify_score_batch_numeric,
+                fn_kwargs={"texts_ref": texts_ref, "spec": spec, "threshold": threshold},
+                batch_format="pyarrow",
+            )
         return edges.map_batches(
             _verify_score_batch,
-            fn_kwargs={
-                "texts_ref": texts_ref,
-                "spec": (params.shingle, params.word_n if params.shingle == "word" else params.shingle_k),
-                "threshold": threshold,
-            },
+            fn_kwargs={"texts_ref": texts_ref, "spec": spec, "threshold": threshold},
             batch_format="pandas",
+        )
+    if numeric:
+        return _verify_edges_join_numeric(
+            edges, pages, threshold, params=params, id_col=id_col,
+            text_col=text_col, num_partitions=num_partitions,
         )
     return _verify_edges_join(
         edges, pages, threshold, params=params, id_col=id_col,
@@ -723,6 +912,78 @@ def _verify_edges_join(
     return eab.map_batches(score, batch_format="pandas")
 
 
+def _verify_edges_join_numeric(
+    edges: ray.data.Dataset,
+    pages: ray.data.Dataset,
+    threshold: float,
+    params: MinHashParams = MinHashParams(),
+    id_col: str = "url",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Join-based verify for the numeric spine (the >broadcast-budget scale
+    path): pages are projected to (h1, h2, id, text) in one slim pass, then
+    the hash-pair edge list hash-joins that projection twice (a side, b
+    side). Joining on the uint64 ``h1`` carries the 2^-64 birthday load of
+    the join key alone; the ``h2`` equality is re-checked post-join so the
+    effective identity stays 128-bit. Emits the string (a, b, jaccard)
+    contract, exactly like the broadcast limb."""
+    from ..util import coalesce_schema_blocks
+
+    num_partitions = num_partitions or default_join_partitions()
+
+    def project(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(object)
+        q1, q2 = _id_hash_pair(ids)
+        return pa.table(
+            {
+                "_ph1": pa.array(q1, pa.uint64()),
+                "_ph2": pa.array(q2, pa.uint64()),
+                id_col: t[id_col],
+                text_col: t[text_col],
+            }
+        )
+
+    texts = pages.select_columns([id_col, text_col]).map_batches(
+        project, batch_format="pyarrow"
+    )
+    edges = coalesce_schema_blocks(edges)
+    ea = (
+        edges.join(texts, "inner", num_partitions=num_partitions, on=("ah1",), right_on=("_ph1",))
+        .rename_columns({text_col: "_text_a", id_col: "a", "_ph2": "_check_a"})
+        .materialize()
+    )
+    ea = coalesce_schema_blocks(ea)
+    eab = ea.join(
+        texts, "inner", num_partitions=num_partitions, on=("bh1",), right_on=("_ph1",)
+    ).rename_columns({text_col: "_text_b", id_col: "b", "_ph2": "_check_b"})
+
+    spec = (params.shingle, params.word_n if params.shingle == "word" else params.shingle_k)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        # h2 re-check: drop 64-bit h1 coincidences the join key let through
+        df = df[
+            (df["_check_a"].to_numpy() == df["ah2"].to_numpy())
+            & (df["_check_b"].to_numpy() == df["bh2"].to_numpy())
+        ]
+        shingles = _shingle_fn(spec)
+        P = len(df)
+        both = np.concatenate(
+            [df["_text_a"].to_numpy(dtype=object), df["_text_b"].to_numpy(dtype=object)]
+        )
+        both = np.array([t if isinstance(t, str) else "" for t in both], dtype=object)
+        uniq, inv = np.unique(both, return_inverse=True)
+        sets = [shingles(t) for t in uniq]
+        counts = np.array([len(s) for s in sets], dtype=np.int64)
+        starts = np.cumsum(counts) - counts
+        allv = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
+        out = df[["a", "b"]].copy()
+        out["jaccard"] = pairwise_jaccard(inv[:P], inv[P:], allv, starts, counts)
+        return out[out["jaccard"] >= threshold]
+
+    return eab.map_batches(score, batch_format="pandas")
+
+
 def dedup_edges_minhash(
     pages: ray.data.Dataset,
     params: MinHashParams = MinHashParams(),
@@ -743,12 +1004,22 @@ def dedup_edges_minhash(
     longer needs a driver-vs-distributed budget decision — see below.)
     """
     threshold = params.threshold() if threshold is None else threshold
-    slim = pages.select_columns(sorted(set([id_col, text_col, *order_cols])))
+    # NUMERIC SPINE (verify mode): band rows and candidate edges carry
+    # 128-bit id-hash pairs instead of id strings — the exchange ships 24 B
+    # fixed per band row (vs the id string repeated per band), every sort and
+    # groupby in the hot path is a numeric kernel, and the verify stage
+    # re-attaches string ids from its endpoint-text index (built anyway).
+    # verify=False callers get string edges directly (old path) since there
+    # is no index to translate hashes back.
+    numeric = bool(verify)
+    slim_cols = [id_col, text_col] if numeric else sorted(set([id_col, text_col, *order_cols]))
+    slim = pages.select_columns(slim_cols)
     sign_kwargs = {
         "params": params,
         "text_col": text_col,
         "id_col": id_col,
         "order_cols": order_cols,
+        "numeric_ids": numeric,
     }
     if signer_concurrency is None:
         # default: elastic task pool — scales to free CPUs, no actor startup
@@ -778,14 +1049,24 @@ def dedup_edges_minhash(
     EB = max(8, ncpu * 2)
     edges = lsh_candidate_edges(
         band_rows, id_col=id_col, order_cols=order_cols, max_bucket=max_bucket,
-        emit_edge_bucket=EB,
+        emit_edge_bucket=EB, numeric_ids=numeric,
     )
 
-    def _dedup_bucket(t: pa.Table | None) -> pa.Table:
-        if t is None or t.num_rows == 0:
-            return pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
-        # Arrow group_by-distinct: vectorized C++, no Python objects
-        return t.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+    if numeric:
+
+        def _dedup_bucket(t: pa.Table | None) -> pa.Table:
+            cols = ["ah1", "ah2", "bh1", "bh2"]
+            if t is None or t.num_rows == 0:
+                return pa.table({c: pa.array([], pa.uint64()) for c in cols})
+            return t.select(cols).group_by(cols).aggregate([])
+
+    else:
+
+        def _dedup_bucket(t: pa.Table | None) -> pa.Table:
+            if t is None or t.num_rows == 0:
+                return pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+            # Arrow group_by-distinct: vectorized C++, no Python objects
+            return t.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
 
     edges = _hash_exchange_tasks(edges, "_ebucket", EB, _dedup_bucket)
     if verify:

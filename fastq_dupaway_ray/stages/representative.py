@@ -42,8 +42,21 @@ def apply_cluster_labels(
     id_col: str = "url",
     order_cols=DEFAULT_ORDER,
     num_partitions: int | None = None,  # kept for API stability; unused (join-free path)
+    payload: ray.data.Dataset | None = None,
+    counters: dict | None = None,
 ):
-    """Returns (kept_pages, clusters) — both lazy Datasets."""
+    """Returns (kept_pages, clusters) — both lazy Datasets.
+
+    ``payload``: optional dataset the keep-filter applies to instead of
+    ``pages`` — callers pass a SLIM projection as ``pages`` (the label-attach
+    pass only needs id + order columns) and the full-column dataset here, so
+    the heavy html/text columns are never decoded for the attach pass.
+
+    ``counters``: optional dict that receives ``near_drops`` (count of
+    non-representative clustered members). With it the caller can compute
+    kept-row counts arithmetically instead of materializing the filtered
+    payload — at web scale the count pass over the payload is pure
+    memory-bandwidth cost."""
     import numpy as np
     import pyarrow as pa
     import ray as _ray
@@ -61,7 +74,9 @@ def apply_cluster_labels(
                 "is_representative": pd.Series([], dtype=bool),
             }
         )
-        return pages, ray.data.from_pandas(empty)
+        if counters is not None:
+            counters["near_drops"] = 0
+        return (payload if payload is not None else pages), ray.data.from_pandas(empty)
 
     from .minhash import _fetch_cached, _id_hash_pair, _id_hash_pair_arrow
 
@@ -144,9 +159,24 @@ def apply_cluster_labels(
     # pure anti-scaling overhead on the small side). Above the budget, the
     # two-level bucketed shuffle is the scale path.
     if n_labels <= 2_000_000:
-        ctab = pick_reps_arrow(
-            pa.concat_tables(ray.get(members.materialize().to_arrow_refs()))
-        )
+        # lazy upstream chains can emit schema-less EMPTY blocks (a map task
+        # that received no input bundle) — drop them before concat, exactly
+        # like the verify assemble does
+        mtabs = [
+            t for t in ray.get(members.materialize().to_arrow_refs()) if t.num_rows > 0
+        ]
+        if not mtabs:
+            if counters is not None:
+                counters["near_drops"] = 0
+            empty = pd.DataFrame(
+                {
+                    "cluster_id": pd.Series([], dtype=object),
+                    "member": pd.Series([], dtype=object),
+                    "is_representative": pd.Series([], dtype=bool),
+                }
+            )
+            return (payload if payload is not None else pages), ray.data.from_pandas(empty)
+        ctab = pick_reps_arrow(pa.concat_tables(mtabs))
         clusters = ray.data.from_arrow(
             [ctab.slice(o, 500_000) for o in range(0, max(ctab.num_rows, 1), 500_000)]
         )
@@ -178,6 +208,8 @@ def apply_cluster_labels(
     _drops_arr = ctab.filter(pc.invert(ctab["is_representative"].combine_chunks()))[
         "member"
     ]
+    if counters is not None:
+        counters["near_drops"] = len(_drops_arr)
     _dh1, _dh2 = _id_hash_pair_arrow(_drops_arr)
     _dorder = np.argsort(_dh1, kind="stable")
     drop_ref = ray.put((_dh1[_dorder], _dh2[_dorder]))
@@ -190,5 +222,7 @@ def apply_cluster_labels(
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(object)
         return t.filter(pa.array(~_id_member_mask(drops, ids)))
 
-    kept = pages.map_batches(keep_filter, batch_format="pyarrow")
+    kept = (payload if payload is not None else pages).map_batches(
+        keep_filter, batch_format="pyarrow"
+    )
     return kept, clusters

@@ -66,7 +66,12 @@ def is_complete(ckpt_dir: str, fp: str) -> bool:
 
 
 def checkpoint(
-    ds: ray.data.Dataset, root: str, name: str, fp: str, min_rows_per_file: int | None = None
+    ds: ray.data.Dataset,
+    root: str,
+    name: str,
+    fp: str,
+    min_rows_per_file: int | None = None,
+    extra: dict | None = None,
 ) -> ray.data.Dataset:
     """Materialize ``ds`` at ``root/name`` unless a matching checkpoint exists.
 
@@ -89,6 +94,15 @@ def checkpoint(
         kwargs["min_rows_per_file"] = min_rows_per_file
     ds.write_parquet(tmp_dir, **kwargs)
     files = sorted(f for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
+    if not files:
+        # empty stage result (e.g. a zero-drop dedup): write one empty part
+        # so the checkpoint read-back has a schema'd file to open
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+
+        empty = pa.table({f.name: pa.array([], f.type) for f in ds.schema().base_schema})
+        _pq.write_table(empty, os.path.join(tmp_dir, "part-empty.parquet"))
+        files = ["part-empty.parquet"]
     # per-partition lineage: row count per part file from parquet footers
     # (no data read) so a monitoring/resume job can account for every
     # partition individually (north-rule per-partition lineage + metrics)
@@ -108,6 +122,10 @@ def checkpoint(
         "partitions": partitions,
         "complete": True,
     }
+    if extra:
+        # caller-supplied sidecar facts (e.g. input row counts) a resuming
+        # run needs without re-executing the stage's upstream pass
+        manifest["extra"] = extra
     with open(os.path.join(tmp_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
     os.rename(tmp_dir, ckpt_dir)  # atomic completion

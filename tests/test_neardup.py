@@ -284,6 +284,50 @@ def test_verify_join_fallback_matches_broadcast(ray_session, tmp_path):
     assert key(via_broadcast) == key(via_join)
 
 
+def test_numeric_verify_join_fallback_matches_broadcast(ray_session, tmp_path):
+    """The numeric spine's two verify limbs (broadcast index vs hash-pair
+    join) must agree — and both must emit the STRING (a, b, jaccard)
+    contract even though the candidate edges are 128-bit hash pairs."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastq_dupaway_ray.stages.minhash import (
+        lsh_candidate_edges,
+        sign_and_band,
+        verify_edges_jaccard,
+    )
+
+    base = "pack my box with five dozen liquor jugs every single day " * 3
+    rows = [
+        {"url": f"u{i}", "warc_ts": i, "text": base if i % 2 == 0 else f"{base} tail{i}"}
+        for i in range(40)
+    ]
+    p = str(tmp_path / "pages")
+    os.makedirs(p)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), os.path.join(p, "part-0.parquet"))
+    pages = rd.read_parquet(p)
+    params = MinHashParams()
+    band_rows = pages.map_batches(
+        sign_and_band,
+        fn_kwargs={"params": params, "numeric_ids": True},
+        batch_format="pyarrow",
+    )
+    edges = lsh_candidate_edges(band_rows, numeric_ids=True).materialize()
+    assert edges.count() > 0
+    assert set(edges.schema().names) >= {"ah1", "ah2", "bh1", "bh2"}
+    thr = params.threshold()
+    via_broadcast = verify_edges_jaccard(edges, pages, thr, params=params).to_pandas()
+    via_join = verify_edges_jaccard(
+        edges, pages, thr, params=params, broadcast_edge_budget=0
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["a"], df["b"], df["jaccard"].round(9)))
+    assert len(via_broadcast) > 0
+    assert key(via_broadcast) == key(via_join)
+    assert set(via_broadcast.columns) == {"a", "b", "jaccard"}
+
+
 def test_verify_paths_agree_on_null_text(ray_session):
     """Advice r2: the join verify's astype(str) turned None into the literal
     "None" (a real word-shingle token) — both verify paths must treat null

@@ -67,8 +67,12 @@ def test_flagship_with_checkpoint_resume(pages_corpus, tmp_path, ray_session):
     kept, clusters, metrics = run_flagship(path, out_dir=out, ckpt_root=ck, signer_concurrency=2)
     assert metrics["kept"] < metrics["valid"]
     assert os.path.exists(os.path.join(out, "metrics.json"))
+    # the "exact" checkpoint is the SLIM drop-id artifact (the fused flagship
+    # never materializes the payload between stages); its manifest carries
+    # the valid-count sidecar a resuming run needs
     man = read_manifest(ck, "exact")
-    assert man is not None and man["complete"] and man["rows"] == metrics["after_exact"]
+    assert man is not None and man["complete"] and man["rows"] == metrics["exact_dup_removed"]
+    assert man["extra"]["n_valid"] == metrics["valid"]
     # resume: second run must reuse the exact checkpoint (same fingerprint)
     kept2, _, metrics2 = run_flagship(path, ckpt_root=ck, signer_concurrency=2)
     assert metrics2["after_exact"] == metrics["after_exact"]
