@@ -331,9 +331,18 @@ def _star_edge_indices(bk: np.ndarray, max_bucket: int):
 
 
 @ray.remote
-def _exchange_map(block: pa.Table, key: str, B: int):
-    """Split one block into B bucket slices (stable argsort by key % B +
-    zero-copy Arrow slices). Deterministic, so Ray task retries are safe."""
+def _exchange_map(key: str, B: int, *blocks):
+    """Split a GROUP of blocks into B bucket slices (one concat + stable
+    argsort by key % B + zero-copy Arrow slices). Deterministic, so Ray task
+    retries are safe. Maps take several blocks each so the slice matrix is
+    ~(2 x CPUs) x B objects — one slice object per (input block, bucket)
+    was measured as the dominant exchange overhead at high CPU counts
+    (500 blocks x 128 buckets = 64k tiny refs for the reducers to fetch)."""
+    parts = [b for b in blocks if b.num_rows]
+    if not parts:
+        empty = blocks[0].slice(0, 0)
+        return [empty] * B if B > 1 else empty
+    block = parts[0] if len(parts) == 1 else pa.concat_tables(parts).combine_chunks()
     vals = block[key].to_numpy().astype(np.uint64, copy=False)
     bkt = (vals % np.uint64(B)).astype(np.int64)
     order = np.argsort(bkt, kind="stable")
@@ -371,7 +380,15 @@ def _hash_exchange_tasks(ds: ray.data.Dataset, key: str, B: int, fn) -> ray.data
     if B <= 1:
         red = [_exchange_reduce.remote(fn, *refs)]
     else:
-        split = [_exchange_map.options(num_returns=B).remote(r, key, B) for r in refs]
+        # group input blocks so the map side is ~2x CPUs tasks, not one per
+        # block — the slice-object count (maps x B) is the exchange's real
+        # fixed cost and grows with both cluster width and block count
+        n_maps = max(1, min(len(refs), int(ray.cluster_resources().get("CPU", 8)) * 2))
+        step = (len(refs) + n_maps - 1) // n_maps
+        groups = [refs[i : i + step] for i in range(0, len(refs), step)]
+        split = [
+            _exchange_map.options(num_returns=B).remote(key, B, *g) for g in groups
+        ]
         red = [_exchange_reduce.remote(fn, *[s[j] for s in split]) for j in range(B)]
     return ray.data.from_arrow_refs(red)
 
@@ -1046,7 +1063,11 @@ def dedup_edges_minhash(
     # sized to 2x CPUs so the deduped blocks are already spread wide enough
     # for the verify task pool (no repartition barrier needed).
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    EB = max(8, ncpu * 2)
+    # edge-dedup exchange width: 2x CPUs, capped — the deduped edge list is
+    # a few % of the corpus, and widening past ~32 reducers only multiplies
+    # slice objects (measured 3x slower dedup at EB=64 vs 32 on 16.5M band
+    # rows / 32 CPUs) while the verify pool re-spreads the blocks anyway
+    EB = max(8, min(ncpu * 2, 32))
     edges = lsh_candidate_edges(
         band_rows, id_col=id_col, order_cols=order_cols, max_bucket=max_bucket,
         emit_edge_bucket=EB, numeric_ids=numeric,
