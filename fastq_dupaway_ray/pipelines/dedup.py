@@ -102,6 +102,7 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig = DedupConfig()) -> DedupOu
         kept = res.kept.materialize()
         clusters = res.clusters if cfg.emit_clusters else None
     elif cfg.mode in ("minhash", "simhash"):
+        vout: dict = {}
         if cfg.mode == "minhash":
             edges = _mh.dedup_edges_minhash(
                 ds,
@@ -112,6 +113,7 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig = DedupConfig()) -> DedupOu
                 verify=cfg.verify,
                 threshold=cfg.threshold,
                 signer_concurrency=cfg.signer_concurrency,
+                out=vout,
             )
         else:
             edges = _sh.simhash_candidate_edges(
@@ -126,8 +128,15 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig = DedupConfig()) -> DedupOu
         labels = _comp.connected_components(edges.materialize()).materialize()
         ctr = {}
         # attach labels over a SLIM projection; the full-column dataset only
-        # feeds the final keep-filter (html is never decoded to pick reps)
+        # feeds the final keep-filter (html is never decoded to pick reps).
+        # When the verify stage produced its sharded endpoint index, member
+        # order values come from there and the attach corpus pass is skipped.
         slim_cols = sorted(set([cfg.id_col, *cfg.order_cols]))
+        attrs = (
+            (vout["index_shards"], vout["attr_cols"])
+            if "index_shards" in vout
+            else None
+        )
         kept, clusters = _rep.apply_cluster_labels(
             ds.select_columns(slim_cols),
             labels,
@@ -135,6 +144,7 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig = DedupConfig()) -> DedupOu
             order_cols=cfg.order_cols,
             payload=ds,
             counters=ctr,
+            member_attrs=attrs,
         )
         n_kept = total - ctr["near_drops"]
         if not cfg.emit_clusters:

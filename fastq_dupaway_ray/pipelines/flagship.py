@@ -144,6 +144,7 @@ def run_flagship(
     # ---- near-dup candidate edges (numeric spine) + verify ----
     # fingerprints chain: editing params/threshold invalidates downstream
     fp1 = fingerprint("edges", fp0, params, threshold, verify)
+    vout: dict = {}
     if ckpt_root and is_complete(os.path.join(ckpt_root, "edges"), fp1):
         edges = ray.data.read_parquet(
             os.path.join(ckpt_root, "edges"), file_extensions=["parquet"]
@@ -155,6 +156,7 @@ def run_flagship(
             verify=verify,
             threshold=threshold,
             signer_concurrency=signer_concurrency,
+            out=vout,
         )
         if ckpt_root:
             edges = checkpoint(edges, ckpt_root, "edges", fp1)
@@ -181,7 +183,15 @@ def run_flagship(
     )
     rctr: dict = {}
     kept, clusters = _rep.apply_cluster_labels(
-        exact_slim, labels, payload=exact_full, counters=rctr
+        exact_slim,
+        labels,
+        payload=exact_full,
+        counters=rctr,
+        # verify's endpoint index carries the member order values — skips the
+        # attach corpus pass (absent on checkpoint-resumed edge lists)
+        member_attrs=(
+            (vout["index_shards"], vout["attr_cols"]) if "index_shards" in vout else None
+        ),
     )
     clusters = clusters.materialize()
     metrics["kept"] = metrics["after_exact"] - rctr["near_drops"]

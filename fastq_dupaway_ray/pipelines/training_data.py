@@ -68,12 +68,19 @@ def run_training_data(
     metrics["after_filter_and_exact"] = exact.count()
     kept = exact
     if near_dedup:
+        vout: dict = {}
         edges = _mh.dedup_edges_minhash(
-            exact, params=params, id_col=id_col, text_col=text_col, order_cols=(id_col,)
+            exact, params=params, id_col=id_col, text_col=text_col,
+            order_cols=(id_col,), out=vout,
         ).materialize()
         labels = _comp.connected_components(edges)
         kept, _clusters = _rep.apply_cluster_labels(
-            exact, labels, id_col=id_col, order_cols=(id_col,)
+            exact, labels, id_col=id_col, order_cols=(id_col,),
+            member_attrs=(
+                (vout["index_shards"], vout["attr_cols"])
+                if "index_shards" in vout
+                else None
+            ),
         )
         kept = kept.materialize()
         metrics["near_dup_edges"] = edges.count()

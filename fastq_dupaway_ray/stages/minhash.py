@@ -526,6 +526,179 @@ def _id_member_mask(index, ids: np.ndarray) -> np.ndarray:
     return _id_member_mask_pre(index, q1, q2)
 
 
+# ---- sharded endpoint-text index (numeric spine) -------------------------
+# The single-task assemble's concat of every endpoint text grows linearly
+# with the corpus (~2.5 s serial at 4M rows) — the index is instead built as
+# 2^_INDEX_SHARD_BITS shards keyed by the top bits of h1 (uniform — h1 is a
+# SipHash), each assembled by its own task. Scorers and the label-attach
+# fast path group their queries by shard and searchsorted per shard.
+_INDEX_SHARD_BITS = 3
+_INDEX_SHARDS = 1 << _INDEX_SHARD_BITS
+_INDEX_SHIFT = np.uint64(64 - _INDEX_SHARD_BITS)
+_SLOT = np.int64(1) << np.int64(48)  # composite key: shard * _SLOT + slot
+
+
+@ray.remote
+def _route_index_shard(n_shards: int, *blocks):
+    """Split a group of picked blocks into per-shard slices by h1 top bits
+    (same concat + stable-argsort + zero-copy-slice shape as _exchange_map)."""
+    parts = [b for b in blocks if b.num_rows]
+    if not parts:
+        empty = blocks[0].slice(0, 0)
+        return [empty] * n_shards if n_shards > 1 else empty
+    block = parts[0] if len(parts) == 1 else pa.concat_tables(parts).combine_chunks()
+    sid = (block["_h1"].to_numpy() >> _INDEX_SHIFT).astype(np.int64)
+    order = np.argsort(sid, kind="stable")
+    t = block.take(pa.array(order))
+    bounds = np.searchsorted(sid[order], np.arange(n_shards + 1))
+    out = [t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_shards)]
+    return out if n_shards > 1 else out[0]
+
+
+@ray.remote
+def _assemble_index_shard(id_col: str, text_col: str, attr_cols, *blocks):
+    """One READY index shard: (h1_sorted, h2_sorted, texts, order, ids, attrs)
+    with texts/ids/attrs in concat order and ``order`` the h1 argsort (slot =
+    order[pos] indexes concat order — same layout as the former single index)."""
+    cols = [id_col, text_col, *attr_cols, "_h1", "_h2"]
+    tabs = [b for b in blocks if b.num_rows > 0]
+    if not tabs:
+        e64 = np.empty(0, dtype=np.uint64)
+        none_arr = pa.array([], pa.string())
+        return e64, e64, none_arr, np.empty(0, np.int64), none_arr, None
+    schema = tabs[0].select(cols).schema
+    tab = pa.concat_tables([t.select(cols).cast(schema) for t in tabs])
+    h1 = tab["_h1"].to_numpy()
+    h2 = tab["_h2"].to_numpy()
+    order = np.argsort(h1, kind="stable").astype(np.int64)
+    texts = tab[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    ids = tab[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    attrs = tab.select(list(attr_cols)).combine_chunks() if attr_cols else None
+    return h1[order], h2[order], texts, order, ids, attrs
+
+
+def _shard_slot_keys(shards, q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
+    """Composite (shard * _SLOT + concat-order slot) per query pair; -1 when
+    the 128-bit pair is absent. Queries group by shard via one argsort-free
+    masked pass (n_shards is small)."""
+    key = np.full(len(q1), -1, dtype=np.int64)
+    if len(q1) == 0:
+        return key
+    sid = (q1 >> _INDEX_SHIFT).astype(np.int64)
+    for s in np.unique(sid):
+        h1s, h2s, _t, order, _i, _a = shards[s]
+        n = len(h1s)
+        if n == 0:
+            continue
+        m = sid == s
+        qs1 = q1[m]
+        pos = np.searchsorted(h1s, qs1)
+        pos[pos == n] = n - 1
+        found = (h1s[pos] == qs1) & (h2s[pos] == q2[m])
+        key[m] = np.where(found, s * _SLOT + order[pos], -1)
+    return key
+
+
+def _shard_gather(shards, keys: np.ndarray, what: str):
+    """Arrow array of column ``what`` ("ids" | "texts" | an attr name) for
+    SORTED composite keys (shard groups are contiguous). keys must be >= 0."""
+    parts = []
+    i = 0
+    n = len(keys)
+    while i < n:
+        s = int(keys[i] >> np.int64(48))
+        j = np.searchsorted(keys, (s + 1) * _SLOT, side="left")
+        slots = pa.array(keys[i:j] - s * _SLOT, pa.int64())
+        sh = shards[s]
+        if what == "ids":
+            src = sh[4]
+        elif what == "texts":
+            src = sh[2]
+        else:
+            src = sh[5][what]
+            if isinstance(src, pa.ChunkedArray):
+                src = src.combine_chunks()
+        parts.append(src.take(slots))
+        i = j
+    if not parts:
+        return pa.array([], pa.string())
+    return pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts])
+
+
+def _score_edges_numeric_shards(t: pa.Table, shards, spec, threshold: float) -> pa.Table:
+    """Numeric-spine scorer over the SHARDED endpoint index — the per-shard
+    form of the former ``_verify_score_batch_numeric`` (same lookups, same
+    byte-identical-shortcut + exact-Jaccard math, bit-identical output)."""
+    from ..functions.hashing import hash64
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    P = t.num_rows
+    q1 = np.concatenate([t["ah1"].to_numpy(), t["bh1"].to_numpy()])
+    q2 = np.concatenate([t["ah2"].to_numpy(), t["bh2"].to_numpy()])
+    key = _shard_slot_keys(shards, q1, q2)
+    uniq, inv = np.unique(key, return_inverse=True)
+    start = 1 if len(uniq) and uniq[0] < 0 else 0  # -1: endpoint missing
+    real = uniq[start:]
+    texts_arr = _shard_gather(shards, real, "texts")
+    ids_arr = _shard_gather(shards, real, "ids")
+    if start:
+        # missing endpoints can only survive as ""-vs-"" pairs, which cannot
+        # arise from real band rows; emit null ids for them (old behavior)
+        texts_arr = pa.concat_arrays([pa.array([None], pa.string()), texts_arr])
+        ids_arr = pa.concat_arrays([pa.array([None], pa.string()), ids_arr])
+    texts_py = texts_arr.to_pylist()
+    texts_u = np.array([tx if isinstance(tx, str) else "" for tx in texts_py], dtype=object)
+    a_idx, b_idx = inv[:P], inv[P:]
+    th1 = hash64(texts_u)
+    th2 = hash64(texts_u, alt_key=True)
+    same = (th1[a_idx] == th1[b_idx]) & (th2[a_idx] == th2[b_idx])
+    jac = np.ones(P, dtype=np.float64)
+    rest = np.nonzero(~same)[0]
+    if len(rest):
+        shingles = _shingle_fn(spec)
+        need = np.unique(np.concatenate([a_idx[rest], b_idx[rest]]))
+        remap = np.full(len(uniq), -1, dtype=np.int64)
+        remap[need] = np.arange(len(need))
+        sets = [shingles(texts_u[i]) for i in need]
+        counts = np.array([len(s) for s in sets], dtype=np.int64)
+        starts = np.cumsum(counts) - counts
+        allv = np.concatenate(sets) if len(sets) else np.empty(0, dtype=np.uint64)
+        jac[rest] = pairwise_jaccard(
+            remap[a_idx[rest]], remap[b_idx[rest]], allv, starts, counts
+        )
+    sel = np.nonzero(jac >= threshold)[0]
+    if len(sel) == 0:
+        return empty
+    return pa.table(
+        {
+            "a": ids_arr.take(pa.array(a_idx[sel], pa.int64())),
+            "b": ids_arr.take(pa.array(b_idx[sel], pa.int64())),
+            "jaccard": pa.array(jac[sel], pa.float64()),
+        }
+    )
+
+
+@ray.remote
+def _score_edges_task(block: pa.Table, shard_refs, spec, threshold: float) -> pa.Table:
+    """Raw-task scorer: one edge block against the sharded index. Raw tasks
+    on purpose — wrapping the (already materialized) edge blocks back into a
+    Dataset map_batches costs a whole extra execution round (~1-2 s fixed)."""
+    shards = ray.get(list(shard_refs))
+    return _score_edges_numeric_shards(block, shards, spec, threshold)
+
+
 def _index_lookup_texts(index, want_ids: np.ndarray) -> list:
     """Texts for ``want_ids`` from a ready (h1, h2, texts, order) index
     (missing -> None). The index is assembled ONCE — on the driver or in one
@@ -638,77 +811,6 @@ def _verify_score_batch(df: pd.DataFrame, texts_ref, spec, threshold: float) -> 
     return out[out["jaccard"] >= threshold]
 
 
-def _verify_score_batch_numeric(t: pa.Table, texts_ref, spec, threshold: float) -> pa.Table:
-    """Numeric-spine scorer: edge endpoints are (h1, h2) pairs looked up by
-    searchsorted in the broadcast index — no per-batch SipHash over endpoint
-    strings, no pandas objects. Emits the STRING (a, b, jaccard) contract by
-    taking ids from the index (the hashes never leave this stage)."""
-    from ..functions.hashing import hash64
-
-    empty = pa.table(
-        {
-            "a": pa.array([], pa.string()),
-            "b": pa.array([], pa.string()),
-            "jaccard": pa.array([], pa.float64()),
-        }
-    )
-    if t.num_rows == 0:
-        return empty
-    index = _fetch_cached(texts_ref)
-    h1s, h2s, text_arr, order, ids_arr = index
-    n = len(h1s)
-    P = t.num_rows
-    q1 = np.concatenate([t["ah1"].to_numpy(), t["bh1"].to_numpy()])
-    q2 = np.concatenate([t["ah2"].to_numpy(), t["bh2"].to_numpy()])
-    if n == 0:
-        return empty
-    pos = np.searchsorted(h1s, q1)
-    pos[pos == n] = n - 1
-    found = (h1s[pos] == q1) & (h2s[pos] == q2)
-    slot = np.where(found, order[pos], -1)  # -1: endpoint missing from corpus
-    # unique endpoint slots: each text is shingled/hashed once per batch
-    uniq, inv = np.unique(slot, return_inverse=True)
-    take_idx = np.where(uniq >= 0, uniq, 0)
-    texts_u = text_arr.take(pa.array(take_idx, pa.int64())).to_pylist()
-    texts_u = np.array(
-        [tx if (u >= 0 and isinstance(tx, str)) else "" for u, tx in zip(uniq, texts_u)],
-        dtype=object,
-    )
-    a_idx, b_idx = inv[:P], inv[P:]
-    th1 = hash64(texts_u)
-    th2 = hash64(texts_u, alt_key=True)
-    same = (th1[a_idx] == th1[b_idx]) & (th2[a_idx] == th2[b_idx])
-    jac = np.ones(P, dtype=np.float64)
-    rest = np.nonzero(~same)[0]
-    if len(rest):
-        shingles = _shingle_fn(spec)
-        need = np.unique(np.concatenate([a_idx[rest], b_idx[rest]]))
-        remap = np.full(len(uniq), -1, dtype=np.int64)
-        remap[need] = np.arange(len(need))
-        sets = [shingles(texts_u[i]) for i in need]
-        counts = np.array([len(s) for s in sets], dtype=np.int64)
-        starts = np.cumsum(counts) - counts
-        allv = np.concatenate(sets) if len(sets) else np.empty(0, dtype=np.uint64)
-        jac[rest] = pairwise_jaccard(
-            remap[a_idx[rest]], remap[b_idx[rest]], allv, starts, counts
-        )
-    keep = jac >= threshold
-    sel = np.nonzero(keep)[0]
-    a_slot = slot[:P][sel]
-    b_slot = slot[P:][sel]
-    # missing endpoints (slot -1) can only survive as ""-vs-"" pairs, which
-    # cannot arise from real band rows; emit null ids for them
-    a_ids = ids_arr.take(pa.array(np.where(a_slot >= 0, a_slot, 0), pa.int64()))
-    b_ids = ids_arr.take(pa.array(np.where(b_slot >= 0, b_slot, 0), pa.int64()))
-    return pa.table(
-        {
-            "a": a_ids,
-            "b": b_ids,
-            "jaccard": pa.array(jac[sel], pa.float64()),
-        }
-    )
-
-
 def verify_edges_jaccard(
     edges: ray.data.Dataset,
     pages: ray.data.Dataset,
@@ -719,6 +821,8 @@ def verify_edges_jaccard(
     num_partitions: int | None = None,
     broadcast_edge_budget: int = 2_000_000,
     spread: bool = True,
+    attr_cols=(),
+    out: dict | None = None,
 ) -> ray.data.Dataset:
     """Exact-Jaccard verification of candidate edges against the real shingles.
 
@@ -737,6 +841,11 @@ def verify_edges_jaccard(
       the endpoint text map fits the object store (~GBs).
     * fallback: two distributed hash joins (the original formulation) when
       the edge list exceeds ``broadcast_edge_budget``.
+
+    ``attr_cols``: extra columns the pick pass carries into the (numeric)
+    endpoint index — apply_cluster_labels reuses them to skip its own
+    corpus attach pass. ``out``: optional dict receiving ``index_shards``
+    (list of shard refs) + ``attr_cols`` when the numeric broadcast limb ran.
 
     Returns edges with a ``jaccard`` column filtered to >= threshold.
     ``edges`` should be materialized by the caller (it is counted here).
@@ -779,29 +888,88 @@ def verify_edges_jaccard(
             eh1, eh2 = eh1[keep], eh2[keep]
         ep_ref = ray.put((eh1, eh2))
 
+        # columns the pick pass carries into the index: id + text always,
+        # plus any attr columns present in the pages schema (order cols for
+        # the label-attach fast path — 8 B each, negligible next to text)
+        page_cols = set(pages.schema().names)
+        attrs_present = [
+            c for c in attr_cols if c in page_cols and c not in (id_col, text_col)
+        ]
+        pick_cols = [id_col, text_col, *attrs_present]
+
         def pick(t: pa.Table) -> pa.Table:
             # emit the id hashes computed for the membership test — the
-            # assemble task below builds the READY lookup index from them, so
+            # assemble tasks below build the READY lookup index from them, so
             # scorer workers never hash/convert the endpoint ids themselves
             eps = _fetch_cached(ep_ref)
             ids = t[id_col].to_numpy(zero_copy_only=False).astype(object)
             q1, q2 = _id_hash_pair(ids)
             mask = _id_member_mask_pre(eps, q1, q2)
-            out = t.select([id_col, text_col]).filter(pa.array(mask))
+            out = t.select(pick_cols).filter(pa.array(mask))
             out = out.append_column("_h1", pa.array(q1[mask], pa.uint64()))
             return out.append_column("_h2", pa.array(q2[mask], pa.uint64()))
 
         # the endpoint texts never touch the driver: picked blocks stay in
-        # the object store and a remote task concatenates them into the ONE
-        # broadcast READY index (sorted hash arrays + zero-copy Arrow texts)
+        # the object store and remote tasks assemble them into the READY
+        # broadcast index (sorted hash arrays + zero-copy Arrow texts)
         # the scorers fetch. Building the index per WORKER instead (round-2
         # design) cost several CPU-seconds x every worker — a per-worker
         # broadcast tax that grows with cluster size and inverts scaling.
         picked = (
-            pages.select_columns([id_col, text_col])
+            pages.select_columns(pick_cols)
             .map_batches(pick, batch_format="pyarrow")
             .materialize()
         )
+        if numeric:
+            # SHARDED index + raw-task scorer (the flagship hot path): the
+            # single-task assemble's text concat grew linearly with the
+            # corpus (serial wall), and the Dataset map_batches wrap of the
+            # already-materialized edge blocks cost an extra execution round
+            block_refs = [
+                ref
+                for bundle in picked.iter_internal_ref_bundles()
+                for ref, _meta in bundle.blocks
+            ]
+            spec = (
+                params.shingle,
+                params.word_n if params.shingle == "word" else params.shingle_k,
+            )
+            if not block_refs:
+                return ray.data.from_arrow(
+                    _score_edges_numeric_shards(
+                        pa.table(
+                            {c: pa.array([], pa.uint64()) for c in ("ah1", "ah2", "bh1", "bh2")}
+                        ),
+                        [],
+                        spec,
+                        threshold,
+                    )
+                )
+            n_maps = max(
+                1, min(len(block_refs), int(ray.cluster_resources().get("CPU", 8)) * 2)
+            )
+            step = (len(block_refs) + n_maps - 1) // n_maps
+            groups = [block_refs[i : i + step] for i in range(0, len(block_refs), step)]
+            routed = [
+                _route_index_shard.options(num_returns=_INDEX_SHARDS).remote(
+                    _INDEX_SHARDS, *g
+                )
+                for g in groups
+            ]
+            shard_refs = [
+                _assemble_index_shard.remote(
+                    id_col, text_col, attrs_present, *[r[s] for r in routed]
+                )
+                for s in range(_INDEX_SHARDS)
+            ]
+            if out is not None:
+                out["index_shards"] = shard_refs
+                out["attr_cols"] = attrs_present
+            scored = [
+                _score_edges_task.remote(b, shard_refs, spec, threshold)
+                for b in edges.to_arrow_refs()
+            ]
+            return ray.data.from_arrow_refs(scored)
 
         @ray.remote
         def _assemble(*blocks):
@@ -844,12 +1012,6 @@ def verify_edges_jaccard(
             n_blocks = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
             edges = edges.repartition(n_blocks)
         spec = (params.shingle, params.word_n if params.shingle == "word" else params.shingle_k)
-        if numeric:
-            return edges.map_batches(
-                _verify_score_batch_numeric,
-                fn_kwargs={"texts_ref": texts_ref, "spec": spec, "threshold": threshold},
-                batch_format="pyarrow",
-            )
         return edges.map_batches(
             _verify_score_batch,
             fn_kwargs={"texts_ref": texts_ref, "spec": spec, "threshold": threshold},
@@ -1012,6 +1174,7 @@ def dedup_edges_minhash(
     signer_concurrency=None,
     max_bucket: int = 256,
     raw_edge_budget: int = 2_000_000,  # retired: dedup is now a task exchange
+    out: dict | None = None,
 ) -> ray.data.Dataset:
     """pages -> verified near-duplicate candidate edges (a, b)[, jaccard].
 
@@ -1093,6 +1256,6 @@ def dedup_edges_minhash(
     if verify:
         edges = verify_edges_jaccard(
             edges, pages, threshold, params=params, id_col=id_col, text_col=text_col,
-            spread=False,
+            spread=False, attr_cols=order_cols, out=out,
         )
     return edges

@@ -36,6 +36,46 @@ import ray.data
 DEFAULT_ORDER = ("warc_ts", "url")
 
 
+def _members_from_index(ltab, member_attrs, id_col: str, order_cols) -> "object | None":
+    """Members table (id, order cols, label) built from the verify stage's
+    sharded endpoint index instead of a corpus attach pass.
+
+    Every label node is an edge endpoint, so its order-column values are
+    already in the index. Returns None (caller falls back to the attach
+    scan) if the index lacks a needed column or any node is missing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray as _ray
+
+    from .minhash import _id_hash_pair_arrow, _shard_gather, _shard_slot_keys
+
+    shard_refs, attr_cols = member_attrs
+    needed = [c for c in order_cols if c != id_col]
+    if any(c not in attr_cols for c in needed):
+        return None
+    shards = _ray.get(list(shard_refs))
+    node_arr = ltab["node"]
+    if isinstance(node_arr, pa.ChunkedArray):
+        node_arr = node_arr.combine_chunks()
+    label_arr = ltab["label"]
+    if isinstance(label_arr, pa.ChunkedArray):
+        label_arr = label_arr.combine_chunks()
+    q1, q2 = _id_hash_pair_arrow(node_arr)
+    keys = _shard_slot_keys(shards, q1, q2)
+    if len(keys) and keys.min() < 0:
+        return None  # a node is not in the index — attach pass knows best
+    order = np.argsort(keys, kind="stable")
+    inv_idx = np.empty_like(order)
+    inv_idx[order] = np.arange(len(order))
+    cols = {id_col: node_arr}
+    for c in needed:
+        gathered = _shard_gather(shards, keys[order], c)
+        cols[c] = gathered.take(pa.array(inv_idx, pa.int64()))
+    cols["label"] = label_arr
+    slim_cols = sorted(set([id_col, *order_cols]))
+    return pa.table(cols).select([*slim_cols, "label"])
+
+
 def apply_cluster_labels(
     pages: ray.data.Dataset,
     labels: ray.data.Dataset,
@@ -44,6 +84,7 @@ def apply_cluster_labels(
     num_partitions: int | None = None,  # kept for API stability; unused (join-free path)
     payload: ray.data.Dataset | None = None,
     counters: dict | None = None,
+    member_attrs=None,
 ):
     """Returns (kept_pages, clusters) — both lazy Datasets.
 
@@ -56,7 +97,14 @@ def apply_cluster_labels(
     non-representative clustered members). With it the caller can compute
     kept-row counts arithmetically instead of materializing the filtered
     payload — at web scale the count pass over the payload is pure
-    memory-bandwidth cost."""
+    memory-bandwidth cost.
+
+    ``member_attrs``: optional ``(index_shard_refs, attr_cols)`` from the
+    verify stage (``dedup_edges_minhash(out=...)``). Every clustered member
+    is an edge endpoint, and the verify pick pass already collected its
+    order-column values — so the label-attach pass over the corpus (a full
+    slim scan + one more Dataset execution, a fixed cost that capped scaling)
+    is skipped and the members table is built straight from the index."""
     import numpy as np
     import pyarrow as pa
     import ray as _ray
@@ -80,37 +128,47 @@ def apply_cluster_labels(
 
     from .minhash import _fetch_cached, _id_hash_pair, _id_hash_pair_arrow
 
-    # READY lookup index: node-id hashing is sharded across remote tasks
-    # (_id_hash_pair_arrow — the serial SipHash over objects cost seconds of
-    # driver wall per million labels); the driver only argsorts uint64s.
-    # Per-WORKER index builds would be a broadcast tax that grows with
-    # cluster size. Fetches are zero-copy (numpy + Arrow from plasma);
-    # lookups are vectorized searchsorted over 128-bit id hashes.
-    _lh1, _lh2 = _id_hash_pair_arrow(ltab["node"])
-    _lorder = np.argsort(_lh1, kind="stable").astype(np.int64)
-    _labels_arr = ltab["label"]
-    if isinstance(_labels_arr, pa.ChunkedArray):
-        _labels_arr = _labels_arr.combine_chunks()
-    label_ref = ray.put((_lh1[_lorder], _lh2[_lorder], _labels_arr, _lorder))
-    slim_cols = sorted(set([id_col, *order_cols]))
+    members_tbl = None
+    if member_attrs is not None:
+        members_tbl = _members_from_index(
+            ltab, member_attrs, id_col=id_col, order_cols=order_cols
+        )
 
-    def attach(t: pa.Table) -> pa.Table:
-        # Arrow-native: only the id column is lifted to Python objects (the
-        # hash needs str), rows move via zero-copy take — a pandas batch
-        # format here converted every slim column of the full corpus
-        h1s, h2s, labels_arr, order = _fetch_cached(label_ref)
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(object)
-        q1, q2 = _id_hash_pair(ids)
-        pos = np.searchsorted(h1s, q1)
-        pos[pos == len(h1s)] = max(len(h1s) - 1, 0)
-        found = (h1s[pos] == q1) & (h2s[pos] == q2)
-        sel = np.nonzero(found)[0]
-        out = t.select(slim_cols).take(pa.array(sel, pa.int64()))
-        # Arrow take of only the FOUND labels (clustered members — the small
-        # subset); no per-row Python over the full corpus
-        return out.append_column("label", labels_arr.take(pa.array(order[pos[sel]])))
+    members = None
+    if members_tbl is None:
+        # READY lookup index: node-id hashing is sharded across remote tasks
+        # (_id_hash_pair_arrow — the serial SipHash over objects cost seconds of
+        # driver wall per million labels); the driver only argsorts uint64s.
+        # Per-WORKER index builds would be a broadcast tax that grows with
+        # cluster size. Fetches are zero-copy (numpy + Arrow from plasma);
+        # lookups are vectorized searchsorted over 128-bit id hashes.
+        _lh1, _lh2 = _id_hash_pair_arrow(ltab["node"])
+        _lorder = np.argsort(_lh1, kind="stable").astype(np.int64)
+        _labels_arr = ltab["label"]
+        if isinstance(_labels_arr, pa.ChunkedArray):
+            _labels_arr = _labels_arr.combine_chunks()
+        label_ref = ray.put((_lh1[_lorder], _lh2[_lorder], _labels_arr, _lorder))
+        slim_cols = sorted(set([id_col, *order_cols]))
 
-    members = pages.select_columns(slim_cols).map_batches(attach, batch_format="pyarrow")
+        def attach(t: pa.Table) -> pa.Table:
+            # Arrow-native: only the id column is lifted to Python objects (the
+            # hash needs str), rows move via zero-copy take — a pandas batch
+            # format here converted every slim column of the full corpus
+            h1s, h2s, labels_arr, order = _fetch_cached(label_ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(object)
+            q1, q2 = _id_hash_pair(ids)
+            pos = np.searchsorted(h1s, q1)
+            pos[pos == len(h1s)] = max(len(h1s) - 1, 0)
+            found = (h1s[pos] == q1) & (h2s[pos] == q2)
+            sel = np.nonzero(found)[0]
+            out = t.select(slim_cols).take(pa.array(sel, pa.int64()))
+            # Arrow take of only the FOUND labels (clustered members — the small
+            # subset); no per-row Python over the full corpus
+            return out.append_column("label", labels_arr.take(pa.array(order[pos[sel]])))
+
+        members = pages.select_columns(slim_cols).map_batches(
+            attach, batch_format="pyarrow"
+        )
 
     import pyarrow.compute as pc
 
@@ -158,7 +216,12 @@ def apply_cluster_labels(
     # that grows with cluster CPUs (measured 4.6 s for 57k rows at 32 CPUs —
     # pure anti-scaling overhead on the small side). Above the budget, the
     # two-level bucketed shuffle is the scale path.
-    if n_labels <= 2_000_000:
+    if members_tbl is not None:
+        ctab = pick_reps_arrow(members_tbl)
+        clusters = ray.data.from_arrow(
+            [ctab.slice(o, 500_000) for o in range(0, max(ctab.num_rows, 1), 500_000)]
+        )
+    elif n_labels <= 2_000_000:
         # lazy upstream chains can emit schema-less EMPTY blocks (a map task
         # that received no input bundle) — drop them before concat, exactly
         # like the verify assemble does
