@@ -139,6 +139,17 @@ def run_benchmarks() -> dict:
 
     timed("loose_adjacency", loose)
 
+    def hamming():
+        # exact-mirror tail-hamming: serial per-block chain by the
+        # reference's own semantics, pipelined with submit-ahead prefetch
+        # (the SimHash entry above is the scalable fuzzy path)
+        ds = rd.read_parquet(pages_path)
+        return run_dedup(
+            ds, DedupConfig(mode="hamming", distance=3, emit_clusters=False)
+        ).metrics
+
+    timed("hamming_adjacency", hamming)
+
     # driver-table pipelines (oracle-checked ones)
     timed("lineitem_agg", lambda: REGISTRY["lineitem_agg"][0](SF_DIR))
     timed("join_orders_customer", lambda: REGISTRY["join_orders_customer"][0](SF_DIR).count())

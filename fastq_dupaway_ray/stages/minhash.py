@@ -555,42 +555,59 @@ def _route_index_shard(n_shards: int, *blocks):
     return out if n_shards > 1 else out[0]
 
 
-@ray.remote
+@ray.remote(num_returns=2)
 def _assemble_index_shard(id_col: str, text_col: str, attr_cols, *blocks):
-    """One READY index shard: (h1_sorted, h2_sorted, texts, order, ids, attrs)
-    with texts/ids/attrs in concat order and ``order`` the h1 argsort (slot =
-    order[pos] indexes concat order — same layout as the former single index)."""
-    cols = [id_col, text_col, *attr_cols, "_h1", "_h2"]
+    """One READY index shard as TWO objects:
+
+    * slim = (h1, h2, th1, th2, ids, attrs) — everything h1-SORTED; ~50-70 B
+      per endpoint. Scorer tasks fetch ONLY this: th1/th2 (the text content
+      hashes the pick pass computed) resolve byte-identical pairs — the
+      dup-heavy majority — without ever touching a text byte.
+    * texts — the endpoint texts (h1-sorted, separate object). Fetched by a
+      scorer only when one of ITS pairs needs real shingling; the former
+      single-object layout made every worker page in the full text index
+      (a per-worker broadcast tax that grew with cluster size — measured
+      ~10 s/wave at 32 CPUs vs ~2 s once text pages were already resident).
+    """
+    cols = [id_col, text_col, *attr_cols, "_h1", "_h2", "_th1", "_th2"]
     tabs = [b for b in blocks if b.num_rows > 0]
     if not tabs:
         e64 = np.empty(0, dtype=np.uint64)
         none_arr = pa.array([], pa.string())
-        return e64, e64, none_arr, np.empty(0, np.int64), none_arr, None
+        return (e64, e64, e64, e64, none_arr, None), none_arr
     schema = tabs[0].select(cols).schema
     tab = pa.concat_tables([t.select(cols).cast(schema) for t in tabs])
     h1 = tab["_h1"].to_numpy()
-    h2 = tab["_h2"].to_numpy()
-    order = np.argsort(h1, kind="stable").astype(np.int64)
-    texts = tab[text_col]
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
+    take = pa.array(np.argsort(h1, kind="stable").astype(np.int64))
+    tab = tab.take(take).combine_chunks()
     ids = tab[id_col]
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
+    texts = tab[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
     attrs = tab.select(list(attr_cols)).combine_chunks() if attr_cols else None
-    return h1[order], h2[order], texts, order, ids, attrs
+    slim = (
+        tab["_h1"].to_numpy(),
+        tab["_h2"].to_numpy(),
+        tab["_th1"].to_numpy(),
+        tab["_th2"].to_numpy(),
+        ids,
+        attrs,
+    )
+    return slim, texts
 
 
 def _shard_slot_keys(shards, q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
-    """Composite (shard * _SLOT + concat-order slot) per query pair; -1 when
-    the 128-bit pair is absent. Queries group by shard via one argsort-free
-    masked pass (n_shards is small)."""
+    """Composite (shard * _SLOT + sorted-position slot) per query pair; -1
+    when the 128-bit pair is absent. Queries group by shard via one
+    argsort-free masked pass (n_shards is small)."""
     key = np.full(len(q1), -1, dtype=np.int64)
     if len(q1) == 0:
         return key
     sid = (q1 >> _INDEX_SHIFT).astype(np.int64)
     for s in np.unique(sid):
-        h1s, h2s, _t, order, _i, _a = shards[s]
+        h1s, h2s = shards[s][0], shards[s][1]
         n = len(h1s)
         if n == 0:
             continue
@@ -599,40 +616,58 @@ def _shard_slot_keys(shards, q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
         pos = np.searchsorted(h1s, qs1)
         pos[pos == n] = n - 1
         found = (h1s[pos] == qs1) & (h2s[pos] == q2[m])
-        key[m] = np.where(found, s * _SLOT + order[pos], -1)
+        key[m] = np.where(found, s * _SLOT + pos, -1)
     return key
 
 
-def _shard_gather(shards, keys: np.ndarray, what: str):
-    """Arrow array of column ``what`` ("ids" | "texts" | an attr name) for
-    SORTED composite keys (shard groups are contiguous). keys must be >= 0."""
-    parts = []
-    i = 0
-    n = len(keys)
+def _shard_iter_groups(keys: np.ndarray):
+    """(shard, slice, slots) for SORTED composite keys (contiguous groups)."""
+    i, n = 0, len(keys)
     while i < n:
         s = int(keys[i] >> np.int64(48))
-        j = np.searchsorted(keys, (s + 1) * _SLOT, side="left")
-        slots = pa.array(keys[i:j] - s * _SLOT, pa.int64())
+        j = int(np.searchsorted(keys, (s + 1) * _SLOT, side="left"))
+        yield s, slice(i, j), (keys[i:j] - s * _SLOT)
+        i = j
+
+
+def _shard_gather(shards, keys: np.ndarray, what: str):
+    """Column ``what`` ("ids" | "th1" | "th2" | an attr name) for SORTED
+    composite keys (shard groups are contiguous). keys must be >= 0.
+    th1/th2 return numpy; ids/attrs return Arrow."""
+    if what in ("th1", "th2"):
+        idx = 2 if what == "th1" else 3
+        out = np.empty(len(keys), dtype=np.uint64)
+        for s, sl, slots in _shard_iter_groups(keys):
+            out[sl] = shards[s][idx][slots]
+        return out
+    parts = []
+    for s, _sl, slots in _shard_iter_groups(keys):
         sh = shards[s]
         if what == "ids":
             src = sh[4]
-        elif what == "texts":
-            src = sh[2]
         else:
             src = sh[5][what]
             if isinstance(src, pa.ChunkedArray):
                 src = src.combine_chunks()
-        parts.append(src.take(slots))
-        i = j
+        parts.append(src.take(pa.array(slots, pa.int64())))
     if not parts:
         return pa.array([], pa.string())
     return pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts])
 
 
-def _score_edges_numeric_shards(t: pa.Table, shards, spec, threshold: float) -> pa.Table:
-    """Numeric-spine scorer over the SHARDED endpoint index — the per-shard
-    form of the former ``_verify_score_batch_numeric`` (same lookups, same
-    byte-identical-shortcut + exact-Jaccard math, bit-identical output)."""
+def _score_edges_numeric_shards(
+    t: pa.Table, shards, spec, threshold: float, text_refs=None
+) -> pa.Table:
+    """Numeric-spine scorer over the SHARDED endpoint index (same lookups,
+    byte-identical-shortcut + exact-Jaccard math as the former single-index
+    scorer; bit-identical output).
+
+    The byte-identical shortcut runs entirely on the slim shards' PRE-HASHED
+    text fingerprints (th1, th2 — computed once in the parallel pick pass).
+    Real texts are pulled per shard via ``text_refs`` ONLY for the
+    non-identical minority; on dup-heavy corpora most scorer tasks never
+    touch a text byte (the former every-task text gather made each worker
+    page in the whole text index — a per-worker broadcast tax)."""
     from ..functions.hashing import hash64
 
     empty = pa.table(
@@ -651,30 +686,29 @@ def _score_edges_numeric_shards(t: pa.Table, shards, spec, threshold: float) -> 
     uniq, inv = np.unique(key, return_inverse=True)
     start = 1 if len(uniq) and uniq[0] < 0 else 0  # -1: endpoint missing
     real = uniq[start:]
-    texts_arr = _shard_gather(shards, real, "texts")
     ids_arr = _shard_gather(shards, real, "ids")
+    th1 = _shard_gather(shards, real, "th1")
+    th2 = _shard_gather(shards, real, "th2")
     if start:
         # missing endpoints can only survive as ""-vs-"" pairs, which cannot
-        # arise from real band rows; emit null ids for them (old behavior)
-        texts_arr = pa.concat_arrays([pa.array([None], pa.string()), texts_arr])
-        ids_arr = pa.concat_arrays([pa.array([None], pa.string()), ids_arr])
-    texts_py = texts_arr.to_pylist()
-    texts_u = np.array([tx if isinstance(tx, str) else "" for tx in texts_py], dtype=object)
+        # arise from real band rows; emit null ids for them (old behavior:
+        # a missing endpoint's text normalized to "")
+        e = np.array([""], dtype=object)
+        th1 = np.concatenate([hash64(e), th1])
+        th2 = np.concatenate([hash64(e, alt_key=True), th2])
+        ids_arr = pa.concat_arrays(
+            [pa.array([None], pa.string()), ids_arr.combine_chunks() if isinstance(ids_arr, pa.ChunkedArray) else ids_arr]
+        )
     a_idx, b_idx = inv[:P], inv[P:]
-    th1 = hash64(texts_u)
-    th2 = hash64(texts_u, alt_key=True)
     same = (th1[a_idx] == th1[b_idx]) & (th2[a_idx] == th2[b_idx])
     jac = np.ones(P, dtype=np.float64)
     rest = np.nonzero(~same)[0]
     if len(rest):
-        shingles = _shingle_fn(spec)
         need = np.unique(np.concatenate([a_idx[rest], b_idx[rest]]))
         remap = np.full(len(uniq), -1, dtype=np.int64)
         remap[need] = np.arange(len(need))
-        sets = [shingles(texts_u[i]) for i in need]
-        counts = np.array([len(s) for s in sets], dtype=np.int64)
-        starts = np.cumsum(counts) - counts
-        allv = np.concatenate(sets) if len(sets) else np.empty(0, dtype=np.uint64)
+        texts_u = _gather_need_texts(uniq[need], text_refs)
+        allv, starts, counts = _shingle_sets(spec, texts_u)
         jac[rest] = pairwise_jaccard(
             remap[a_idx[rest]], remap[b_idx[rest]], allv, starts, counts
         )
@@ -690,13 +724,44 @@ def _score_edges_numeric_shards(t: pa.Table, shards, spec, threshold: float) -> 
     )
 
 
+def _gather_need_texts(need_keys: np.ndarray, text_refs) -> np.ndarray:
+    """Texts (object array, None -> "") for SORTED composite keys; -1 keys
+    map to "". Each needed TEXT shard is fetched at most once per call —
+    and not at all when no pair in the task needs shingling."""
+    out = np.empty(len(need_keys), dtype=object)
+    miss = need_keys < 0
+    out[miss] = ""
+    pos = np.nonzero(~miss)[0]
+    rk = need_keys[~miss]
+    for s, sl, slots in _shard_iter_groups(rk):
+        texts = text_refs[s]
+        if isinstance(texts, ray.ObjectRef):
+            texts = ray.get(texts)
+        got = texts.take(pa.array(slots, pa.int64())).to_pylist()
+        out[pos[sl]] = [g if isinstance(g, str) else "" for g in got]
+    return out
+
+
 @ray.remote
-def _score_edges_task(block: pa.Table, shard_refs, spec, threshold: float) -> pa.Table:
-    """Raw-task scorer: one edge block against the sharded index. Raw tasks
-    on purpose — wrapping the (already materialized) edge blocks back into a
-    Dataset map_batches costs a whole extra execution round (~1-2 s fixed)."""
+def _score_edges_task(
+    block: pa.Table, shard_refs, text_refs, spec, threshold: float,
+    piece: int = 0, n_pieces: int = 1,
+) -> pa.Table:
+    """Raw-task scorer: one edge-block SLICE against the sharded index. Raw
+    tasks on purpose — wrapping the (already materialized) edge blocks back
+    into a Dataset map_batches costs a whole extra execution round (~1-2 s
+    fixed). ``piece``/``n_pieces`` slice the block inside the task (zero-copy)
+    so the scorer fan-out exceeds the edge-dedup exchange width — one task
+    per EB block left straggler waves at 32 CPUs. ``text_refs`` stay
+    UNRESOLVED (plain ObjectRefs in a list) so a task whose pairs are all
+    byte-identical never ships a text shard."""
+    if n_pieces > 1:
+        n = block.num_rows
+        start = (n * piece) // n_pieces
+        stop = (n * (piece + 1)) // n_pieces
+        block = block.slice(start, stop - start)
     shards = ray.get(list(shard_refs))
-    return _score_edges_numeric_shards(block, shards, spec, threshold)
+    return _score_edges_numeric_shards(block, shards, spec, threshold, text_refs=text_refs)
 
 
 def _index_lookup_texts(index, want_ids: np.ndarray) -> list:
@@ -726,6 +791,37 @@ def _shingle_fn(spec):
     if mode == "word":
         return lambda t: word_ngram_hashes(t, size)
     return lambda t: char_ngram_hashes(t, size)
+
+
+def _shingle_sets(spec, texts) -> tuple:
+    """(values, starts, counts) ragged SORTED-UNIQUE shingle segments for
+    ``texts`` — the pairwise_jaccard input layout. Char mode runs the batch
+    kernel in ~512-doc chunks (bounded scratch: the monolithic batch's
+    ~25 MB alloc/free churn per task triggered the same THP page-fault
+    stalls under 32-way concurrency that capped OPH signing — see
+    sketches.OPH_CHUNK_DOCS); word mode keeps the per-doc loop (token
+    joining is Python-bound either way)."""
+    mode, size = spec
+    if mode == "char":
+        from ..functions.hashing import char_ngram_sets_batch
+
+        CHUNK = 512
+        if len(texts) <= CHUNK:
+            return char_ngram_sets_batch(texts, k=size)
+        vs, cs = [], []
+        for i in range(0, len(texts), CHUNK):
+            v, _s, c = char_ngram_sets_batch(texts[i : i + CHUNK], k=size)
+            vs.append(v)
+            cs.append(c)
+        values = np.concatenate(vs)
+        counts = np.concatenate(cs)
+        starts = np.cumsum(counts) - counts
+        return values, starts, counts
+    sets = [word_ngram_hashes(t, size) for t in texts]
+    counts = np.array([len(s) for s in sets], dtype=np.int64)
+    starts = np.cumsum(counts) - counts
+    allv = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
+    return allv, starts, counts
 
 
 def pairwise_jaccard(
@@ -795,14 +891,10 @@ def _verify_score_batch(df: pd.DataFrame, texts_ref, spec, threshold: float) -> 
     jac = np.ones(len(df), dtype=np.float64)
     rest = np.nonzero(~same)[0]
     if len(rest):
-        shingles = _shingle_fn(spec)
         need = np.unique(np.concatenate([a_idx[rest], b_idx[rest]]))
         remap = np.full(len(ids), -1, dtype=np.int64)
         remap[need] = np.arange(len(need))
-        sets = [shingles(texts_arr[i]) for i in need]
-        counts = np.array([len(s) for s in sets], dtype=np.int64)
-        starts = np.cumsum(counts) - counts
-        allv = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
+        allv, starts, counts = _shingle_sets(spec, texts_arr[need])
         jac[rest] = pairwise_jaccard(
             remap[a_idx[rest]], remap[b_idx[rest]], allv, starts, counts
         )
@@ -900,14 +992,23 @@ def verify_edges_jaccard(
         def pick(t: pa.Table) -> pa.Table:
             # emit the id hashes computed for the membership test — the
             # assemble tasks below build the READY lookup index from them, so
-            # scorer workers never hash/convert the endpoint ids themselves
+            # scorer workers never hash/convert the endpoint ids themselves.
+            # The TEXT content-hash pair (_th1, _th2) is also computed here,
+            # in the parallel corpus scan: scorers resolve byte-identical
+            # pairs from these 16 bytes without touching the text itself.
+            from ..functions.hashing import hash64
+
             eps = _fetch_cached(ep_ref)
             ids = t[id_col].to_numpy(zero_copy_only=False).astype(object)
             q1, q2 = _id_hash_pair(ids)
             mask = _id_member_mask_pre(eps, q1, q2)
             out = t.select(pick_cols).filter(pa.array(mask))
+            texts = out[text_col].to_numpy(zero_copy_only=False).astype(object)
+            texts = np.array([tx if isinstance(tx, str) else "" for tx in texts], dtype=object)
             out = out.append_column("_h1", pa.array(q1[mask], pa.uint64()))
-            return out.append_column("_h2", pa.array(q2[mask], pa.uint64()))
+            out = out.append_column("_h2", pa.array(q2[mask], pa.uint64()))
+            out = out.append_column("_th1", pa.array(hash64(texts), pa.uint64()))
+            return out.append_column("_th2", pa.array(hash64(texts, alt_key=True), pa.uint64()))
 
         # the endpoint texts never touch the driver: picked blocks stay in
         # the object store and remote tasks assemble them into the READY
@@ -956,18 +1057,30 @@ def verify_edges_jaccard(
                 )
                 for g in groups
             ]
-            shard_refs = [
+            assembled = [
                 _assemble_index_shard.remote(
                     id_col, text_col, attrs_present, *[r[s] for r in routed]
                 )
                 for s in range(_INDEX_SHARDS)
             ]
+            shard_refs = [a[0] for a in assembled]  # slim: hashes + ids + attrs
+            text_refs = [a[1] for a in assembled]  # texts, fetched on demand
             if out is not None:
                 out["index_shards"] = shard_refs
                 out["attr_cols"] = attrs_present
+            edge_refs = edges.to_arrow_refs()
+            # fan scoring wider than the EB exchange width: ~3 tasks per CPU
+            # absorbs stragglers (shingle cost varies per bucket)
+            per_block = max(
+                1,
+                -(-int(ray.cluster_resources().get("CPU", 8)) * 3 // max(len(edge_refs), 1)),
+            )
             scored = [
-                _score_edges_task.remote(b, shard_refs, spec, threshold)
-                for b in edges.to_arrow_refs()
+                _score_edges_task.remote(
+                    b, shard_refs, text_refs, spec, threshold, piece=i, n_pieces=per_block
+                )
+                for b in edge_refs
+                for i in range(per_block)
             ]
             return ray.data.from_arrow_refs(scored)
 
@@ -1070,7 +1183,6 @@ def _verify_edges_join(
     spec = (params.shingle, params.word_n if params.shingle == "word" else params.shingle_k)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        shingles = _shingle_fn(spec)
         P = len(df)
         both = np.concatenate(
             [df["_text_a"].to_numpy(dtype=object), df["_text_b"].to_numpy(dtype=object)]
@@ -1080,10 +1192,7 @@ def _verify_edges_join(
         # diverging from the broadcast verify path's `t or ""` handling)
         both = np.array([t if isinstance(t, str) else "" for t in both], dtype=object)
         uniq, inv = np.unique(both, return_inverse=True)
-        sets = [shingles(t) for t in uniq]
-        counts = np.array([len(s) for s in sets], dtype=np.int64)
-        starts = np.cumsum(counts) - counts
-        allv = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
+        allv, starts, counts = _shingle_sets(spec, uniq)
         out = df[["a", "b"]].copy()
         out["jaccard"] = pairwise_jaccard(inv[:P], inv[P:], allv, starts, counts)
         return out[out["jaccard"] >= threshold]
@@ -1145,17 +1254,13 @@ def _verify_edges_join_numeric(
             (df["_check_a"].to_numpy() == df["ah2"].to_numpy())
             & (df["_check_b"].to_numpy() == df["bh2"].to_numpy())
         ]
-        shingles = _shingle_fn(spec)
         P = len(df)
         both = np.concatenate(
             [df["_text_a"].to_numpy(dtype=object), df["_text_b"].to_numpy(dtype=object)]
         )
         both = np.array([t if isinstance(t, str) else "" for t in both], dtype=object)
         uniq, inv = np.unique(both, return_inverse=True)
-        sets = [shingles(t) for t in uniq]
-        counts = np.array([len(s) for s in sets], dtype=np.int64)
-        starts = np.cumsum(counts) - counts
-        allv = np.concatenate(sets) if sets else np.empty(0, dtype=np.uint64)
+        allv, starts, counts = _shingle_sets(spec, uniq)
         out = df[["a", "b"]].copy()
         out["jaccard"] = pairwise_jaccard(inv[:P], inv[P:], allv, starts, counts)
         return out[out["jaccard"] >= threshold]

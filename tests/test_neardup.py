@@ -379,3 +379,29 @@ def test_min_label_numpy_matches_union_find_random():
     eb = np.array([f"n{i:05d}" for i in range(k - 2, -1, -1)], dtype=object)
     nodes, labels = _components_min_label_numpy(ea, eb)
     assert set(labels) == {"n00000"}
+
+
+def test_members_from_index_matches_attach_scan(ds, pages_rows):
+    """apply_cluster_labels with the verify stage's sharded endpoint index
+    (member_attrs) must produce EXACTLY the kept set and clusters table of
+    the full-corpus attach-scan path — the index fast path skips a whole
+    Dataset pass, not any semantics."""
+    vout: dict = {}
+    edges = dedup_edges_minhash(
+        ds, verify=True, threshold=0.7, signer_concurrency=2,
+        order_cols=("warc_ts", "url"), out=vout,
+    ).materialize()
+    assert "index_shards" in vout, "numeric broadcast limb must have run"
+    labels = connected_components(edges).materialize()
+
+    kept_a, clus_a = apply_cluster_labels(ds, labels)  # attach scan
+    kept_b, clus_b = apply_cluster_labels(
+        ds, labels, member_attrs=(vout["index_shards"], vout["attr_cols"])
+    )
+    ka = sorted(kept_a.to_pandas()["url"])
+    kb = sorted(kept_b.to_pandas()["url"])
+    assert ka == kb
+    canon = lambda c: sorted(
+        map(tuple, c.to_pandas()[["cluster_id", "member", "is_representative"]].values.tolist())
+    )
+    assert canon(clus_a) == canon(clus_b)
