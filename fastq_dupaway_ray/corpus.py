@@ -48,6 +48,7 @@ class CorpusSpec:
     words_per_doc: tuple = (30, 120)
     seed: int = 42
     langs: tuple = ("en", "en", "en", "en", "de", "fr")
+    url_prefix: str = ""  # disambiguates urls when composing sub-corpora
 
 
 def _mk_text(rng: np.random.RandomState, spec: CorpusSpec) -> str:
@@ -81,7 +82,7 @@ def generate_pages(spec: CorpusSpec = CorpusSpec()) -> pa.Table:
         text = _mk_text(rng, spec)
         lang = spec.langs[rng.randint(0, len(spec.langs))]
         base_texts.append((i, text, lang))
-        emit(f"https://site{i % 23}.example/p/{i}", text, lang)
+        emit(f"https://{spec.url_prefix}site{i % 23}.example/p/{i}", text, lang)
 
     def pick(rate):
         k = max(1, int(spec.n_base * rate))
@@ -89,7 +90,7 @@ def generate_pages(spec: CorpusSpec = CorpusSpec()) -> pa.Table:
 
     for i in pick(spec.exact_dup_rate):
         _, text, lang = base_texts[i]
-        emit(f"https://mirror.example/dup/exact/{i}/1", text, lang)
+        emit(f"https://{spec.url_prefix}mirror.example/dup/exact/{i}/1", text, lang)
 
     for i in pick(spec.prefix_chain_rate):
         _, text, lang = base_texts[i]
@@ -98,7 +99,7 @@ def generate_pages(spec: CorpusSpec = CorpusSpec()) -> pa.Table:
         for c in range(chain_len):
             extra = " " + _mk_text(rng, spec)
             cur = cur + extra
-            emit(f"https://site{i % 23}.example/dup/prefix/{i}/{c + 1}", cur, lang)
+            emit(f"https://{spec.url_prefix}site{i % 23}.example/dup/prefix/{i}/{c + 1}", cur, lang)
 
     for i in pick(spec.hamming_rate):
         _, text, lang = base_texts[i]
@@ -111,7 +112,7 @@ def generate_pages(spec: CorpusSpec = CorpusSpec()) -> pa.Table:
             pos = rng.choice(alpha_pos, size=k, replace=False)
             for p in pos:
                 chars[p] = "z" if chars[p] != "z" else "q"
-            emit(f"https://site{i % 23}.example/dup/ham{k}/{i}/1", "".join(chars), lang)
+            emit(f"https://{spec.url_prefix}site{i % 23}.example/dup/ham{k}/{i}/1", "".join(chars), lang)
 
     for lvl in spec.jaccard_levels:
         for i in pick(spec.jaccard_rate):
@@ -123,7 +124,7 @@ def generate_pages(spec: CorpusSpec = CorpusSpec()) -> pa.Table:
             for p in pos:
                 toks[p] = _WORDS[rng.randint(0, len(_WORDS))] + "x"
             tag = str(lvl).replace(".", "")
-            emit(f"https://site{i % 23}.example/dup/jac{tag}/{i}/1", " ".join(toks), lang)
+            emit(f"https://{spec.url_prefix}site{i % 23}.example/dup/jac{tag}/{i}/1", " ".join(toks), lang)
 
     urls = [r[0] for r in rows]
     ts = [r[1] for r in rows]

@@ -114,6 +114,11 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig = DedupConfig()) -> DedupOu
                 threshold=cfg.threshold,
                 signer_concurrency=cfg.signer_concurrency,
                 out=vout,
+                # numeric spine end-to-end: edge ids stay 128-bit hash pairs
+                # through components; strings materialize once from the
+                # verify index inside apply_cluster_labels (falls back to
+                # string edges automatically on the join-verify limb)
+                emit="numeric" if cfg.verify else "ids",
             )
         else:
             edges = _sh.simhash_candidate_edges(

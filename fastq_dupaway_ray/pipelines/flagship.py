@@ -157,11 +157,24 @@ def run_flagship(
             threshold=threshold,
             signer_concurrency=signer_concurrency,
             out=vout,
+            # numeric spine end-to-end: ids stay 128-bit hash pairs through
+            # components; strings materialize once in apply_cluster_labels
+            emit="numeric" if verify else "ids",
         )
         if ckpt_root:
             edges = checkpoint(edges, ckpt_root, "edges", fp1)
         else:
             edges = edges.materialize()
+    if "ah1" in edges.schema().names and "index_shards" not in vout:
+        # checkpoint-resumed numeric edges: rebuild the endpoint index (one
+        # corpus scan — cheap next to the skipped sign/LSH/verify stages) so
+        # the representative stage can materialize member ids
+        shard_refs, text_refs, attrs_present = _mh.build_endpoint_index(
+            edges.materialize(), exact_slim, attr_cols=("warc_ts", "url")
+        )
+        if shard_refs:
+            vout["index_shards"] = shard_refs
+            vout["attr_cols"] = attrs_present
     metrics["candidate_edges"] = edges.count()
     _mark("minhash_edges")
 

@@ -71,7 +71,7 @@ def run_training_data(
         vout: dict = {}
         edges = _mh.dedup_edges_minhash(
             exact, params=params, id_col=id_col, text_col=text_col,
-            order_cols=(id_col,), out=vout,
+            order_cols=(id_col,), out=vout, emit="numeric",
         ).materialize()
         labels = _comp.connected_components(edges)
         kept, _clusters = _rep.apply_cluster_labels(

@@ -78,20 +78,134 @@ def _components_min_label_numpy(a: np.ndarray, b: np.ndarray):
     return nodes, nodes[order[minrank[lab]]]
 
 
+_PAIR_DT = np.dtype([("h1", "<u8"), ("h2", "<u8")])
+
+
+def _components_min_label_pairs(a1, a2, b1, b2):
+    """Numeric twin of ``_components_min_label_numpy`` over 128-bit (h1, h2)
+    node keys — the verify stage's numeric spine. np.unique over a structured
+    view replaces pandas factorize (C-speed memcmp sort, no Python objects),
+    and because unique codes ARE sort ranks, the converged min-label code is
+    directly the component's min (h1, h2) pair."""
+    m = len(a1)
+    both = np.empty((2 * m, 2), dtype=np.uint64)
+    both[:m, 0], both[:m, 1] = a1, a2
+    both[m:, 0], both[m:, 1] = b1, b2
+    v = np.ascontiguousarray(both).view(_PAIR_DT).ravel()
+    uniq, codes = np.unique(v, return_inverse=True)
+    n = len(uniq)
+    ia, ib = codes[:m], codes[m:]
+    lab = np.arange(n, dtype=np.int64)
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, ia, lab[ib])
+        np.minimum.at(lab, ib, lab[ia])
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if np.array_equal(lab, old):
+            break
+    roots = uniq[lab]
+    return uniq, roots
+
+
+def _pairs_to_bytes16(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """(h1, h2) -> object array of 16-byte big-endian keys (order-preserving:
+    memcmp on the bytes == numeric (h1, h2) order). Bridge for the string/
+    bytes-keyed BSP shards on the beyond-budget limb."""
+    x = np.empty((len(h1), 2), dtype=">u8")
+    x[:, 0], x[:, 1] = h1, h2
+    buf = x.tobytes()
+    return np.array([buf[i * 16 : i * 16 + 16] for i in range(len(h1))], dtype=object)
+
+
+def _bytes16_to_pairs(vals) -> tuple:
+    flat = np.frombuffer(b"".join(vals), dtype=">u8").reshape(-1, 2)
+    return flat[:, 0].astype(np.uint64), flat[:, 1].astype(np.uint64)
+
+
+def _connected_components_pairs(
+    edges: ray.data.Dataset, n_edges: int, max_rounds: int, local_edge_budget: int
+) -> ray.data.Dataset:
+    """Numeric-spine components: edges (ah1, ah2, bh1, bh2) -> labels
+    (node_h1, node_h2, label_h1, label_h2). Under the budget the driver
+    solves it vectorized over uint64 pairs (no strings anywhere); above it,
+    the pairs bridge to the BSP shard actors as order-preserving bytes16
+    keys (documented slow path — at that scale prefer attaching ids first)."""
+    import pyarrow as pa
+    import ray as _ray
+
+    if n_edges <= local_edge_budget:
+        parts = [p for p in _ray.get(edges.to_arrow_refs()) if p.num_rows]
+        if not parts:
+            e = np.empty(0, dtype=np.uint64)
+            a1 = a2 = b1 = b2 = e
+        else:
+            a1 = np.concatenate([p["ah1"].to_numpy() for p in parts])
+            a2 = np.concatenate([p["ah2"].to_numpy() for p in parts])
+            b1 = np.concatenate([p["bh1"].to_numpy() for p in parts])
+            b2 = np.concatenate([p["bh2"].to_numpy() for p in parts])
+        nodes, roots = _components_min_label_pairs(a1, a2, b1, b2)
+        tab = pa.table(
+            {
+                "node_h1": pa.array(nodes["h1"], pa.uint64()),
+                "node_h2": pa.array(nodes["h2"], pa.uint64()),
+                "label_h1": pa.array(roots["h1"], pa.uint64()),
+                "label_h2": pa.array(roots["h2"], pa.uint64()),
+            }
+        )
+        step = 500_000
+        return ray.data.from_arrow(
+            [tab.slice(o, step) for o in range(0, max(tab.num_rows, 1), step)]
+        )
+
+    def enc(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "a": _pairs_to_bytes16(t["ah1"].to_numpy(), t["ah2"].to_numpy()),
+                "b": _pairs_to_bytes16(t["bh1"].to_numpy(), t["bh2"].to_numpy()),
+            }
+        )
+
+    blabels = _connected_components_distributed(
+        edges.map_batches(enc, batch_format="pyarrow"), max_rounds=max_rounds
+    )
+
+    def dec(df: pd.DataFrame) -> pd.DataFrame:
+        n1, n2 = _bytes16_to_pairs(df["node"].to_numpy()) if len(df) else (np.empty(0, np.uint64),) * 2
+        l1, l2 = _bytes16_to_pairs(df["label"].to_numpy()) if len(df) else (np.empty(0, np.uint64),) * 2
+        return pd.DataFrame(
+            {"node_h1": n1, "node_h2": n2, "label_h1": l1, "label_h2": l2}
+        )
+
+    return blabels.map_batches(dec, batch_format="pandas")
+
+
 def connected_components(
     edges: ray.data.Dataset,
     max_rounds: int = 40,  # pointer doubling: reach 2^40 diameter; converged
     # rounds cost nothing extra (the loop exits on zero change)
-    local_edge_budget: int = 2_000_000,
+    local_edge_budget: int = 20_000_000,
 ) -> ray.data.Dataset:
     """Edges (a, b) -> labels dataset (node, label), both the original id type.
 
     Dispatches: if the edge list fits ``local_edge_budget`` it is collected and
-    solved with union-find on the driver (a deliberate small-side shortcut, the
-    same judgment call as broadcasting a dimension table); otherwise runs
-    distributed min-label propagation.
+    solved with the vectorized min-label pass on the driver (a deliberate
+    small-side shortcut, the same judgment call as broadcasting a dimension
+    table — measured ~15 s at 3.75M string edges vs ~110 s for the BSP
+    actors, whose string-keyed exchanges only win past tens of millions of
+    edges); otherwise runs distributed min-label propagation.
     """
+    schema = edges.schema()
+    names = set(schema.names) if schema is not None else set()
+    numeric = {"ah1", "ah2", "bh1", "bh2"} <= names
     n_edges = edges.count()
+    if numeric:
+        return _connected_components_pairs(
+            edges, n_edges, max_rounds=max_rounds, local_edge_budget=local_edge_budget
+        )
     if n_edges == 0:
         empty = pd.DataFrame({"node": pd.Series([], dtype=object), "label": pd.Series([], dtype=object)})
         return ray.data.from_pandas(empty)

@@ -656,7 +656,8 @@ def _shard_gather(shards, keys: np.ndarray, what: str):
 
 
 def _score_edges_numeric_shards(
-    t: pa.Table, shards, spec, threshold: float, text_refs=None
+    t: pa.Table, shards, spec, threshold: float, text_refs=None,
+    emit_ids: bool = True,
 ) -> pa.Table:
     """Numeric-spine scorer over the SHARDED endpoint index (same lookups,
     byte-identical-shortcut + exact-Jaccard math as the former single-index
@@ -667,16 +668,31 @@ def _score_edges_numeric_shards(
     Real texts are pulled per shard via ``text_refs`` ONLY for the
     non-identical minority; on dup-heavy corpora most scorer tasks never
     touch a text byte (the former every-task text gather made each worker
-    page in the whole text index — a per-worker broadcast tax)."""
+    page in the whole text index — a per-worker broadcast tax).
+
+    ``emit_ids=False`` keeps the output on the numeric spine
+    (ah1, ah2, bh1, bh2, jaccard): the string ids — the other per-task
+    gather that grows with the endpoint count — never enter the scorer, and
+    downstream components/representative stages consume the hash pairs
+    directly (the flagship path; ids materialize once from the index in
+    apply_cluster_labels)."""
     from ..functions.hashing import hash64
 
-    empty = pa.table(
-        {
-            "a": pa.array([], pa.string()),
-            "b": pa.array([], pa.string()),
-            "jaccard": pa.array([], pa.float64()),
-        }
-    )
+    if emit_ids:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    else:
+        empty = pa.table(
+            {
+                **{c: pa.array([], pa.uint64()) for c in ("ah1", "ah2", "bh1", "bh2")},
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
     if t.num_rows == 0:
         return empty
     P = t.num_rows
@@ -686,7 +702,7 @@ def _score_edges_numeric_shards(
     uniq, inv = np.unique(key, return_inverse=True)
     start = 1 if len(uniq) and uniq[0] < 0 else 0  # -1: endpoint missing
     real = uniq[start:]
-    ids_arr = _shard_gather(shards, real, "ids")
+    ids_arr = _shard_gather(shards, real, "ids") if emit_ids else None
     th1 = _shard_gather(shards, real, "th1")
     th2 = _shard_gather(shards, real, "th2")
     if start:
@@ -696,9 +712,10 @@ def _score_edges_numeric_shards(
         e = np.array([""], dtype=object)
         th1 = np.concatenate([hash64(e), th1])
         th2 = np.concatenate([hash64(e, alt_key=True), th2])
-        ids_arr = pa.concat_arrays(
-            [pa.array([None], pa.string()), ids_arr.combine_chunks() if isinstance(ids_arr, pa.ChunkedArray) else ids_arr]
-        )
+        if emit_ids:
+            ids_arr = pa.concat_arrays(
+                [pa.array([None], pa.string()), ids_arr.combine_chunks() if isinstance(ids_arr, pa.ChunkedArray) else ids_arr]
+            )
     a_idx, b_idx = inv[:P], inv[P:]
     same = (th1[a_idx] == th1[b_idx]) & (th2[a_idx] == th2[b_idx])
     jac = np.ones(P, dtype=np.float64)
@@ -715,6 +732,17 @@ def _score_edges_numeric_shards(
     sel = np.nonzero(jac >= threshold)[0]
     if len(sel) == 0:
         return empty
+    if not emit_ids:
+        take = pa.array(sel, pa.int64())
+        return pa.table(
+            {
+                "ah1": t["ah1"].take(take),
+                "ah2": t["ah2"].take(take),
+                "bh1": t["bh1"].take(take),
+                "bh2": t["bh2"].take(take),
+                "jaccard": pa.array(jac[sel], pa.float64()),
+            }
+        )
     return pa.table(
         {
             "a": ids_arr.take(pa.array(a_idx[sel], pa.int64())),
@@ -745,7 +773,7 @@ def _gather_need_texts(need_keys: np.ndarray, text_refs) -> np.ndarray:
 @ray.remote
 def _score_edges_task(
     block: pa.Table, shard_refs, text_refs, spec, threshold: float,
-    piece: int = 0, n_pieces: int = 1,
+    piece: int = 0, n_pieces: int = 1, emit_ids: bool = True,
 ) -> pa.Table:
     """Raw-task scorer: one edge-block SLICE against the sharded index. Raw
     tasks on purpose — wrapping the (already materialized) edge blocks back
@@ -761,7 +789,9 @@ def _score_edges_task(
         stop = (n * (piece + 1)) // n_pieces
         block = block.slice(start, stop - start)
     shards = ray.get(list(shard_refs))
-    return _score_edges_numeric_shards(block, shards, spec, threshold, text_refs=text_refs)
+    return _score_edges_numeric_shards(
+        block, shards, spec, threshold, text_refs=text_refs, emit_ids=emit_ids
+    )
 
 
 def _index_lookup_texts(index, want_ids: np.ndarray) -> list:
@@ -903,6 +933,96 @@ def _verify_score_batch(df: pd.DataFrame, texts_ref, spec, threshold: float) -> 
     return out[out["jaccard"] >= threshold]
 
 
+def build_endpoint_index(
+    edges: ray.data.Dataset,
+    pages: ray.data.Dataset,
+    id_col: str = "url",
+    text_col: str = "text",
+    attr_cols=(),
+) -> tuple:
+    """(slim_shard_refs, text_shard_refs, attrs_present) — the sharded
+    endpoint index for a MATERIALIZED numeric edge list (ah1..bh2).
+
+    One parallel corpus scan picks the edge endpoints (id-hash membership),
+    computing the id hash pair and the text content-hash pair per row;
+    route + assemble tasks build ``_INDEX_SHARDS`` h1-sharded indexes, each
+    split into a slim object (hashes + ids + attrs) and a texts object.
+    Used by the verify scorer, by apply_cluster_labels' member gather, and
+    to REBUILD the index when a checkpoint-resumed run loads numeric edges
+    without a live verify stage."""
+    from ..functions.hashing import hash64
+
+    ep_parts = ray.get([_edge_endpoint_pairs.remote(r) for r in edges.to_arrow_refs()])
+    eh1 = np.concatenate([p[0] for p in ep_parts] or [np.empty(0, np.uint64)])
+    eh2 = np.concatenate([p[1] for p in ep_parts] or [np.empty(0, np.uint64)])
+    eo = np.lexsort((eh2, eh1))
+    eh1, eh2 = eh1[eo], eh2[eo]
+    if len(eh1):
+        keep = np.empty(len(eh1), dtype=bool)
+        keep[0] = True
+        keep[1:] = (eh1[1:] != eh1[:-1]) | (eh2[1:] != eh2[:-1])
+        eh1, eh2 = eh1[keep], eh2[keep]
+    ep_ref = ray.put((eh1, eh2))
+
+    # columns the pick pass carries into the index: id + text always, plus
+    # any attr columns present in the pages schema (order cols for the
+    # label-attach fast path — 8 B each, negligible next to text)
+    page_cols = set(pages.schema().names)
+    attrs_present = [
+        c for c in attr_cols if c in page_cols and c not in (id_col, text_col)
+    ]
+    pick_cols = [id_col, text_col, *attrs_present]
+
+    def pick(t: pa.Table) -> pa.Table:
+        # emit the id hashes computed for the membership test — the assemble
+        # tasks build the READY lookup index from them, so scorer workers
+        # never hash/convert the endpoint ids themselves. The TEXT
+        # content-hash pair (_th1, _th2) is also computed here, in the
+        # parallel corpus scan: scorers resolve byte-identical pairs from
+        # these 16 bytes without touching the text itself.
+        eps = _fetch_cached(ep_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(object)
+        q1, q2 = _id_hash_pair(ids)
+        mask = _id_member_mask_pre(eps, q1, q2)
+        out = t.select(pick_cols).filter(pa.array(mask))
+        texts = out[text_col].to_numpy(zero_copy_only=False).astype(object)
+        texts = np.array([tx if isinstance(tx, str) else "" for tx in texts], dtype=object)
+        out = out.append_column("_h1", pa.array(q1[mask], pa.uint64()))
+        out = out.append_column("_h2", pa.array(q2[mask], pa.uint64()))
+        out = out.append_column("_th1", pa.array(hash64(texts), pa.uint64()))
+        return out.append_column("_th2", pa.array(hash64(texts, alt_key=True), pa.uint64()))
+
+    # the endpoint texts never touch the driver: picked blocks stay in the
+    # object store and remote tasks assemble them into the READY broadcast
+    # index. Building the index per WORKER instead (round-2 design) cost
+    # several CPU-seconds x every worker — a per-worker broadcast tax that
+    # grows with cluster size and inverts scaling.
+    picked = (
+        pages.select_columns(pick_cols)
+        .map_batches(pick, batch_format="pyarrow")
+        .materialize()
+    )
+    block_refs = [
+        ref
+        for bundle in picked.iter_internal_ref_bundles()
+        for ref, _meta in bundle.blocks
+    ]
+    if not block_refs:
+        return [], [], attrs_present
+    n_maps = max(1, min(len(block_refs), int(ray.cluster_resources().get("CPU", 8)) * 2))
+    step = (len(block_refs) + n_maps - 1) // n_maps
+    groups = [block_refs[i : i + step] for i in range(0, len(block_refs), step)]
+    routed = [
+        _route_index_shard.options(num_returns=_INDEX_SHARDS).remote(_INDEX_SHARDS, *g)
+        for g in groups
+    ]
+    assembled = [
+        _assemble_index_shard.remote(id_col, text_col, attrs_present, *[r[s] for r in routed])
+        for s in range(_INDEX_SHARDS)
+    ]
+    return [a[0] for a in assembled], [a[1] for a in assembled], attrs_present
+
+
 def verify_edges_jaccard(
     edges: ray.data.Dataset,
     pages: ray.data.Dataset,
@@ -911,10 +1031,11 @@ def verify_edges_jaccard(
     id_col: str = "url",
     text_col: str = "text",
     num_partitions: int | None = None,
-    broadcast_edge_budget: int = 2_000_000,
+    broadcast_edge_budget: int | None = None,
     spread: bool = True,
     attr_cols=(),
     out: dict | None = None,
+    emit_ids: bool = True,
 ) -> ray.data.Dataset:
     """Exact-Jaccard verification of candidate edges against the real shingles.
 
@@ -943,29 +1064,84 @@ def verify_edges_jaccard(
     ``edges`` should be materialized by the caller (it is counted here).
     """
     numeric = "ah1" in edges.schema().names
+    if not numeric:
+        emit_ids = True  # string edges in = string edges out (single path)
+    if broadcast_edge_budget is None:
+        # numeric spine: the driver only ever merges 16 B/endpoint uint64
+        # pairs and the broadcast is two sorted uint64 arrays — 16M edges is
+        # ~512 MB of driver scratch, well under one worker's heap. The string
+        # limb hashes endpoint STRINGS in remote tasks but broadcasts more;
+        # keep its budget conservative. Above budget: distributed hash joins.
+        broadcast_edge_budget = 16_000_000 if numeric else 2_000_000
     n_edges = edges.count()
     if n_edges == 0:
         if numeric:
-            # numeric spine: the public contract is string endpoints — keep
-            # the empty schema consistent with the non-empty output
+            # keep the empty schema consistent with the non-empty output
+            if emit_ids:
+                return ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "a": pa.array([], pa.string()),
+                            "b": pa.array([], pa.string()),
+                            "jaccard": pa.array([], pa.float64()),
+                        }
+                    )
+                )
             return ray.data.from_arrow(
                 pa.table(
                     {
-                        "a": pa.array([], pa.string()),
-                        "b": pa.array([], pa.string()),
+                        **{c: pa.array([], pa.uint64()) for c in ("ah1", "ah2", "bh1", "bh2")},
                         "jaccard": pa.array([], pa.float64()),
                     }
                 )
             )
         return edges
     if n_edges <= broadcast_edge_budget:
-        # endpoint hash set built WITHOUT the edge strings ever visiting the
-        # driver: per-block remote tasks hash (a, b) endpoints and pre-unique
-        # them; the driver only merges uint64 pairs (the former
-        # to_pandas + pd.unique + serial SipHash cost seconds of driver wall
-        # per million edges and grew linearly with the corpus). On the
-        # numeric spine the endpoints ARE the hash pairs — no hashing at all.
-        ep_remote = _edge_endpoint_pairs if numeric else _edge_endpoint_hashes
+        if numeric:
+            # SHARDED endpoint index + raw-task scorer (the flagship hot
+            # path); see build_endpoint_index for the scan/shard design
+            shard_refs, text_refs, attrs_present = build_endpoint_index(
+                edges, pages, id_col=id_col, text_col=text_col, attr_cols=attr_cols
+            )
+            spec = (
+                params.shingle,
+                params.word_n if params.shingle == "word" else params.shingle_k,
+            )
+            if not shard_refs:
+                return ray.data.from_arrow(
+                    _score_edges_numeric_shards(
+                        pa.table(
+                            {c: pa.array([], pa.uint64()) for c in ("ah1", "ah2", "bh1", "bh2")}
+                        ),
+                        [],
+                        spec,
+                        threshold,
+                        emit_ids=emit_ids,
+                    )
+                )
+            if out is not None:
+                out["index_shards"] = shard_refs
+                out["attr_cols"] = attrs_present
+            edge_refs = edges.to_arrow_refs()
+            # fan scoring wider than the EB exchange width: ~3 tasks per CPU
+            # absorbs stragglers (shingle cost varies per bucket)
+            per_block = max(
+                1,
+                -(-int(ray.cluster_resources().get("CPU", 8)) * 3 // max(len(edge_refs), 1)),
+            )
+            scored = [
+                _score_edges_task.remote(
+                    b, shard_refs, text_refs, spec, threshold,
+                    piece=i, n_pieces=per_block, emit_ids=emit_ids,
+                )
+                for b in edge_refs
+                for i in range(per_block)
+            ]
+            return ray.data.from_arrow_refs(scored)
+        # ---- string limb: endpoint hash set built WITHOUT the edge strings
+        # ever visiting the driver: per-block remote tasks hash (a, b)
+        # endpoints and pre-unique them; the driver only merges uint64 pairs
+        ep_remote = _edge_endpoint_hashes
         ep_parts = ray.get(
             [ep_remote.remote(r) for r in edges.to_arrow_refs()]
         )
@@ -1021,68 +1197,6 @@ def verify_edges_jaccard(
             .map_batches(pick, batch_format="pyarrow")
             .materialize()
         )
-        if numeric:
-            # SHARDED index + raw-task scorer (the flagship hot path): the
-            # single-task assemble's text concat grew linearly with the
-            # corpus (serial wall), and the Dataset map_batches wrap of the
-            # already-materialized edge blocks cost an extra execution round
-            block_refs = [
-                ref
-                for bundle in picked.iter_internal_ref_bundles()
-                for ref, _meta in bundle.blocks
-            ]
-            spec = (
-                params.shingle,
-                params.word_n if params.shingle == "word" else params.shingle_k,
-            )
-            if not block_refs:
-                return ray.data.from_arrow(
-                    _score_edges_numeric_shards(
-                        pa.table(
-                            {c: pa.array([], pa.uint64()) for c in ("ah1", "ah2", "bh1", "bh2")}
-                        ),
-                        [],
-                        spec,
-                        threshold,
-                    )
-                )
-            n_maps = max(
-                1, min(len(block_refs), int(ray.cluster_resources().get("CPU", 8)) * 2)
-            )
-            step = (len(block_refs) + n_maps - 1) // n_maps
-            groups = [block_refs[i : i + step] for i in range(0, len(block_refs), step)]
-            routed = [
-                _route_index_shard.options(num_returns=_INDEX_SHARDS).remote(
-                    _INDEX_SHARDS, *g
-                )
-                for g in groups
-            ]
-            assembled = [
-                _assemble_index_shard.remote(
-                    id_col, text_col, attrs_present, *[r[s] for r in routed]
-                )
-                for s in range(_INDEX_SHARDS)
-            ]
-            shard_refs = [a[0] for a in assembled]  # slim: hashes + ids + attrs
-            text_refs = [a[1] for a in assembled]  # texts, fetched on demand
-            if out is not None:
-                out["index_shards"] = shard_refs
-                out["attr_cols"] = attrs_present
-            edge_refs = edges.to_arrow_refs()
-            # fan scoring wider than the EB exchange width: ~3 tasks per CPU
-            # absorbs stragglers (shingle cost varies per bucket)
-            per_block = max(
-                1,
-                -(-int(ray.cluster_resources().get("CPU", 8)) * 3 // max(len(edge_refs), 1)),
-            )
-            scored = [
-                _score_edges_task.remote(
-                    b, shard_refs, text_refs, spec, threshold, piece=i, n_pieces=per_block
-                )
-                for b in edge_refs
-                for i in range(per_block)
-            ]
-            return ray.data.from_arrow_refs(scored)
 
         @ray.remote
         def _assemble(*blocks):
@@ -1280,6 +1394,7 @@ def dedup_edges_minhash(
     max_bucket: int = 256,
     raw_edge_budget: int = 2_000_000,  # retired: dedup is now a task exchange
     out: dict | None = None,
+    emit: str = "ids",  # "ids" (public string contract) | "numeric" (flagship)
 ) -> ray.data.Dataset:
     """pages -> verified near-duplicate candidate edges (a, b)[, jaccard].
 
@@ -1362,5 +1477,6 @@ def dedup_edges_minhash(
         edges = verify_edges_jaccard(
             edges, pages, threshold, params=params, id_col=id_col, text_col=text_col,
             spread=False, attr_cols=order_cols, out=out,
+            emit_ids=(emit != "numeric"),
         )
     return edges

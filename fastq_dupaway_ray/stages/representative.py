@@ -76,6 +76,127 @@ def _members_from_index(ltab, member_attrs, id_col: str, order_cols) -> "object 
     return pa.table(cols).select([*slim_cols, "label"])
 
 
+def _apply_labels_numeric(
+    pages, labels, id_col, order_cols, payload, counters, member_attrs
+):
+    """Numeric-spine twin of apply_cluster_labels: labels are
+    (node_h1, node_h2, label_h1, label_h2) from numeric components. Strings
+    never entered the edge/components path — member ids and order columns
+    materialize HERE, once, gathered from the verify index shards; the drop
+    set reuses the node hash pairs directly (no re-hash of member ids)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    from .minhash import _fetch_cached, _id_member_mask_pre, _shard_gather, _shard_slot_keys
+
+    order_cols = [c for c in order_cols]
+    ltab = pa.concat_tables(
+        [t for t in _ray.get(labels.materialize().to_arrow_refs()) if t.num_rows]
+    ) if labels.count() else None
+    empty_clusters = pd.DataFrame(
+        {
+            "cluster_id": pd.Series([], dtype=object),
+            "member": pd.Series([], dtype=object),
+            "is_representative": pd.Series([], dtype=bool),
+        }
+    )
+    if ltab is None or ltab.num_rows == 0:
+        if counters is not None:
+            counters["near_drops"] = 0
+        return (payload if payload is not None else pages), ray.data.from_pandas(empty_clusters)
+    if member_attrs is None:
+        raise ValueError(
+            "numeric labels need the verify index shards (member_attrs) to "
+            "materialize member ids — pass dedup_edges_minhash(out=...)"
+        )
+
+    shard_refs, attr_cols = member_attrs
+    needed = [c for c in order_cols if c != id_col]
+    missing = [c for c in needed if c not in attr_cols]
+    if missing:
+        raise ValueError(f"verify index lacks order columns {missing}")
+    shards = _ray.get(list(shard_refs))
+    n1 = ltab["node_h1"].to_numpy()
+    n2 = ltab["node_h2"].to_numpy()
+    keys = _shard_slot_keys(shards, n1, n2)
+    # phantom nodes (missing-endpoint pairs from degenerate edges) aren't in
+    # the corpus — they cannot be kept or dropped; exclude them
+    ok = keys >= 0
+    if not ok.all():
+        take = pa.array(np.nonzero(ok)[0], pa.int64())
+        ltab = ltab.take(take)
+        n1, n2, keys = n1[ok], n2[ok], keys[ok]
+    order = np.argsort(keys, kind="stable")
+    inv_idx = np.empty_like(order)
+    inv_idx[order] = np.arange(len(order))
+    back = pa.array(inv_idx, pa.int64())
+    cols = {
+        id_col: _shard_gather(shards, keys[order], "ids").take(back),
+        "_nh1": pa.array(n1, pa.uint64()),
+        "_nh2": pa.array(n2, pa.uint64()),
+        "label_h1": ltab["label_h1"],
+        "label_h2": ltab["label_h2"],
+    }
+    for c in needed:
+        cols[c] = _shard_gather(shards, keys[order], c).take(back)
+    mt = pa.table(cols)
+
+    # keep-first pick: sort by (label pair, order cols); run starts are reps
+    sk = [("label_h1", "ascending"), ("label_h2", "ascending")] + [
+        (c, "ascending") for c in order_cols
+    ]
+    mt = mt.take(pc.sort_indices(mt, sort_keys=sk)).combine_chunks()
+    n = mt.num_rows
+    l1 = mt["label_h1"].to_numpy()
+    l2 = mt["label_h2"].to_numpy()
+    new_run = np.empty(n, dtype=bool)
+    if n:
+        new_run[0] = True
+        new_run[1:] = (l1[1:] != l1[:-1]) | (l2[1:] != l2[:-1])
+    pos = np.arange(n, dtype=np.int64)
+    rs = np.where(new_run, pos, 0)
+    np.maximum.accumulate(rs, out=rs)
+    ids_a = mt[id_col]
+    if isinstance(ids_a, pa.ChunkedArray):
+        ids_a = ids_a.combine_chunks()
+    ctab = pa.table(
+        {
+            "cluster_id": ids_a.take(pa.array(rs, pa.int64())),
+            "member": ids_a,
+            "is_representative": pa.array(new_run),
+        }
+    )
+    step = 500_000
+    clusters = ray.data.from_arrow(
+        [ctab.slice(o, step) for o in range(0, max(ctab.num_rows, 1), step)]
+    )
+
+    # drop set: the non-representatives' node hash pairs — already 128-bit
+    # identities, no re-hash of the id strings
+    drop_sel = ~new_run
+    if counters is not None:
+        counters["near_drops"] = int(drop_sel.sum())
+    dh1 = mt["_nh1"].to_numpy()[drop_sel]
+    dh2 = mt["_nh2"].to_numpy()[drop_sel]
+    dorder = np.lexsort((dh2, dh1))
+    drop_ref = ray.put((dh1[dorder], dh2[dorder]))
+
+    from .minhash import _id_hash_pair
+
+    def keep_filter(t: pa.Table) -> pa.Table:
+        drops = _fetch_cached(drop_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(object)
+        q1, q2 = _id_hash_pair(ids)
+        return t.filter(pa.array(~_id_member_mask_pre(drops, q1, q2)))
+
+    kept = (payload if payload is not None else pages).map_batches(
+        keep_filter, batch_format="pyarrow"
+    )
+    return kept, clusters
+
+
 def apply_cluster_labels(
     pages: ray.data.Dataset,
     labels: ray.data.Dataset,
@@ -109,6 +230,10 @@ def apply_cluster_labels(
     import pyarrow as pa
     import ray as _ray
 
+    if "node_h1" in labels.schema().names:
+        return _apply_labels_numeric(
+            pages, labels, id_col, order_cols, payload, counters, member_attrs
+        )
     order_cols = [c for c in order_cols]
     # clustered members only — the small side; stays Arrow (zero-copy local
     # refs), the driver never materializes label strings as Python objects
