@@ -315,10 +315,13 @@ def embedding_neardup_exact(
     (hyperplane-bucketed, tested recall) instead of pulling the matrix onto
     the driver.
     """
-    slim = vectors.select_columns([id_col, vec_col])
+    # materialize the slim projection ONCE: the gate's count, the broadcast
+    # assembly and the scoring pass all reuse these blocks — without it the
+    # upstream pipeline (often augmented / transformed) executes three times
+    slim = vectors.select_columns([id_col, vec_col]).materialize()
     if slim.count() > broadcast_budget:
         return embedding_neardup_lsh(
-            vectors, threshold=threshold, vec_col=vec_col, id_col=id_col
+            slim, threshold=threshold, vec_col=vec_col, id_col=id_col
         )
     df = slim.to_pandas()
     ids_all = df[id_col].to_numpy()
@@ -344,7 +347,7 @@ def embedding_neardup_exact(
             }
         )
 
-    return vectors.map_batches(score, batch_format="pyarrow", batch_size=2048)
+    return slim.map_batches(score, batch_format="pyarrow", batch_size=2048)
 
 
 def embedding_neardup_lsh(
