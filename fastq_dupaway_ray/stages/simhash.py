@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions.hashing import hamming64
@@ -112,8 +113,17 @@ def simhash_candidate_edges(
     max_bucket: int = 512,
     signer_concurrency=None,
     text_cols=None,
+    exchange: str = "tasks",
 ) -> ray.data.Dataset:
     """pages -> verified edges (a, b, hamming) with hamming <= distance.
+
+    ``exchange="tasks"`` (default) runs both wide steps — chunk-key
+    co-location and duplicate-edge dedup — as manual hash exchanges with an
+    Arrow-native per-bucket pass (see ``minhash._hash_exchange_tasks`` for
+    the measured rationale: the Dataset sort-groupby pays a flat multi-second
+    machinery cost per exchange regardless of CPU count). ``"groupby"`` keeps
+    the Dataset-native shuffle (multi-node-robustness fallback, identical
+    edge set up to duplicate-edge choice).
 
     ``text_cols`` with several entries selects paired both-mates semantics
     (reference EP3 with tail-hamming, /root/reference/src/comparator.cpp:84-91):
@@ -152,9 +162,108 @@ def simhash_candidate_edges(
         batch_format="pyarrow",
     )
 
-    from .minhash import _default_shuffle_buckets
+    from .minhash import _default_shuffle_buckets, _hash_exchange_tasks, _star_edge_indices
 
     B = _default_shuffle_buckets()
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    # edge-dedup exchange width: same sizing rationale as dedup_edges_minhash
+    EB = max(8, min(ncpu * 2, 32))
+
+    def per_bucket_arrow(t: pa.Table | None) -> pa.Table:
+        """One coarse shuffle bucket, Arrow/numpy end to end: sort by
+        (chunk_key, order), dedup (chunk_key, id) via dictionary codes (no
+        Python string objects), star+chain pair indices shared with the LSH
+        pass, dense all-pairs for 3..64-member groups, exact hamming filter.
+        Emits ``_ebucket`` so the duplicate-edge exchange routes directly."""
+        ecols = {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "hamming": pa.array([], pa.int64()),
+            "_ebucket": pa.array([], pa.int64()),
+        }
+        empty = pa.table(ecols)
+        if t is None or t.num_rows == 0:
+            return empty
+        for i, f in enumerate(t.schema):
+            if pa.types.is_dictionary(f.type):
+                t = t.set_column(i, f.name, pc.cast(t.column(i), f.type.value_type))
+        sort_keys = [("chunk_key", "ascending")] + [(c, "ascending") for c in order_cols]
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        ck = t["chunk_key"].to_numpy()
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        # drop duplicate (chunk_key, id) keeping the order-first row: compare
+        # integer dictionary codes, not strings (vectorized C++ encode once)
+        codes = pc.dictionary_encode(ids).indices.to_numpy().astype(np.int64, copy=False)
+        order2 = np.lexsort((codes, ck))  # stable: ties keep order-sorted rank
+        ck2, cd2 = ck[order2], codes[order2]
+        dup2 = np.zeros(len(ck), dtype=bool)
+        dup2[1:] = (ck2[1:] == ck2[:-1]) & (cd2[1:] == cd2[:-1])
+        if dup2.any():
+            sel = np.ones(len(ck), dtype=bool)
+            sel[order2[dup2]] = False
+            keep_idx = np.nonzero(sel)[0]
+            t = t.take(pa.array(keep_idx, pa.int64()))
+            ck = ck[keep_idx]
+            ids = t[id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+        sig_mat = [
+            np.asarray(t[c].to_numpy(zero_copy_only=False), dtype=np.uint64)
+            for c in sig_cols
+        ]
+
+        def ham_all(ia, ib):
+            d = hamming64(sig_mat[0][ia], sig_mat[0][ib])
+            for s_ in sig_mat[1:]:
+                d = np.maximum(d, hamming64(s_[ia], s_[ib]))
+            return d
+
+        ai, bi = _star_edge_indices(ck, max_bucket)
+        dai, dbi = _dense_pair_indices(ck)
+        ai = np.concatenate([ai, dai])
+        bi = np.concatenate([bi, dbi])
+        if len(ai) == 0:
+            return empty
+        d = ham_all(ai, bi)
+        keep = d <= distance
+        if not keep.any():
+            return empty
+        ai, bi, d = ai[keep], bi[keep], d[keep]
+        a = ids.take(pa.array(ai, pa.int64()))
+        b = ids.take(pa.array(bi, pa.int64()))
+        from ..functions.hashing import hash64
+
+        av = a.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": a,
+                "b": b,
+                "hamming": pa.array(d.astype(np.int64), pa.int64()),
+                "_ebucket": pa.array(
+                    (hash64(av) % np.uint64(EB)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def _dedup_bucket(t: pa.Table | None) -> pa.Table:
+        cols = {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "hamming": pa.array([], pa.int64()),
+        }
+        if t is None or t.num_rows == 0:
+            return pa.table(cols)
+        # hamming is deterministic per (a, b), so distinct on all three
+        # equals drop_duplicates on (a, b) — Arrow C++, no Python objects
+        return (
+            t.select(["a", "b", "hamming"]).group_by(["a", "b", "hamming"]).aggregate([])
+        )
+
+    if exchange == "tasks":
+        edges = _hash_exchange_tasks(chunk_rows, "chunk_key", B, per_bucket_arrow)
+        return _hash_exchange_tasks(edges, "_ebucket", EB, _dedup_bucket)
 
     def bucketize(t: pa.Table) -> pa.Table:
         bkt = (t["chunk_key"].to_numpy() % np.uint64(B)).astype(np.int64)
@@ -260,6 +369,32 @@ def simhash_candidate_edges(
         .map_groups(per_bucket, batch_format="pandas")
     )
     return dedup_edge_list(edges)
+
+
+def _dense_pair_indices(ck: np.ndarray, lo: int = 3, hi: int = 64):
+    """All-pairs (ai, bi) index arrays for runs of a SORTED key array whose
+    length is in [lo, hi] — the dense verify pass that catches member-member
+    pairs the star head misses. Vectorized by distinct run size: same-size
+    runs share one triu template offset by each run's start."""
+    n = len(ck)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = ck[1:] != ck[:-1]
+    starts = np.nonzero(new_run)[0]
+    sizes = np.diff(np.append(starts, n))
+    sel = (sizes >= lo) & (sizes <= hi)
+    if not sel.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    gs, ss = starts[sel], sizes[sel]
+    ai_parts, bi_parts = [], []
+    for s in np.unique(ss):
+        tpl_a, tpl_b = np.triu_indices(int(s), k=1)
+        g = gs[ss == s]
+        ai_parts.append((g[:, None] + tpl_a[None, :]).ravel())
+        bi_parts.append((g[:, None] + tpl_b[None, :]).ravel())
+    return np.concatenate(ai_parts), np.concatenate(bi_parts)
 
 
 def dedup_edge_list(edges: ray.data.Dataset, num_buckets: int = 32) -> ray.data.Dataset:
