@@ -149,6 +149,7 @@ def containment_edges(
     max_bucket: int = 512,
     num_shuffle_buckets: int | None = None,
     signer_concurrency=None,  # kept for API compat; emitters are elastic tasks
+    exchange: str = "tasks",
 ) -> ray.data.Dataset:
     """pages -> containment edges (a=container, b=contained).
 
@@ -157,8 +158,13 @@ def containment_edges(
     the bottom-k approximate scale path. Anchor groups above ``max_bucket``
     are truncated to the longest members (containers survive; deeply-nested
     short members may be missed — the documented hot-anchor knob).
+
+    ``exchange="tasks"`` (default) co-locates buckets with the manual hash
+    exchange and fuses the duplicate-edge dedup onto an ``_ebucket`` key
+    (same rationale + measurements as ``minhash._hash_exchange_tasks``);
+    ``"groupby"`` keeps the Dataset-native shuffles.
     """
-    from .minhash import _default_shuffle_buckets
+    from .minhash import _default_shuffle_buckets, _hash_exchange_tasks
     from .simhash import dedup_edge_list
 
     B = num_shuffle_buckets or _default_shuffle_buckets()
@@ -228,5 +234,49 @@ def containment_edges(
                 prev_len = lens[i]
         return pd.DataFrame({"a": edges_a, "b": edges_b})
 
-    edges = rows.groupby("_bkt").map_groups(per_bucket, batch_format="pandas")
-    return dedup_edge_list(edges)
+    if exchange != "tasks":
+        edges = rows.groupby("_bkt").map_groups(per_bucket, batch_format="pandas")
+        return dedup_edge_list(edges)
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    EB = max(8, min(ncpu * 2, 32))
+
+    def per_bucket_table(t: pa.Table | None) -> pa.Table:
+        # id dtype follows the input (string urls, int doc_ids, ...): an
+        # all-empty reduce still sees a zero-row slice of a real block, so
+        # the schema is always available except for a fully-empty dataset
+        idt = t.schema.field(id_col).type if t is not None else pa.string()
+        empty = pa.table(
+            {
+                "a": pa.array([], idt),
+                "b": pa.array([], idt),
+                "_ebucket": pa.array([], pa.int64()),
+            }
+        )
+        if t is None or t.num_rows == 0:
+            return empty
+        # the verify itself is inherently string work (substring search over
+        # concatenated haystacks) — the pandas pass stays; only the shuffle
+        # machinery around it changes
+        df = per_bucket(t.to_pandas())
+        if len(df) == 0:
+            return empty
+        from ..functions.hashing import hash64
+
+        eb = (hash64(df["a"].to_numpy(dtype=object)) % np.uint64(EB)).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(df["a"].tolist(), type=idt),
+                "b": pa.array(df["b"].tolist(), type=idt),
+                "_ebucket": pa.array(eb, pa.int64()),
+            }
+        )
+
+    def _dedup_bucket(t: pa.Table | None) -> pa.Table:
+        if t is None or t.num_rows == 0:
+            idt = t.schema.field("a").type if t is not None else pa.string()
+            return pa.table({"a": pa.array([], idt), "b": pa.array([], idt)})
+        return t.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+
+    edges = _hash_exchange_tasks(rows, "_bkt", B, per_bucket_table)
+    return _hash_exchange_tasks(edges, "_ebucket", EB, _dedup_bucket)
