@@ -113,6 +113,7 @@ def dedup_exact(
     drop_broadcast_budget: int = 5_000_000,
     paranoid: bool = False,
     counters: dict | None = None,
+    exchange: str = "tasks",
 ) -> ray.data.Dataset:
     """Distributed exact keep-first dedup; returns the kept rows (lazy).
 
@@ -142,7 +143,10 @@ def dedup_exact(
         cols = {c: batch[c] for c in order_cols}
         cols["_k1"] = pa.array(k1, pa.uint64())
         cols["_k2"] = pa.array(k2, pa.uint64())
-        cols["_bucket"] = pa.array((k1 % np.uint64(num_buckets)).astype(np.int64), pa.int64())
+        if exchange != "tasks":  # the task exchange routes on _k1 directly
+            cols["_bucket"] = pa.array(
+                (k1 % np.uint64(num_buckets)).astype(np.int64), pa.int64()
+            )
         return pa.table(cols)
 
     # NOTE: no within-batch combiner here. A combiner that removes local
@@ -159,12 +163,31 @@ def dedup_exact(
         lose = df.duplicated(subset=["_k1", "_k2"], keep="first")
         return df.loc[lose, order_cols]
 
-    drops = (
-        ds.map_batches(slim, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(bucket_drops, batch_format="pandas")
-        .materialize()
-    )
+    slim_rows = ds.map_batches(slim, batch_format="pyarrow")
+    if exchange == "tasks":
+        from .minhash import _hash_exchange_tasks
+
+        def bucket_drops_tab(t: pa.Table | None) -> pa.Table:
+            # zero-row reduces still carry the real schema (slice of a block)
+            if t is None:
+                return pa.table({c: pa.array([], pa.string()) for c in order_cols})
+            proj = t.select(order_cols)
+            if t.num_rows == 0:
+                return proj
+            df = t.select([*order_cols, "_k1", "_k2"]).to_pandas()
+            df = df.sort_values(order_cols, kind="mergesort")
+            lose = df.duplicated(subset=["_k1", "_k2"], keep="first")
+            return pa.Table.from_pandas(
+                df.loc[lose, order_cols], preserve_index=False, schema=proj.schema
+            )
+
+        drops = _hash_exchange_tasks(slim_rows, "_k1", num_buckets, bucket_drops_tab)
+    else:
+        drops = (
+            slim_rows.groupby("_bucket")
+            .map_groups(bucket_drops, batch_format="pandas")
+            .materialize()
+        )
     n_drops = drops.count()
     if n_drops > drop_broadcast_budget:
         return _dedup_exact_shuffle(ds, key_cols, order_cols, num_buckets)
