@@ -60,16 +60,17 @@ def _first_per_key(
         return _first_per_key_shuffle(ds, key, [], num_buckets)
     slim_cols = [key, *ocols]
 
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[slim_cols].copy()
-        out["_jbucket"] = pd.util.hash_array(out[key].to_numpy(dtype=object)) % num_buckets
-        return out
+    from ..functions.hashing import hash64
+    from .minhash import _hash_exchange_tasks
+
+    def slim_map(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in slim_cols}
+        cols["_jkey"] = pa.array(
+            hash64(t[key].to_numpy(zero_copy_only=False)), pa.uint64()
+        )
+        return pa.table(cols)
 
     def losers(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0 or key not in df.columns:
-            return pd.DataFrame(
-                {**{c: [] for c in slim_cols}, "_ambig": pd.Series([], dtype=bool)}
-            )
         df = df.sort_values(ocols, kind="mergesort")
         lose = df.duplicated(subset=[key], keep="first")
         out = df.loc[lose, slim_cols].copy()
@@ -82,11 +83,23 @@ def _first_per_key(
         out["_ambig"] = lidx.isin(widx)
         return out
 
-    drops = (
-        ds.map_batches(bucketize, batch_format="pandas")
-        .groupby("_jbucket")
-        .map_groups(losers, batch_format="pandas")
-        .materialize()
+    def losers_tab(t: pa.Table | None) -> pa.Table:
+        if t is None or t.num_rows == 0:
+            proj = (
+                t.select(slim_cols)
+                if t is not None
+                else pa.table({c: pa.array([], pa.string()) for c in slim_cols})
+            )
+            return proj.append_column("_ambig", pa.array([], pa.bool_()))
+        out = losers(t.select(slim_cols).to_pandas())
+        return pa.Table.from_pandas(
+            out,
+            preserve_index=False,
+            schema=t.select(slim_cols).schema.append(pa.field("_ambig", pa.bool_())),
+        )
+
+    drops = _hash_exchange_tasks(
+        ds.map_batches(slim_map, batch_format="pyarrow"), "_jkey", num_buckets, losers_tab
     )
     n_drops = drops.count()
     if n_drops == 0:
@@ -118,30 +131,30 @@ def _first_per_key(
 
 
 def _first_per_key_shuffle(ds: ray.data.Dataset, key: str, ocols, num_buckets: int) -> ray.data.Dataset:
-    """Payload-shuffle fallback (schema-preserving empty guard included)."""
-    schema = ds.schema()
-    try:
-        arrow_schema = pa.schema([pa.field(n, t) for n, t in zip(schema.names, schema.types)])
-        empty_df = arrow_schema.empty_table().to_pandas()
-    except Exception:
-        empty_df = None
+    """Payload-shuffle fallback, routed through the task exchange (zero-row
+    reduce slices keep the real schema, so no empty-block guard is needed)."""
+    from ..functions.hashing import hash64
+    from .minhash import _hash_exchange_tasks
 
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_jbucket"] = pd.util.hash_array(df[key].to_numpy(dtype=object)) % num_buckets
-        return df
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_jkey", pa.array(hash64(t[key].to_numpy(zero_copy_only=False)), pa.uint64())
+        )
 
-    def first(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0 or key not in df.columns:
-            return empty_df if empty_df is not None else df
+    def first_tab(t: pa.Table | None) -> pa.Table:
+        if t is None:
+            return pa.table({})
+        out_schema = t.drop_columns(["_jkey"]).schema
+        if t.num_rows == 0:
+            return t.drop_columns(["_jkey"])
+        df = t.to_pandas()
         if ocols:
             df = df.sort_values(ocols, kind="mergesort")
-        return df.drop_duplicates(subset=[key], keep="first").drop(columns=["_jbucket"])
+        df = df.drop_duplicates(subset=[key], keep="first").drop(columns=["_jkey"])
+        return pa.Table.from_pandas(df, preserve_index=False, schema=out_schema)
 
-    return (
-        ds.map_batches(bucketize, batch_format="pandas")
-        .groupby("_jbucket")
-        .map_groups(first, batch_format="pandas")
+    return _hash_exchange_tasks(
+        ds.map_batches(bucketize, batch_format="pyarrow"), "_jkey", num_buckets, first_tab
     )
 
 

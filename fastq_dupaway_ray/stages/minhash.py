@@ -330,6 +330,18 @@ def _star_edge_indices(bk: np.ndarray, max_bucket: int):
     return ai, bi
 
 
+def _as_arrow_block(b):
+    """Datasets whose lineage ran a pandas map_batches materialize pandas
+    blocks; the exchange is Arrow-native, so lift those on entry."""
+    if isinstance(b, pa.Table):
+        return b
+    import pandas as pd
+
+    if isinstance(b, pd.DataFrame):
+        return pa.Table.from_pandas(b, preserve_index=False)
+    return pa.table(b)
+
+
 @ray.remote
 def _exchange_map(key: str, B: int, *blocks):
     """Split a GROUP of blocks into B bucket slices (one concat + stable
@@ -338,9 +350,12 @@ def _exchange_map(key: str, B: int, *blocks):
     ~(2 x CPUs) x B objects — one slice object per (input block, bucket)
     was measured as the dominant exchange overhead at high CPU counts
     (500 blocks x 128 buckets = 64k tiny refs for the reducers to fetch)."""
+    blocks = [_as_arrow_block(b) for b in blocks]
     parts = [b for b in blocks if b.num_rows]
     if not parts:
-        empty = blocks[0].slice(0, 0)
+        # pandas-lineage datasets can hold schema-less empty blocks — slice
+        # the richest schema so downstream column selects keep working
+        empty = max(blocks, key=lambda b: b.num_columns).slice(0, 0)
         return [empty] * B if B > 1 else empty
     block = parts[0] if len(parts) == 1 else pa.concat_tables(parts).combine_chunks()
     vals = block[key].to_numpy().astype(np.uint64, copy=False)
@@ -355,9 +370,12 @@ def _exchange_map(key: str, B: int, *blocks):
 @ray.remote
 def _exchange_reduce(fn, *shards):
     """Concat one bucket's slices from every map task and run the group fn."""
+    shards = [_as_arrow_block(s) for s in shards]
     parts = [s for s in shards if s.num_rows]
     if not parts:
-        return fn(shards[0].slice(0, 0)) if shards else None
+        if not shards:
+            return None
+        return fn(max(shards, key=lambda s: s.num_columns).slice(0, 0))
     return fn(pa.concat_tables(parts).combine_chunks())
 
 
@@ -374,7 +392,17 @@ def _hash_exchange_tasks(ds: ray.data.Dataset, key: str, B: int, fn) -> ray.data
     only their column of the slice matrix — on multi-node, Ray fetches those
     slices over the network exactly like shuffle blocks).
     """
-    refs = ds.materialize().to_arrow_refs()
+    # zero-row blocks are dropped by METADATA before the exchange: a lazy map
+    # over an empty block yields no batches, so its output block is not just
+    # empty but SCHEMA-LESS (zero columns) — concat/select inside the
+    # exchange would blow up on it, and shipping it is pure overhead anyway
+    mat = ds.materialize()
+    refs = [
+        ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows is None or meta.num_rows > 0
+    ]
     if not refs:
         return ray.data.from_arrow(fn(None))
     if B <= 1:
