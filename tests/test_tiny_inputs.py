@@ -117,3 +117,33 @@ def test_tiny_paired_modes(ray_session):
             ),
         )
         assert out.metrics["kept"] == 2, mode  # c differs on mate 2
+
+
+def test_exchange_skips_schema_less_empty_blocks(ray_session):
+    """A lazy map over an empty block yields no batches, so its output block
+    is SCHEMA-LESS (zero columns). The task exchange must drop such blocks by
+    metadata — concat/select on them crashed the paired CLI on disjoint
+    inputs (empty inner join upstream of dedup_exact)."""
+    import pyarrow as pa
+
+    from fastq_dupaway_ray.stages.minhash import _hash_exchange_tasks
+
+    def empty_out(df: pd.DataFrame) -> pd.DataFrame:
+        return df.iloc[0:0]
+
+    base = rd.from_pandas(pd.DataFrame({"k": np.arange(8, dtype=np.uint64)}))
+    emptied = base.map_batches(empty_out, batch_format="pandas").map_batches(
+        lambda t: t, batch_format="pyarrow"
+    )
+
+    def per_bucket(t):
+        if t is None:
+            return pa.table({"k": pa.array([], pa.uint64())})
+        return t
+
+    out = _hash_exchange_tasks(emptied, "k", 4, per_bucket)
+    assert out.count() == 0
+    # mixed: one real block + schema-less empties still routes every row
+    mixed = base.union(emptied)
+    out2 = _hash_exchange_tasks(mixed, "k", 4, per_bucket)
+    assert sorted(out2.to_pandas()["k"]) == list(range(8))
