@@ -21,6 +21,14 @@ Optionally checkpointed per stage under a root dir (state.checkpoint):
 re-running with the same inputs resumes after the last complete slim stage
 (drops / edges / labels) and replays only the streaming filter passes, which
 read from the durable input anyway.
+
+Id contract: the EXACT stage is row-exact under any input — recrawled urls
+(same url, same text, later warc_ts) lose keep-first without sweeping their
+winner row, and full (url, warc_ts, text) ties route to a value-comparing
+fallback. The NEAR-DUP stages treat ``url`` as the document identity (the
+input_hint's key): rows that still share a url after exact dedup (same url,
+different text) are conflated into one logical document — they are kept or
+dropped together by the near-dup filter.
 """
 
 from __future__ import annotations
@@ -48,32 +56,82 @@ from ..state.checkpoint import (
 SLIM_COLS = ["url", "warc_ts", "text"]
 
 
-def _drop_filter_fn(drops_ds):
-    """Broadcast drop-id filter: sorted 128-bit id-hash membership, applied
-    as a streaming Arrow pass (the payload is filtered, never shuffled)."""
+@ray.remote
+def _any_true(t, col: str = "_ambig"):
+    """(bool,) — whether any value of ``col`` in the block is true.
+
+    Column by NAME on purpose: ``select_columns(...).to_arrow_refs()`` can
+    hand back the underlying materialized blocks without applying the
+    projection, so positional access would read the wrong column."""
+    import pyarrow.compute as pc
+
+    if t.num_rows == 0 or col not in t.column_names:
+        return (False,)
+    return (bool(pc.any(t[col]).as_py() or False),)
+
+
+def _drop_filter_fn(drops_ds, key_cols=("text",), row_cols=("url", "warc_ts")):
+    """Broadcast drop-row filter: two-stage sorted 128-bit hash membership,
+    applied as a streaming Arrow pass (the payload is filtered, never
+    shuffled).
+
+    Stage 1 probes the (url, warc_ts) ROW key — cheap, runs on every row.
+    Stage 2 recomputes the CONTENT identity only for stage-1 hits (~n_drops
+    rows corpus-wide) and confirms it against the drop entry's content key:
+    a recrawled url whose winner row shares the url must not be swept out by
+    a bare id-membership test (each drop entry names exactly one losing row;
+    full winner ties never reach this filter — the caller falls back)."""
     import numpy as np
     import pyarrow as pa
 
-    from ..stages.minhash import (
-        _fetch_cached,
-        _id_hash_pair,
-        _id_hash_pair_arrow,
-        _id_member_mask_pre,
-    )
+    from ..stages.dedup_exact import _identity128
+    from ..stages.minhash import _fetch_cached, _id_member_mask_pre
 
-    tabs = [t for t in ray.get(drops_ds.to_arrow_refs()) if t.num_rows]
-    if not tabs:
+    row_cols = list(row_cols)
+    key_cols = list(key_cols)
+
+    @ray.remote
+    def _block_keys(t: pa.Table):
+        u1, u2 = _identity128(t, row_cols)
+        return u1, u2, t["_k1"].to_numpy(), t["_k2"].to_numpy()
+
+    parts = [
+        p
+        for p in ray.get(
+            [_block_keys.remote(r) for r in drops_ds.to_arrow_refs()]
+        )
+        if len(p[0])
+    ]
+    if not parts:
         return None
-    arr = pa.concat_tables(tabs)["url"]
-    dh1, dh2 = _id_hash_pair_arrow(arr)
-    order = np.argsort(dh1, kind="stable")
-    ref = ray.put((dh1[order], dh2[order]))
+    u1 = np.concatenate([p[0] for p in parts])
+    u2 = np.concatenate([p[1] for p in parts])
+    k1 = np.concatenate([p[2] for p in parts])
+    k2 = np.concatenate([p[3] for p in parts])
+    from ..functions.hashing import combine_hash64
+
+    order = np.argsort(u1, kind="stable")
+    # stage-2 key: row key and content key folded into one sorted 128-bit
+    # pair — membership via the same searchsorted kernel as stage 1
+    m1 = combine_hash64(u1, k1)
+    m2 = combine_hash64(u2, k2)
+    morder = np.argsort(m1, kind="stable")
+    ref = ray.put((u1[order], u2[order], m1[morder], m2[morder]))
 
     def drop_filter(t: pa.Table) -> pa.Table:
-        index = _fetch_cached(ref)
-        ids = t["url"].to_numpy(zero_copy_only=False).astype(object)
-        q1, q2 = _id_hash_pair(ids)
-        mask = _id_member_mask_pre(index, q1, q2)
+        iu1, iu2, im1, im2 = _fetch_cached(ref)
+        q1, q2 = _identity128(t, row_cols)
+        hit = _id_member_mask_pre((iu1, iu2), q1, q2)
+        if not hit.any():
+            return t
+        hidx = np.nonzero(hit)[0]
+        sub = t.take(pa.array(hidx, pa.int64()))
+        c1, c2 = _identity128(sub, key_cols)
+        conf = _id_member_mask_pre(
+            (im1, im2), combine_hash64(q1[hidx], c1), combine_hash64(q2[hidx], c2)
+        )
+        mask = np.zeros(t.num_rows, dtype=bool)
+        mask[hidx[conf]] = True
         return t.filter(pa.array(~mask))
 
     return drop_filter
@@ -110,11 +168,11 @@ def run_flagship(
     total = slim.count()  # parquet metadata count — no data read
     good_slim, _bad = split_quarantine(slim)
 
-    # ---- exact keep-first dedup (reference --fast), slim drop-id form ----
+    # ---- exact keep-first dedup (reference --fast), slim drop-row form ----
     # fold the input's content identity (file sizes + mtimes), not just its
     # path — re-running after the inputs change in place must NOT reuse the
     # stale checkpoint and everything chained from it
-    fp0 = fingerprint("exact-drops", pages_path, input_identity(pages_path))
+    fp0 = fingerprint("exact-drops-v2", pages_path, input_identity(pages_path))
     if ckpt_root and is_complete(os.path.join(ckpt_root, "exact"), fp0):
         man = read_manifest(ckpt_root, "exact")
         drops = ray.data.read_parquet(
@@ -132,13 +190,29 @@ def run_flagship(
                 drops, ckpt_root, "exact", fp0, extra={"n_valid": metrics["valid"]}
             )
     metrics["quarantined"] = total - metrics["valid"]
-    metrics["after_exact"] = metrics["valid"] - n_drops
-    drop_filter = _drop_filter_fn(drops)
-    exact_slim = (
-        good_slim.map_batches(drop_filter, batch_format="pyarrow")
-        if drop_filter is not None
-        else good_slim
+    ambig_any = n_drops > 0 and any(
+        r[0] for r in ray.get([_any_true.remote(ref) for ref in drops.to_arrow_refs()])
     )
+    if ambig_any:
+        # a losing row fully ties its keep-first winner (same url, warc_ts
+        # AND content) — no slim key can name the loser alone. Rare by
+        # construction (full row-key ties); fall back to the value-comparing
+        # shuffle dedup for the exact stage. The kept (url, warc_ts) set is
+        # deterministic (content groups and their order minima are data
+        # properties), so the slim and full chains stay aligned.
+        from ..stages.dedup_exact import dedup_exact as _dedup_exact
+
+        exact_slim = _dedup_exact(good_slim, paranoid=True).materialize()
+        n_drops = metrics["valid"] - exact_slim.count()
+        drop_filter = None
+    else:
+        drop_filter = _drop_filter_fn(drops)
+        exact_slim = (
+            good_slim.map_batches(drop_filter, batch_format="pyarrow")
+            if drop_filter is not None
+            else good_slim
+        )
+    metrics["after_exact"] = metrics["valid"] - n_drops
     _mark("exact_dedup")
 
     # ---- near-dup candidate edges (numeric spine) + verify ----
@@ -189,11 +263,16 @@ def run_flagship(
     # representative pick over the SLIM filtered projection; the keep-filter
     # applies to the lazy FULL-column chain (html decoded only when consumed)
     full_good, _ = split_quarantine(read_pages(pages_path))
-    exact_full = (
-        full_good.map_batches(drop_filter, batch_format="pyarrow")
-        if drop_filter is not None
-        else full_good
-    )
+    if ambig_any:
+        from ..stages.dedup_exact import dedup_exact as _dedup_exact
+
+        # same value-comparing dedup over the full columns; keeps the same
+        # (url, warc_ts) row set as the slim chain (see the fallback note)
+        exact_full = _dedup_exact(full_good, paranoid=True)
+    elif drop_filter is not None:
+        exact_full = full_good.map_batches(drop_filter, batch_format="pyarrow")
+    else:
+        exact_full = full_good
     rctr: dict = {}
     kept, clusters = _rep.apply_cluster_labels(
         exact_slim,

@@ -197,6 +197,13 @@ def connected_components(
     table — measured ~15 s at 3.75M string edges vs ~110 s for the BSP
     actors, whose string-keyed exchanges only win past tens of millions of
     edges); otherwise runs distributed min-label propagation.
+
+    The 20M default budget is validated for the NUMERIC (uint64-pair / int
+    id) limbs, where the driver holds fixed-width scalars. A STRING edge
+    list materializes two Python objects per edge on the driver — its local
+    limb is capped at 2M edges (the measured-safe round-2 budget) regardless
+    of the caller's budget, so oversized string graphs route to the BSP
+    actors.
     """
     schema = edges.schema()
     names = set(schema.names) if schema is not None else set()
@@ -209,7 +216,20 @@ def connected_components(
     if n_edges == 0:
         empty = pd.DataFrame({"node": pd.Series([], dtype=object), "label": pd.Series([], dtype=object)})
         return ray.data.from_pandas(empty)
-    if n_edges <= local_edge_budget:
+    local_budget = local_edge_budget
+    try:
+        import pyarrow as pa
+
+        str_edges = any(
+            pa.types.is_string(t) or pa.types.is_large_string(t)
+            for n, t in zip(schema.names, schema.types)
+            if n in ("a", "b")
+        )
+    except Exception:
+        str_edges = True  # unknown types: assume the expensive case
+    if str_edges:
+        local_budget = min(local_budget, 2_000_000)
+    if n_edges <= local_budget:
         df = edges.to_pandas()
         nodes, labels = _components_min_label_numpy(
             df["a"].to_numpy(), df["b"].to_numpy()

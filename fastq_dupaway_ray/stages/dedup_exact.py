@@ -155,13 +155,39 @@ def dedup_exact(
     # tests on corpora with same-batch duplicates). Every slim identity row
     # (~40 bytes) must reach the shuffle; the payload still never moves.
 
+    def _losers_frame(df: pd.DataFrame) -> pd.DataFrame:
+        """Losing rows as (order cols, _k1, _k2, _ambig).
+
+        The drop entries carry the CONTENT key pair so the broadcast filter
+        can distinguish a loser from an unrelated row that merely shares its
+        order tuple (same (warc_ts, url), different text — possible when
+        order_cols are not globally unique). ``_ambig`` marks a loser whose
+        FULL (content, order) tuple ties its group winner's — such rows are
+        indistinguishable by any slim key, so the caller must take the
+        payload-shuffle limb (which compares actual values and keeps exactly
+        one)."""
+        df = df.sort_values(order_cols, kind="mergesort")
+        lose = df.duplicated(subset=["_k1", "_k2"], keep="first")
+        keep_cols = [*order_cols, "_k1", "_k2"]
+        out = df.loc[lose, keep_cols].copy()
+        winners = df.loc[~lose, keep_cols]
+        widx = pd.MultiIndex.from_arrays([winners[c] for c in keep_cols])
+        lidx = pd.MultiIndex.from_arrays([out[c] for c in keep_cols])
+        out["_ambig"] = lidx.isin(widx)
+        return out
+
     def bucket_drops(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0 or "_k1" not in df.columns:
             # map_groups may deliver an empty schema-less frame on tiny inputs
-            return pd.DataFrame({c: [] for c in order_cols})
-        df = df.sort_values(order_cols, kind="mergesort")
-        lose = df.duplicated(subset=["_k1", "_k2"], keep="first")
-        return df.loc[lose, order_cols]
+            return pd.DataFrame(
+                {
+                    **{c: [] for c in order_cols},
+                    "_k1": pd.Series([], dtype=np.uint64),
+                    "_k2": pd.Series([], dtype=np.uint64),
+                    "_ambig": pd.Series([], dtype=bool),
+                }
+            )
+        return _losers_frame(df)
 
     slim_rows = ds.map_batches(slim, batch_format="pyarrow")
     if exchange == "tasks":
@@ -170,16 +196,21 @@ def dedup_exact(
         def bucket_drops_tab(t: pa.Table | None) -> pa.Table:
             # zero-row reduces still carry the real schema (slice of a block)
             if t is None:
-                return pa.table({c: pa.array([], pa.string()) for c in order_cols})
-            proj = t.select(order_cols)
-            if t.num_rows == 0:
-                return proj
-            df = t.select([*order_cols, "_k1", "_k2"]).to_pandas()
-            df = df.sort_values(order_cols, kind="mergesort")
-            lose = df.duplicated(subset=["_k1", "_k2"], keep="first")
-            return pa.Table.from_pandas(
-                df.loc[lose, order_cols], preserve_index=False, schema=proj.schema
+                return pa.table(
+                    {
+                        **{c: pa.array([], pa.string()) for c in order_cols},
+                        "_k1": pa.array([], pa.uint64()),
+                        "_k2": pa.array([], pa.uint64()),
+                        "_ambig": pa.array([], pa.bool_()),
+                    }
+                )
+            proj_schema = t.select([*order_cols, "_k1", "_k2"]).schema.append(
+                pa.field("_ambig", pa.bool_())
             )
+            if t.num_rows == 0:
+                return proj_schema.empty_table()
+            out = _losers_frame(t.select([*order_cols, "_k1", "_k2"]).to_pandas())
+            return pa.Table.from_pandas(out, preserve_index=False, schema=proj_schema)
 
         drops = _hash_exchange_tasks(slim_rows, "_k1", num_buckets, bucket_drops_tab)
     else:
@@ -191,32 +222,71 @@ def dedup_exact(
     n_drops = drops.count()
     if n_drops > drop_broadcast_budget:
         return _dedup_exact_shuffle(ds, key_cols, order_cols, num_buckets)
-    if counters is not None:
-        # exact duplicate count, known without consuming the filtered payload
-        # (callers use it to avoid a pure-count pass over the corpus)
-        counters["drops"] = n_drops
 
     from .minhash import _fetch_cached
 
     ddf = drops.to_pandas()
     if len(ddf) == 0:
+        if counters is not None:
+            counters["drops"] = 0
         return ds  # nothing to drop (an empty Dataset also loses its schema)
-    if len(order_cols) == 1:
-        drop_ref = ray.put(pa.array(ddf[order_cols[0]]))
+    if bool(ddf["_ambig"].any()):
+        # a loser fully ties its winner (same content AND same order tuple):
+        # no slim key can name the loser alone — compare actual values
+        return _dedup_exact_shuffle(ds, key_cols, order_cols, num_buckets)
+    if counters is not None:
+        # exact duplicate count, known without consuming the filtered payload
+        # (callers use it to avoid a pure-count pass over the corpus); exact
+        # because each drop entry names exactly one row — order-tuple
+        # look-alikes with different content fail the stage-2 key check, and
+        # full ties took the shuffle limb above
+        counters["drops"] = n_drops
+    drop_ref = ray.put(
+        pa.table(
+            {
+                **{c: pa.array(ddf[c]) for c in order_cols},
+                "_k1": pa.array(ddf["_k1"].to_numpy(), pa.uint64()),
+                "_k2": pa.array(ddf["_k2"].to_numpy(), pa.uint64()),
+            }
+        )
+    )
 
-        def keep_filter(df: pd.DataFrame) -> pd.DataFrame:
-            dset = _fetch_cached(drop_ref, lambda a: set(a.to_pylist()))
-            return df[~df[order_cols[0]].isin(dset)]
-
-    else:
-        drop_ref = ray.put(pa.table({c: pa.array(ddf[c]) for c in order_cols}))
-
-        def keep_filter(df: pd.DataFrame) -> pd.DataFrame:
-            dlist = _fetch_cached(
-                drop_ref, lambda t: list(zip(*(t[c].to_pylist() for c in order_cols)))
-            )
-            idx = pd.MultiIndex.from_arrays([df[c] for c in order_cols])
-            return df[~idx.isin(dlist)]
+    def keep_filter(df: pd.DataFrame) -> pd.DataFrame:
+        # two-stage membership: a cheap order-tuple hit pass over every row,
+        # then the content identity recomputed ONLY for the hits (~n_drops
+        # rows corpus-wide) and confirmed against the drop entry's key pair
+        tuples, full = _fetch_cached(
+            drop_ref,
+            lambda t: (
+                set(zip(*(t[c].to_pylist() for c in order_cols))),
+                set(
+                    zip(
+                        *(t[c].to_pylist() for c in order_cols),
+                        t["_k1"].to_numpy(),
+                        t["_k2"].to_numpy(),
+                    )
+                ),
+            ),
+        )
+        idx = pd.MultiIndex.from_arrays([df[c] for c in order_cols])
+        hit = idx.isin(tuples)
+        if not hit.any():
+            return df
+        sub = df.loc[hit]
+        k1, k2 = _identity128(
+            pa.Table.from_pandas(sub[list(key_cols)], preserve_index=False), key_cols
+        )
+        confirmed = np.fromiter(
+            (
+                tup in full
+                for tup in zip(*(sub[c] for c in order_cols), k1, k2)
+            ),
+            dtype=bool,
+            count=len(sub),
+        )
+        mask = np.zeros(len(df), dtype=bool)
+        mask[np.nonzero(hit)[0][confirmed]] = True
+        return df[~mask]
 
     return ds.map_batches(keep_filter, batch_format="pandas")
 
@@ -229,18 +299,21 @@ def exact_drop_ids(
     num_buckets: int | None = None,
     counters: dict | None = None,
 ) -> ray.data.Dataset:
-    """Slim exact keep-first dedup that returns only the DROPPED ids.
+    """Slim exact keep-first dedup that returns the DROPPED rows' identity.
 
     The fused-flagship building block: one pass over the (pruned) input
     computes the 128-bit content identity, a task hash-exchange co-locates
-    equal identities, and each bucket emits the ids that LOSE keep-first.
-    The payload never moves; the caller broadcasts the returned id set and
-    streams whatever filter passes it needs (the same drop-set shape
-    ``apply_cluster_labels`` uses for near-dups). ``counters`` receives
-    ``n_input`` (rows seen — the valid-count for free) when provided.
-
-    Requires ``id_col`` values to be unique per row (true for url-keyed web
-    corpora; the generic ``dedup_exact`` handles the no-unique-id case)."""
+    equal identities, and each bucket emits the rows that LOSE keep-first as
+    (id, order cols, _k1, _k2, _ambig). The payload never moves; the caller
+    broadcasts the drop set and streams whatever filter passes it needs.
+    The content key pair rides along so the filter can confirm a hit — an
+    id that repeats in the corpus (same url recrawled) must not have its
+    keep-first WINNER row dropped by a bare id-membership test. ``_ambig``
+    marks a loser whose full (content, id, order) tuple ties its group
+    winner's — no slim key can name that loser alone, and the caller must
+    fall back to a value-comparing dedup (``dedup_exact``'s shuffle limb).
+    ``counters`` receives ``n_input`` (rows seen — the valid-count for
+    free) when provided."""
     import pyarrow.compute as pc
 
     from .minhash import _default_shuffle_buckets, _hash_exchange_tasks
@@ -262,8 +335,19 @@ def exact_drop_ids(
         counters["n_input"] = slimtab.count()
 
     def bucket_drops(t: pa.Table | None) -> pa.Table:
-        if t is None or t.num_rows == 0:
-            return pa.table({id_col: pa.array([], pa.string())})
+        if t is not None and t.num_rows == 0:
+            # zero-row slice of a real block: keep ITS column types — a
+            # fabricated all-string empty block would give the drops dataset
+            # mixed schemas (string vs timestamp order cols)
+            return t.select([*slim_cols, "_k1", "_k2"]).append_column(
+                "_ambig", pa.array([], pa.bool_())
+            )
+        if t is None:
+            empty_cols = {c: pa.array([], pa.string()) for c in slim_cols}
+            empty_cols["_k1"] = pa.array([], pa.uint64())
+            empty_cols["_k2"] = pa.array([], pa.uint64())
+            empty_cols["_ambig"] = pa.array([], pa.bool_())
+            return pa.table(empty_cols)
         sort_keys = [("_k1", "ascending"), ("_k2", "ascending")] + [
             (c, "ascending") for c in order_cols
         ]
@@ -273,7 +357,20 @@ def exact_drop_ids(
         lose = np.empty(len(k1), dtype=bool)
         lose[0] = False
         lose[1:] = (k1[1:] == k1[:-1]) & (k2[1:] == k2[:-1])
-        return t.select([id_col]).filter(pa.array(lose))
+        # ambiguous: a loser whose (id, order) tuple ties its run's WINNER —
+        # with the run sorted ascending by order cols, the winner holds the
+        # smallest tuple, so any such tie sits immediately after the winner.
+        # A loser tying another LOSER is fine: the tuple then names only
+        # losing rows and membership-dropping all of them is exact.
+        same_tuple = np.ones(len(k1), dtype=bool)
+        for c in dict.fromkeys([id_col, *order_cols]):
+            v = t[c].to_numpy(zero_copy_only=False)
+            same_tuple[1:] &= v[1:] == v[:-1]
+            same_tuple[0] = False
+        prev_lose = np.concatenate([[False], lose[:-1]])
+        ambig = lose & same_tuple & ~prev_lose
+        out = t.select([*slim_cols, "_k1", "_k2"]).filter(pa.array(lose))
+        return out.append_column("_ambig", pa.array(ambig[lose], pa.bool_()))
 
     return _hash_exchange_tasks(slimtab, "_k1", B, bucket_drops)
 

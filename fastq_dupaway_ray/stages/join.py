@@ -132,9 +132,18 @@ def _first_per_key(
 
 def _first_per_key_shuffle(ds: ray.data.Dataset, key: str, ocols, num_buckets: int) -> ray.data.Dataset:
     """Payload-shuffle fallback, routed through the task exchange (zero-row
-    reduce slices keep the real schema, so no empty-block guard is needed)."""
+    reduce slices keep the real schema; a FULLY empty input falls back to the
+    dataset's own schema so downstream hash joins still see the key column)."""
     from ..functions.hashing import hash64
     from .minhash import _hash_exchange_tasks
+
+    try:
+        schema = ds.schema()
+        empty_all = pa.schema(
+            [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
+        ).empty_table()
+    except Exception:
+        empty_all = pa.table({})
 
     def bucketize(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -143,7 +152,7 @@ def _first_per_key_shuffle(ds: ray.data.Dataset, key: str, ocols, num_buckets: i
 
     def first_tab(t: pa.Table | None) -> pa.Table:
         if t is None:
-            return pa.table({})
+            return empty_all
         out_schema = t.drop_columns(["_jkey"]).schema
         if t.num_rows == 0:
             return t.drop_columns(["_jkey"])

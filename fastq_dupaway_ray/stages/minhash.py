@@ -473,12 +473,12 @@ def _hash_pair_shard(arr: pa.Array):
     return _id_hash_pair(arr.to_numpy(zero_copy_only=False).astype(object))
 
 
-@ray.remote
-def _edge_endpoint_pairs(block: pa.Table):
-    """Unique (h1, h2) endpoint pairs from a NUMERIC edge block — the
-    endpoints already are id-hash pairs, so this is a pure uint64 unique."""
-    q1 = np.concatenate([block["ah1"].to_numpy(), block["bh1"].to_numpy()])
-    q2 = np.concatenate([block["ah2"].to_numpy(), block["bh2"].to_numpy()])
+def _unique_pairs(q1: np.ndarray, q2: np.ndarray):
+    """SORTED-unique (h1, h2) pairs — lexsort by (h1, h2) then keep-first.
+
+    The sort order (h1 major, h2 minor) is the contract
+    ``_id_member_mask_pre`` searchsorts against; every endpoint-set merge in
+    this module goes through here so a change to the order happens once."""
     o = np.lexsort((q2, q1))
     q1, q2 = q1[o], q2[o]
     if len(q1):
@@ -487,6 +487,15 @@ def _edge_endpoint_pairs(block: pa.Table):
         keep[1:] = (q1[1:] != q1[:-1]) | (q2[1:] != q2[:-1])
         q1, q2 = q1[keep], q2[keep]
     return q1, q2
+
+
+@ray.remote
+def _edge_endpoint_pairs(block: pa.Table):
+    """Unique (h1, h2) endpoint pairs from a NUMERIC edge block — the
+    endpoints already are id-hash pairs, so this is a pure uint64 unique."""
+    q1 = np.concatenate([block["ah1"].to_numpy(), block["bh1"].to_numpy()])
+    q2 = np.concatenate([block["ah2"].to_numpy(), block["bh2"].to_numpy()])
+    return _unique_pairs(q1, q2)
 
 
 @ray.remote
@@ -498,14 +507,7 @@ def _edge_endpoint_hashes(block: pa.Table):
         arrs.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
     arr = pa.concat_arrays(arrs)
     q1, q2 = _id_hash_pair(arr.to_numpy(zero_copy_only=False).astype(object))
-    o = np.lexsort((q2, q1))
-    q1, q2 = q1[o], q2[o]
-    if len(q1):
-        keep = np.empty(len(q1), dtype=bool)
-        keep[0] = True
-        keep[1:] = (q1[1:] != q1[:-1]) | (q2[1:] != q2[:-1])
-        q1, q2 = q1[keep], q2[keep]
-    return q1, q2
+    return _unique_pairs(q1, q2)
 
 
 def _id_hash_pair_arrow(arr, chunk: int = 262_144):
@@ -981,15 +983,10 @@ def build_endpoint_index(
     from ..functions.hashing import hash64
 
     ep_parts = ray.get([_edge_endpoint_pairs.remote(r) for r in edges.to_arrow_refs()])
-    eh1 = np.concatenate([p[0] for p in ep_parts] or [np.empty(0, np.uint64)])
-    eh2 = np.concatenate([p[1] for p in ep_parts] or [np.empty(0, np.uint64)])
-    eo = np.lexsort((eh2, eh1))
-    eh1, eh2 = eh1[eo], eh2[eo]
-    if len(eh1):
-        keep = np.empty(len(eh1), dtype=bool)
-        keep[0] = True
-        keep[1:] = (eh1[1:] != eh1[:-1]) | (eh2[1:] != eh2[:-1])
-        eh1, eh2 = eh1[keep], eh2[keep]
+    eh1, eh2 = _unique_pairs(
+        np.concatenate([p[0] for p in ep_parts] or [np.empty(0, np.uint64)]),
+        np.concatenate([p[1] for p in ep_parts] or [np.empty(0, np.uint64)]),
+    )
     ep_ref = ray.put((eh1, eh2))
 
     # columns the pick pass carries into the index: id + text always, plus
@@ -1173,46 +1170,30 @@ def verify_edges_jaccard(
         ep_parts = ray.get(
             [ep_remote.remote(r) for r in edges.to_arrow_refs()]
         )
-        eh1 = np.concatenate([p[0] for p in ep_parts] or [np.empty(0, np.uint64)])
-        eh2 = np.concatenate([p[1] for p in ep_parts] or [np.empty(0, np.uint64)])
-        eo = np.lexsort((eh2, eh1))
-        eh1, eh2 = eh1[eo], eh2[eo]
-        if len(eh1):
-            keep = np.empty(len(eh1), dtype=bool)
-            keep[0] = True
-            keep[1:] = (eh1[1:] != eh1[:-1]) | (eh2[1:] != eh2[:-1])
-            eh1, eh2 = eh1[keep], eh2[keep]
+        eh1, eh2 = _unique_pairs(
+            np.concatenate([p[0] for p in ep_parts] or [np.empty(0, np.uint64)]),
+            np.concatenate([p[1] for p in ep_parts] or [np.empty(0, np.uint64)]),
+        )
         ep_ref = ray.put((eh1, eh2))
 
-        # columns the pick pass carries into the index: id + text always,
-        # plus any attr columns present in the pages schema (order cols for
-        # the label-attach fast path — 8 B each, negligible next to text)
-        page_cols = set(pages.schema().names)
-        attrs_present = [
-            c for c in attr_cols if c in page_cols and c not in (id_col, text_col)
-        ]
-        pick_cols = [id_col, text_col, *attrs_present]
+        # the string-limb index carries only id + text: its scorer
+        # (_verify_score_batch) resolves byte-identical pairs from text
+        # hashes it computes per batch, so precomputing _th1/_th2 or attr
+        # columns here would be work the assemble step immediately discards
+        # (the NUMERIC limb's richer index is built in build_endpoint_index)
+        pick_cols = [id_col, text_col]
 
         def pick(t: pa.Table) -> pa.Table:
             # emit the id hashes computed for the membership test — the
             # assemble tasks below build the READY lookup index from them, so
-            # scorer workers never hash/convert the endpoint ids themselves.
-            # The TEXT content-hash pair (_th1, _th2) is also computed here,
-            # in the parallel corpus scan: scorers resolve byte-identical
-            # pairs from these 16 bytes without touching the text itself.
-            from ..functions.hashing import hash64
-
+            # scorer workers never hash/convert the endpoint ids themselves
             eps = _fetch_cached(ep_ref)
             ids = t[id_col].to_numpy(zero_copy_only=False).astype(object)
             q1, q2 = _id_hash_pair(ids)
             mask = _id_member_mask_pre(eps, q1, q2)
             out = t.select(pick_cols).filter(pa.array(mask))
-            texts = out[text_col].to_numpy(zero_copy_only=False).astype(object)
-            texts = np.array([tx if isinstance(tx, str) else "" for tx in texts], dtype=object)
             out = out.append_column("_h1", pa.array(q1[mask], pa.uint64()))
-            out = out.append_column("_h2", pa.array(q2[mask], pa.uint64()))
-            out = out.append_column("_th1", pa.array(hash64(texts), pa.uint64()))
-            return out.append_column("_th2", pa.array(hash64(texts, alt_key=True), pa.uint64()))
+            return out.append_column("_h2", pa.array(q2[mask], pa.uint64()))
 
         # the endpoint texts never touch the driver: picked blocks stay in
         # the object store and remote tasks assemble them into the READY
@@ -1240,7 +1221,7 @@ def verify_edges_jaccard(
             if not tabs:
                 empty = np.empty(0, dtype=np.uint64)
                 none_arr = pa.array([], pa.string())
-                return empty, empty, none_arr, np.empty(0, np.int64), none_arr
+                return empty, empty, none_arr, np.empty(0, np.int64)
             schema = tabs[0].select(cols).schema
             tab = pa.concat_tables([t.select(cols).cast(schema) for t in tabs])
             h1 = tab["_h1"].to_numpy()
@@ -1249,12 +1230,8 @@ def verify_edges_jaccard(
             texts = tab[text_col]
             if isinstance(texts, pa.ChunkedArray):
                 texts = texts.combine_chunks()
-            ids = tab[id_col]
-            if isinstance(ids, pa.ChunkedArray):
-                ids = ids.combine_chunks()
-            # ready (h1, h2, texts, order, ids) tuple — scorers use it as-is;
-            # ids let the numeric spine re-attach string endpoints post-score
-            return h1[order], h2[order], texts, order, ids
+            # ready (h1, h2, texts, order) tuple — scorers use it as-is
+            return h1[order], h2[order], texts, order
 
         block_refs = [
             ref for bundle in picked.iter_internal_ref_bundles() for ref, _meta in bundle.blocks

@@ -236,8 +236,19 @@ def apply_cluster_labels(
         )
     order_cols = [c for c in order_cols]
     # clustered members only — the small side; stays Arrow (zero-copy local
-    # refs), the driver never materializes label strings as Python objects
-    ltab = pa.concat_tables(_ray.get(labels.materialize().to_arrow_refs()))
+    # refs), the driver never materializes label strings as Python objects.
+    # Schema-less EMPTY blocks (a lazy map that received no input bundle)
+    # would poison the concat — drop them first, like every other concat here
+    ltabs = [
+        t for t in _ray.get(labels.materialize().to_arrow_refs()) if t.num_rows > 0
+    ]
+    ltab = (
+        pa.concat_tables(ltabs)
+        if ltabs
+        else pa.table(
+            {"node": pa.array([], pa.string()), "label": pa.array([], pa.string())}
+        )
+    )
     n_labels = ltab.num_rows
     if n_labels == 0:
         empty = pd.DataFrame(

@@ -78,3 +78,128 @@ def test_tight_adjacency_equals_exact_on_keepset(ds):
     adj = dedup_adjacency(ds, mode="tight").kept.to_pandas()
     ex = dedup_exact(ds, key_cols=("text",)).to_pandas()
     assert sorted(adj["url"]) == sorted(ex["url"])
+
+
+def _dup_url_frame():
+    """Recrawled-url corpus: u1 appears twice with IDENTICAL text (the winner
+    must survive keep-first); u4's duplicate-content loser at warc_ts=6
+    shares its FULL (url, warc_ts) tuple with a different-content row (an
+    order-tuple look-alike that must NOT be swept by a tuple-membership
+    drop filter)."""
+    return pd.DataFrame(
+        [
+            {"url": "u1", "warc_ts": 1, "text": "same text"},
+            {"url": "u1", "warc_ts": 2, "text": "same text"},    # loser
+            {"url": "u2", "warc_ts": 3, "text": "other text"},
+            {"url": "u3", "warc_ts": 4, "text": "third text"},
+            {"url": "u4", "warc_ts": 5, "text": "fourth text"},
+            {"url": "u4", "warc_ts": 6, "text": "fourth text"},  # loser
+            {"url": "u4", "warc_ts": 6, "text": "sixth text"},   # look-alike
+        ]
+    )
+
+
+def test_exact_keeps_winner_of_duplicated_url(ray_session):
+    """A recrawl (same url, same text, later warc_ts) must lose keep-first
+    WITHOUT taking the winner row down with it, and its drop entry must not
+    sweep an (url, warc_ts) look-alike carrying different content."""
+    ds_dup = rd.from_pandas(_dup_url_frame())
+    ctr = {}
+    kept = dedup_exact(ds_dup, key_cols=("text",), counters=ctr).to_pandas()
+    got = sorted(zip(kept["url"], kept["warc_ts"]))
+    assert got == [("u1", 1), ("u2", 3), ("u3", 4), ("u4", 5), ("u4", 6)]
+    # the surviving u4@6 row is the different-content look-alike
+    assert kept.loc[(kept["url"] == "u4") & (kept["warc_ts"] == 6), "text"].tolist() == [
+        "sixth text"
+    ]
+    if "drops" in ctr:  # slim limb ran: derived count must equal the truth
+        assert len(kept) == len(_dup_url_frame()) - ctr["drops"]
+
+
+def test_exact_full_tie_falls_back_to_value_compare(ray_session):
+    """Two FULLY identical rows (url, warc_ts, text all equal): no slim key
+    can name the loser — exactly one of them must survive."""
+    rows = pd.DataFrame(
+        [
+            {"url": "u1", "warc_ts": 1, "text": "same"},
+            {"url": "u1", "warc_ts": 1, "text": "same"},
+            {"url": "u2", "warc_ts": 2, "text": "other"},
+        ]
+    )
+    from fastq_dupaway_ray.pipelines.dedup import DedupConfig, run_dedup
+
+    out = run_dedup(rd.from_pandas(rows), DedupConfig(mode="exact", emit_clusters=False))
+    kept = out.kept.to_pandas()
+    assert sorted(kept["url"]) == ["u1", "u2"]
+    assert out.metrics["kept"] == 2 and out.metrics["duplicates"] == 1
+
+
+def test_exact_drop_ids_confirms_content_on_hit(ray_session):
+    """exact_drop_ids + the flagship drop filter: drop entries carry the
+    content key, so an order-tuple look-alike with different text survives."""
+    from fastq_dupaway_ray.pipelines.flagship import _drop_filter_fn
+    from fastq_dupaway_ray.stages.dedup_exact import exact_drop_ids
+
+    df = _dup_url_frame()
+    ds_dup = rd.from_pandas(df)
+    drops = exact_drop_ids(ds_dup, key_cols=("text",)).materialize()
+    dpd = drops.to_pandas()
+    assert len(dpd) == 2 and not dpd["_ambig"].any()
+    flt = _drop_filter_fn(drops)
+    import pyarrow as pa
+
+    kept = flt(pa.Table.from_pandas(df, preserve_index=False))
+    got = sorted(zip(kept["url"].to_pylist(), kept["warc_ts"].to_pylist()))
+    assert got == [("u1", 1), ("u2", 3), ("u3", 4), ("u4", 5), ("u4", 6)]
+    assert "sixth text" in kept["text"].to_pylist()
+
+
+def test_flagship_handles_duplicate_and_tied_urls(ray_session, tmp_path):
+    """End-to-end: the flagship keeps the winner of a recrawled url, and a
+    full winner tie routes through the value-comparing fallback."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastq_dupaway_ray.pipelines.flagship import run_flagship
+
+    epoch = datetime.datetime(2025, 1, 1)
+
+    def mk(url, sec, text):
+        return {
+            "url": url,
+            "warc_ts": epoch + datetime.timedelta(seconds=sec),
+            "html": text.encode(),
+            "text": text,
+            "lang": "en",
+        }
+
+    # texts long + distinct enough that minhash links nothing extra
+    t1 = "the quick brown fox jumps over the lazy dog repeatedly " * 3
+    t2 = "completely different content about distributed systems " * 3
+    t3 = "a third unrelated document discussing marine biology topics " * 3
+    rows = [mk("u1", 1, t1), mk("u1", 2, t1), mk("u2", 3, t2), mk("u3", 4, t3)]
+    p = str(tmp_path / "dup_pages")
+    import os
+
+    os.makedirs(p)
+    pq.write_table(pa.Table.from_pylist(rows), os.path.join(p, "part-0.parquet"))
+    kept, _cl, metrics = run_flagship(p)
+    kdf = kept.to_pandas()
+    assert sorted(zip(kdf["url"], kdf["warc_ts"])) == [
+        ("u1", epoch + datetime.timedelta(seconds=1)),
+        ("u2", epoch + datetime.timedelta(seconds=3)),
+        ("u3", epoch + datetime.timedelta(seconds=4)),
+    ]
+    assert metrics["kept"] == 3 and metrics["after_exact"] == 3
+
+    # full tie: two byte-identical rows -> fallback keeps exactly one
+    rows_tie = [mk("u1", 1, t1), mk("u1", 1, t1), mk("u2", 3, t2)]
+    p2 = str(tmp_path / "tie_pages")
+    os.makedirs(p2)
+    pq.write_table(pa.Table.from_pylist(rows_tie), os.path.join(p2, "part-0.parquet"))
+    kept2, _cl2, metrics2 = run_flagship(p2)
+    k2 = kept2.to_pandas()
+    assert sorted(k2["url"]) == ["u1", "u2"]
+    assert metrics2["kept"] == 2 and metrics2["after_exact"] == 2
