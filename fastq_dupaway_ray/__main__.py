@@ -189,13 +189,21 @@ def main(argv=None) -> int:
         if args.verbose:
             print(json.dumps({**out.metrics, "written": n}))
         return 0
-    os.makedirs(args.output_1, exist_ok=True)
+    paired_fastx = (
+        paired
+        and args.output_2
+        and is_fastx_path(args.output_1)
+        and is_fastx_path(args.output_2)
+    )
+    if not paired_fastx:  # fastx sinks are FILES — don't pre-create a dir
+        os.makedirs(args.output_1, exist_ok=True)
     if paired and args.output_2:
         # reference parity: two sinks, one per mate file
         # (/root/reference/src/main.cpp:206-216) — project each side's
         # suffixed columns back to the original names
         names = out.kept.schema().names
-        os.makedirs(args.output_2, exist_ok=True)
+        if not paired_fastx:
+            os.makedirs(args.output_2, exist_ok=True)
 
         def side_projection(suffix):
             side_cols = [c for c in names if c.endswith(suffix)]
@@ -218,12 +226,17 @@ def main(argv=None) -> int:
 
         # map_batches projection (not Dataset.rename_columns: the Project
         # operator assumes Arrow blocks and the adjacency path emits pandas)
-        out.kept.map_batches(side_projection("_l"), batch_format="pandas").write_parquet(
-            args.output_1
-        )
-        out.kept.map_batches(side_projection("_r"), batch_format="pandas").write_parquet(
-            args.output_2
-        )
+        left = out.kept.map_batches(side_projection("_l"), batch_format="pandas")
+        right = out.kept.map_batches(side_projection("_r"), batch_format="pandas")
+        if paired_fastx:
+            # reference parity: paired fastx sinks (one mate file per side,
+            # /root/reference/src/main.cpp:206-216) — previously this fell
+            # through to parquet directories NAMED *.fastq with no warning
+            write_fastx(left, args.output_1, fmt=args.format)
+            write_fastx(right, args.output_2, fmt=args.format)
+        else:
+            left.write_parquet(args.output_1)
+            right.write_parquet(args.output_2)
     else:
         out.kept.write_parquet(args.output_1)
     if args.write_clusters and out.clusters is not None:

@@ -70,6 +70,37 @@ def _any_true(t, col: str = "_ambig"):
     return (bool(pc.any(t[col]).as_py() or False),)
 
 
+def _spool_fastx_once(pages_path: str, ckpt_root: str | None) -> str:
+    """FASTX inputs: parse+gunzip ONCE into a parquet spool and return its
+    path. The flagship re-executes its read lineage several times (count,
+    drops pass, exact filter, sign, full-column attach/sink) — cheap for
+    parquet (metadata counts, pruned column reads) but a full decompress +
+    parse per pass for fastx. The spool is fingerprinted on the input's
+    content identity and reused across runs (under ``ckpt_root`` when given,
+    else a temp dir keyed by the fingerprint)."""
+    import tempfile
+
+    from ..sources.fastx import dir_has_fastx, is_fastx_path
+
+    if not (is_fastx_path(pages_path) or dir_has_fastx(pages_path)):
+        return pages_path, False
+    fp = fingerprint("fastx-spool", os.path.abspath(pages_path), input_identity(pages_path))
+    root = ckpt_root or os.path.join(tempfile.gettempdir(), "fdr_fastx_spool")
+    spool = os.path.join(root, f"spool-{fp[:16]}")
+    marker = os.path.join(spool, "_SPOOLED")
+    if not (os.path.isdir(spool) and os.path.exists(marker)):
+        import shutil
+
+        shutil.rmtree(spool, ignore_errors=True)  # partial crashed spool
+        os.makedirs(spool, exist_ok=True)
+        # the raw parse keeps the fastx _valid record-shape flags: the page
+        # validator folds a pre-existing _valid column in with AND
+        read_pages(pages_path).write_parquet(spool)
+        with open(marker, "w") as f:
+            f.write(fp)
+    return spool, True
+
+
 def _drop_filter_fn(drops_ds, key_cols=("text",), row_cols=("url", "warc_ts")):
     """Broadcast drop-row filter: two-stage sorted 128-bit hash membership,
     applied as a streaming Arrow pass (the payload is filtered, never
@@ -85,20 +116,23 @@ def _drop_filter_fn(drops_ds, key_cols=("text",), row_cols=("url", "warc_ts")):
     import pyarrow as pa
 
     from ..stages.dedup_exact import _identity128
-    from ..stages.minhash import _fetch_cached, _id_member_mask_pre
+    from ..stages.minhash import _fetch_cached, _id_member_mask_pre, _nonempty_block_refs
 
     row_cols = list(row_cols)
     key_cols = list(key_cols)
 
     @ray.remote
-    def _block_keys(t: pa.Table):
+    def _block_keys(t):
+        from ..stages.minhash import _as_arrow_block
+
+        t = _as_arrow_block(t)  # internal refs can be pandas blocks
         u1, u2 = _identity128(t, row_cols)
         return u1, u2, t["_k1"].to_numpy(), t["_k2"].to_numpy()
 
     parts = [
         p
         for p in ray.get(
-            [_block_keys.remote(r) for r in drops_ds.to_arrow_refs()]
+            [_block_keys.remote(r) for r in _nonempty_block_refs(drops_ds)]
         )
         if len(p[0])
     ]
@@ -162,9 +196,15 @@ def run_flagship(
         metrics["stage_seconds"][stage] = round(now - _t, 3)
         _t = now
 
+    pages_path, spooled = _spool_fastx_once(pages_path, ckpt_root)
+
     # slim read: the identity/signing passes only need (url, warc_ts, text);
-    # html stays in storage until the final sink (prune at the read)
-    slim = read_pages(pages_path, columns=SLIM_COLS)
+    # html stays in storage until the final sink (prune at the read). A fastx
+    # spool carries the parser's _valid record-shape flags — read them along
+    # so split_quarantine folds them in (the direct fastx limb does the same)
+    slim = read_pages(
+        pages_path, columns=[*SLIM_COLS, "_valid"] if spooled else SLIM_COLS
+    )
     total = slim.count()  # parquet metadata count — no data read
     good_slim, _bad = split_quarantine(slim)
 
@@ -206,7 +246,7 @@ def run_flagship(
         n_drops = metrics["valid"] - exact_slim.count()
         drop_filter = None
     else:
-        drop_filter = _drop_filter_fn(drops)
+        drop_filter = _drop_filter_fn(drops) if n_drops > 0 else None
         exact_slim = (
             good_slim.map_batches(drop_filter, batch_format="pyarrow")
             if drop_filter is not None

@@ -91,9 +91,7 @@ def parse_fastx_bytes(data: bytes, fmt: str) -> pa.Table:
     if fmt == "fastq":
         quals = arr[3 : n * per : per]
         ok &= np.array([len(q) == len(s) for q, s in zip(quals, seqs)], dtype=bool)
-        raw = [b"\n".join(arr[i * per : (i + 1) * per]) + b"\n" for i in range(n)]
-    else:
-        raw = [b"\n".join(arr[i * per : (i + 1) * per]) + b"\n" for i in range(n)]
+    raw = [b"\n".join(arr[i * per : (i + 1) * per]) + b"\n" for i in range(n)]
     urls = [i[1:].decode("utf-8", "replace") for i in ids]
     texts = [s.decode("utf-8", "replace") for s in seqs]
     ts = [_EPOCH + datetime.timedelta(microseconds=int(i)) for i in range(n)]

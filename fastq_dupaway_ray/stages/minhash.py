@@ -379,6 +379,22 @@ def _exchange_reduce(fn, *shards):
     return fn(pa.concat_tables(parts).combine_chunks())
 
 
+def _nonempty_block_refs(ds: ray.data.Dataset) -> list:
+    """Materialized block refs with zero-row blocks dropped by METADATA.
+
+    Zero-row blocks are not merely empty — they can be SCHEMA-LESS (zero
+    columns): a lazy map over an empty block yields no batches, and Ray's
+    read_parquet of a zero-row part file (an empty checkpoint) emits
+    column-less blocks. Any consumer that indexes columns must skip them."""
+    mat = ds.materialize()
+    return [
+        ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows is None or meta.num_rows > 0
+    ]
+
+
 def _hash_exchange_tasks(ds: ray.data.Dataset, key: str, B: int, fn) -> ray.data.Dataset:
     """Manual hash exchange: co-locate rows by ``key % B`` across ``B``
     reduce tasks, apply ``fn`` per bucket, return the results as a Dataset.
@@ -392,17 +408,7 @@ def _hash_exchange_tasks(ds: ray.data.Dataset, key: str, B: int, fn) -> ray.data
     only their column of the slice matrix — on multi-node, Ray fetches those
     slices over the network exactly like shuffle blocks).
     """
-    # zero-row blocks are dropped by METADATA before the exchange: a lazy map
-    # over an empty block yields no batches, so its output block is not just
-    # empty but SCHEMA-LESS (zero columns) — concat/select inside the
-    # exchange would blow up on it, and shipping it is pure overhead anyway
-    mat = ds.materialize()
-    refs = [
-        ref
-        for bundle in mat.iter_internal_ref_bundles()
-        for ref, meta in bundle.blocks
-        if meta.num_rows is None or meta.num_rows > 0
-    ]
+    refs = _nonempty_block_refs(ds)
     if not refs:
         return ray.data.from_arrow(fn(None))
     if B <= 1:
@@ -490,17 +496,19 @@ def _unique_pairs(q1: np.ndarray, q2: np.ndarray):
 
 
 @ray.remote
-def _edge_endpoint_pairs(block: pa.Table):
+def _edge_endpoint_pairs(block):
     """Unique (h1, h2) endpoint pairs from a NUMERIC edge block — the
     endpoints already are id-hash pairs, so this is a pure uint64 unique."""
+    block = _as_arrow_block(block)  # internal refs can be pandas blocks
     q1 = np.concatenate([block["ah1"].to_numpy(), block["bh1"].to_numpy()])
     q2 = np.concatenate([block["ah2"].to_numpy(), block["bh2"].to_numpy()])
     return _unique_pairs(q1, q2)
 
 
 @ray.remote
-def _edge_endpoint_hashes(block: pa.Table):
+def _edge_endpoint_hashes(block):
     """Unique (h1, h2) id-hash pairs over one edge block's a+b endpoints."""
+    block = _as_arrow_block(block)  # internal refs can be pandas blocks
     arrs = []
     for c in ("a", "b"):
         col = block[c]
@@ -532,19 +540,32 @@ def _id_hash_pair_arrow(arr, chunk: int = 262_144):
     )
 
 
-def _id_member_mask_pre(index, q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
-    """Membership for PRE-HASHED query pairs (lets callers reuse the hashes)."""
-    h1s, h2s = index
+def _pair_lookup_pos(h1s: np.ndarray, h2s: np.ndarray, q1: np.ndarray, q2: np.ndarray):
+    """(pos, found) for query pairs against h1-SORTED index pairs.
+
+    Scans equal-h1 runs for the matching h2 (birthday-rare, but a leftmost-
+    only probe silently loses the later-sorted id of an h1 collision — at
+    10^12 docs a 64-bit-only lookup drops real members/endpoints)."""
     n = len(h1s)
     if n == 0 or len(q1) == 0:
-        return np.zeros(len(q1), dtype=bool)
+        return np.zeros(len(q1), dtype=np.int64), np.zeros(len(q1), dtype=bool)
     left = np.searchsorted(h1s, q1, side="left")
     right = np.searchsorted(h1s, q1, side="right")
     pos = np.minimum(left, n - 1)
-    out = (right - left == 1) & (h1s[pos] == q1) & (h2s[pos] == q2)
-    for i in np.nonzero(right - left > 1)[0]:  # birthday-rare h1 runs
-        out[i] = q2[i] in h2s[left[i] : right[i]]
-    return out
+    found = (right - left == 1) & (h1s[pos] == q1) & (h2s[pos] == q2)
+    for i in np.nonzero(right - left > 1)[0]:
+        run = h2s[left[i] : right[i]]
+        j = np.nonzero(run == q2[i])[0]
+        if len(j):
+            pos[i] = left[i] + j[0]
+            found[i] = True
+    return pos, found
+
+
+def _id_member_mask_pre(index, q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
+    """Membership for PRE-HASHED query pairs (lets callers reuse the hashes)."""
+    h1s, h2s = index
+    return _pair_lookup_pos(h1s, h2s, q1, q2)[1]
 
 
 def _id_member_mask(index, ids: np.ndarray) -> np.ndarray:
@@ -638,14 +659,10 @@ def _shard_slot_keys(shards, q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
     sid = (q1 >> _INDEX_SHIFT).astype(np.int64)
     for s in np.unique(sid):
         h1s, h2s = shards[s][0], shards[s][1]
-        n = len(h1s)
-        if n == 0:
+        if len(h1s) == 0:
             continue
         m = sid == s
-        qs1 = q1[m]
-        pos = np.searchsorted(h1s, qs1)
-        pos[pos == n] = n - 1
-        found = (h1s[pos] == qs1) & (h2s[pos] == q2[m])
+        pos, found = _pair_lookup_pos(h1s, h2s, q1[m], q2[m])
         key[m] = np.where(found, s * _SLOT + pos, -1)
     return key
 
@@ -813,6 +830,7 @@ def _score_edges_task(
     per EB block left straggler waves at 32 CPUs. ``text_refs`` stay
     UNRESOLVED (plain ObjectRefs in a list) so a task whose pairs are all
     byte-identical never ships a text shard."""
+    block = _as_arrow_block(block)  # internal refs can be pandas blocks
     if n_pieces > 1:
         n = block.num_rows
         start = (n * piece) // n_pieces
@@ -824,25 +842,36 @@ def _score_edges_task(
     )
 
 
-def _index_lookup_texts(index, want_ids: np.ndarray) -> list:
-    """Texts for ``want_ids`` from a ready (h1, h2, texts, order) index
-    (missing -> None). The index is assembled ONCE — on the driver or in one
-    remote task — and broadcast ready-to-use: building it per worker is a
-    broadcast tax that grows with cluster size (measured ~1-8 s per worker at
-    ~460k endpoints — it alone inverted 8->32 CPU scaling). Texts stay
-    zero-copy Arrow; the 128-bit check makes a wrong-text lookup as unlikely
-    as the engine's exact-dedup identity collisions (~2^-128)."""
+def _index_lookup_texts(index, want_ids: np.ndarray):
+    """(texts list, th1, th2) for ``want_ids`` from a ready
+    (h1, h2, texts, order, th1, th2) index — missing ids get text None and
+    the content hash of "". The index is assembled ONCE — on the driver or
+    in one remote task — and broadcast ready-to-use: building it per worker
+    is a broadcast tax that grows with cluster size (measured ~1-8 s per
+    worker at ~460k endpoints — it alone inverted 8->32 CPU scaling). Texts
+    stay zero-copy Arrow; the 128-bit check makes a wrong-text lookup as
+    unlikely as the engine's exact-dedup identity collisions (~2^-128)."""
+    from ..functions.hashing import hash64
+
     h1s, h2s, text_arr, order = index[:4]
+    ith1, ith2 = index[4], index[5]
+    empty = np.array([""], dtype=object)
+    e1, e2 = hash64(empty)[0], hash64(empty, alt_key=True)[0]
     n = len(h1s)
     if n == 0:
-        return [None] * len(want_ids)
+        k = len(want_ids)
+        return (
+            [None] * k,
+            np.full(k, e1, dtype=np.uint64),
+            np.full(k, e2, dtype=np.uint64),
+        )
     q1, q2 = _id_hash_pair(want_ids)
-    pos = np.searchsorted(h1s, q1)
-    pos[pos == n] = n - 1
-    found = (h1s[pos] == q1) & (h2s[pos] == q2)
+    pos, found = _pair_lookup_pos(h1s, h2s, q1, q2)
     take = order[pos]
     out = text_arr.take(pa.array(take)).to_pylist()
-    return [t if ok else None for t, ok in zip(out, found)]
+    th1 = np.where(found, ith1[take], e1)
+    th2 = np.where(found, ith2[take], e2)
+    return [t if ok else None for t, ok in zip(out, found)], th1, th2
 
 
 def _shingle_fn(spec):
@@ -934,19 +963,18 @@ def _verify_score_batch(df: pd.DataFrame, texts_ref, spec, threshold: float) -> 
     before byte compare, /root/reference/src/hash_dup_remover.hpp:122-139)."""
     from ..functions.hashing import hash64
 
-    # texts_ref holds the READY (h1, h2, texts, order) index assembled
-    # remotely — zero per-worker build (numpy/Arrow components come back
-    # zero-copy from the object store)
+    # texts_ref holds the READY (h1, h2, texts, order, th1, th2) index
+    # assembled remotely — zero per-worker build (numpy/Arrow components come
+    # back zero-copy from the object store); the content hashes were
+    # computed once per endpoint there, so no per-batch full-text re-hash
     index = _fetch_cached(texts_ref)
     ids = pd.unique(np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]))
-    batch_texts = _index_lookup_texts(index, np.asarray(ids, dtype=object))
+    batch_texts, th1, th2 = _index_lookup_texts(index, np.asarray(ids, dtype=object))
     texts_arr = np.array([t or "" for t in batch_texts], dtype=object)
     # vectorized id -> endpoint slot (hash-based C indexer, not per-row .map)
     idx = pd.Index(ids)
     a_idx = idx.get_indexer(df["a"]).astype(np.int64)
     b_idx = idx.get_indexer(df["b"]).astype(np.int64)
-    th1 = hash64(texts_arr)
-    th2 = hash64(texts_arr, alt_key=True)
     same = (th1[a_idx] == th1[b_idx]) & (th2[a_idx] == th2[b_idx])
     jac = np.ones(len(df), dtype=np.float64)
     rest = np.nonzero(~same)[0]
@@ -982,7 +1010,9 @@ def build_endpoint_index(
     without a live verify stage."""
     from ..functions.hashing import hash64
 
-    ep_parts = ray.get([_edge_endpoint_pairs.remote(r) for r in edges.to_arrow_refs()])
+    ep_parts = ray.get(
+        [_edge_endpoint_pairs.remote(r) for r in _nonempty_block_refs(edges)]
+    )
     eh1, eh2 = _unique_pairs(
         np.concatenate([p[0] for p in ep_parts] or [np.empty(0, np.uint64)]),
         np.concatenate([p[1] for p in ep_parts] or [np.empty(0, np.uint64)]),
@@ -1147,7 +1177,14 @@ def verify_edges_jaccard(
             if out is not None:
                 out["index_shards"] = shard_refs
                 out["attr_cols"] = attrs_present
-            edge_refs = edges.to_arrow_refs()
+            edge_refs = _nonempty_block_refs(edges)
+            if not edge_refs:
+                return ray.data.from_arrow(
+                    _score_edges_numeric_shards(
+                        pa.table({c: pa.array([], pa.uint64()) for c in ("ah1", "ah2", "bh1", "bh2")}),
+                        [], spec, threshold, emit_ids=emit_ids,
+                    )
+                )
             # fan scoring wider than the EB exchange width: ~3 tasks per CPU
             # absorbs stragglers (shingle cost varies per bucket)
             per_block = max(
@@ -1168,7 +1205,7 @@ def verify_edges_jaccard(
         # endpoints and pre-unique them; the driver only merges uint64 pairs
         ep_remote = _edge_endpoint_hashes
         ep_parts = ray.get(
-            [ep_remote.remote(r) for r in edges.to_arrow_refs()]
+            [ep_remote.remote(r) for r in _nonempty_block_refs(edges)]
         )
         eh1, eh2 = _unique_pairs(
             np.concatenate([p[0] for p in ep_parts] or [np.empty(0, np.uint64)]),
@@ -1221,7 +1258,7 @@ def verify_edges_jaccard(
             if not tabs:
                 empty = np.empty(0, dtype=np.uint64)
                 none_arr = pa.array([], pa.string())
-                return empty, empty, none_arr, np.empty(0, np.int64)
+                return empty, empty, none_arr, np.empty(0, np.int64), empty, empty
             schema = tabs[0].select(cols).schema
             tab = pa.concat_tables([t.select(cols).cast(schema) for t in tabs])
             h1 = tab["_h1"].to_numpy()
@@ -1230,8 +1267,21 @@ def verify_edges_jaccard(
             texts = tab[text_col]
             if isinstance(texts, pa.ChunkedArray):
                 texts = texts.combine_chunks()
-            # ready (h1, h2, texts, order) tuple — scorers use it as-is
-            return h1[order], h2[order], texts, order
+            # the text content-hash pair is computed HERE, once per endpoint —
+            # the scorer's byte-identical shortcut otherwise re-SipHashes
+            # every unique endpoint's full text on every edge batch it
+            # appears in (endpoints recur across batches)
+            from ..functions.hashing import hash64
+
+            tnorm = np.array(
+                [t if isinstance(t, str) else "" for t in texts.to_pylist()],
+                dtype=object,
+            )
+            th1 = hash64(tnorm)
+            th2 = hash64(tnorm, alt_key=True)
+            # ready (h1, h2, texts, order, th1, th2) tuple — texts/th stay in
+            # original tab order; ``order[pos]`` maps a sorted probe back
+            return h1[order], h2[order], texts, order, th1, th2
 
         block_refs = [
             ref for bundle in picked.iter_internal_ref_bundles() for ref, _meta in bundle.blocks

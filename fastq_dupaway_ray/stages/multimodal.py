@@ -95,12 +95,19 @@ class ImageFeatures:
             buf = buf or b""
             if buf[:8] == PNG_MAGIC:
                 img = decode_png(buf)
-                gray = (
-                    img[..., :3].mean(axis=2) if img.ndim == 3 else img
-                ).astype(np.float64)
+                if img.ndim == 3:
+                    # color channels only: 2 channels is gray+alpha (color
+                    # type 4) — averaging alpha into luminance would corrupt
+                    # the feature; 3/4 channels use the plain RGB mean (the
+                    # engine's documented gray formula, also applied on the
+                    # PIL limb below so both paths agree)
+                    nch = 1 if img.shape[2] == 2 else 3
+                    gray = img[..., :nch].mean(axis=2).astype(np.float64)
+                else:
+                    gray = img.astype(np.float64)
             elif _HAVE_PIL:  # pragma: no cover - PIL not in this container
-                pim = Image.open(io.BytesIO(buf)).convert("L")
-                gray = np.asarray(pim, dtype=np.float64)
+                pim = Image.open(io.BytesIO(buf)).convert("RGB")
+                gray = np.asarray(pim, dtype=np.float64).mean(axis=2)
             else:
                 raise ValueError(
                     f"cannot decode image payload (row {i}): not PNG and PIL unavailable"

@@ -290,12 +290,12 @@ def apply_cluster_labels(
             # Arrow-native: only the id column is lifted to Python objects (the
             # hash needs str), rows move via zero-copy take — a pandas batch
             # format here converted every slim column of the full corpus
+            from .minhash import _pair_lookup_pos
+
             h1s, h2s, labels_arr, order = _fetch_cached(label_ref)
             ids = t[id_col].to_numpy(zero_copy_only=False).astype(object)
             q1, q2 = _id_hash_pair(ids)
-            pos = np.searchsorted(h1s, q1)
-            pos[pos == len(h1s)] = max(len(h1s) - 1, 0)
-            found = (h1s[pos] == q1) & (h2s[pos] == q2)
+            pos, found = _pair_lookup_pos(h1s, h2s, q1, q2)
             sel = np.nonzero(found)[0]
             out = t.select(slim_cols).take(pa.array(sel, pa.int64()))
             # Arrow take of only the FOUND labels (clustered members — the small
@@ -331,13 +331,18 @@ def apply_cluster_labels(
         ids_a = mt[id_col]
         if isinstance(ids_a, pa.ChunkedArray):
             ids_a = ids_a.combine_chunks()
+        reps = ids_a.take(pa.array(rs, pa.int64()))
         return pa.table(
             {
-                "cluster_id": ids_a.take(pa.array(rs, pa.int64())),
+                "cluster_id": reps,
                 "member": ids_a,
-                # member ids are unique, so the first row of each label run
-                # IS the representative
-                "is_representative": pa.array(new_run),
+                # by ID equality, not first-of-run: the attach pass emits one
+                # member row per PAGE row, so a representative whose id
+                # appears twice in pages would mark its second copy
+                # non-representative and put its own id in the drop set —
+                # deleting the whole cluster. Ids are the document identity
+                # (rows sharing one are kept or dropped together).
+                "is_representative": pc.equal(ids_a, reps),
             }
         )
 
@@ -397,7 +402,21 @@ def apply_cluster_labels(
             )
             .materialize()
         )
-        ctab = pa.concat_tables(ray.get(clusters.to_arrow_refs()))
+        # pandas map_groups can emit schema-less EMPTY blocks — drop them
+        # before concat, like the other limbs (only the drop-set derivation
+        # needs ctab; an all-empty result means nothing to drop)
+        _ctabs = [t for t in ray.get(clusters.to_arrow_refs()) if t.num_rows > 0]
+        ctab = (
+            pa.concat_tables(_ctabs)
+            if _ctabs
+            else pa.table(
+                {
+                    "cluster_id": pa.array([], pa.string()),
+                    "member": pa.array([], pa.string()),
+                    "is_representative": pa.array([], pa.bool_()),
+                }
+            )
+        )
 
     from .minhash import _id_member_mask
 

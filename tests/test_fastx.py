@@ -148,3 +148,59 @@ def test_cli_fasta_clusters_reference_format(ray_session, tmp_path):
     assert ">r1" in lines
     assert "-->r2" in lines
     assert not any(l.startswith("-->r3") for l in lines)
+
+
+def test_cli_paired_fasta_sinks(ray_session, tmp_path):
+    """Paired mode with .fa outputs writes the reference's byte format to
+    BOTH mate files (previously fell through to parquet dirs named *.fa)."""
+    from fastq_dupaway_ray.__main__ import main
+    from fastq_dupaway_ray.sources.fastx import parse_fastx_bytes
+
+    in1 = os.path.join(REF, "inputs", "paired_fast_r1.fa")
+    in2 = os.path.join(REF, "inputs", "paired_fast_r2.fa")
+    out1, out2 = str(tmp_path / "kept_r1.fa"), str(tmp_path / "kept_r2.fa")
+    assert main(["-i", in1, "-u", in2, "-o", out1, "-p", out2, "--fast"]) == 0
+    assert os.path.isfile(out1) and os.path.isfile(out2)
+
+    def recs(path):
+        t = parse_fastx_bytes(open(path, "rb").read(), "fasta")
+        return sorted(zip(t["url"].to_pylist(), t["text"].to_pylist()))
+
+    exp1 = recs(os.path.join(REF, "expected", "paired_fast_r1.fa"))
+    exp2 = recs(os.path.join(REF, "expected", "paired_fast_r2.fa"))
+    assert recs(out1) == exp1
+    assert recs(out2) == exp2
+
+
+def test_flagship_spools_fastx_once(ray_session, tmp_path):
+    """run_flagship on a fastx input parses once into a parquet spool (the
+    lazy read otherwise re-gunzips/re-parses on every pipeline pass)."""
+    import glob
+
+    from fastq_dupaway_ray.pipelines.flagship import _spool_fastx_once, run_flagship
+
+    src = os.path.join(REF, "inputs", "single_fast.fa")
+    ck = str(tmp_path / "ck")
+    spool, spooled = _spool_fastx_once(src, ck)
+    assert spooled and glob.glob(os.path.join(spool, "*.parquet"))
+    # second call reuses the fingerprinted spool (same path, no rewrite)
+    spool2, _ = _spool_fastx_once(src, ck)
+    assert spool2 == spool
+    kept, _cl, metrics = run_flagship(src, ckpt_root=ck)
+    from fastq_dupaway_ray import refmodel
+    from tests.test_reference_parity import _read_fasta as _read_fa
+
+    ref_ids = sorted(
+        r["url"] for r in refmodel.dedup_hash(
+            [
+                {"url": u, "warc_ts": i, "text": t}
+                for i, (u, t) in enumerate(_read_fa(src))
+            ],
+            keys=("text",),
+            key="url",
+            order=lambda r: (r["warc_ts"], r["url"]),
+        ).kept
+    )
+    # exact stage matches the serial reference model on this fixture (the
+    # near-dup stage may remove more; exact drops are a lower bound)
+    assert metrics["after_exact"] == len(ref_ids)

@@ -405,3 +405,19 @@ def test_members_from_index_matches_attach_scan(ds, pages_rows):
         map(tuple, c.to_pandas()[["cluster_id", "member", "is_representative"]].values.tolist())
     )
     assert canon(clus_a) == canon(clus_b)
+
+
+def test_pair_lookup_pos_scans_equal_h1_runs():
+    """A 64-bit h1 collision between two distinct ids must not hide the
+    later-sorted one (leftmost-only probes silently lose it)."""
+    import numpy as np
+
+    from fastq_dupaway_ray.stages.minhash import _pair_lookup_pos
+
+    h1s = np.array([3, 7, 7, 7, 9], dtype=np.uint64)
+    h2s = np.array([0, 10, 20, 30, 5], dtype=np.uint64)
+    q1 = np.array([7, 7, 7, 9, 1], dtype=np.uint64)
+    q2 = np.array([30, 10, 99, 5, 0], dtype=np.uint64)
+    pos, found = _pair_lookup_pos(h1s, h2s, q1, q2)
+    assert found.tolist() == [True, True, False, True, False]
+    assert pos[0] == 3 and pos[1] == 1 and pos[3] == 4

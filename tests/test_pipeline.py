@@ -194,3 +194,74 @@ def test_audio_and_resize_stages(ds):
     for r in rz:
         assert list(r["resized_to"]) == [64, 48]
         assert len(r["image_feat"]) == 16
+
+
+def test_cluster_representative_survives_duplicated_id(ray_session):
+    """A representative whose url appears twice in pages must not land in
+    the drop set (rows sharing an id are one logical document)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastq_dupaway_ray.stages.representative import apply_cluster_labels
+
+    pages = rd.from_pandas(
+        pd.DataFrame(
+            [
+                {"url": "a", "warc_ts": 1, "text": "t"},
+                {"url": "a", "warc_ts": 2, "text": "t"},  # duplicate id of the rep
+                {"url": "b", "warc_ts": 3, "text": "t"},
+                {"url": "c", "warc_ts": 4, "text": "x"},
+            ]
+        )
+    )
+    labels = rd.from_pandas(
+        pd.DataFrame({"node": ["a", "b"], "label": ["a", "a"]})
+    )
+    ctr = {}
+    kept, clusters = apply_cluster_labels(pages, labels, counters=ctr)
+    kdf = kept.to_pandas()
+    # both 'a' rows survive (a is the representative); only 'b' drops
+    assert sorted(kdf["url"]) == ["a", "a", "c"]
+    cl = clusters.to_pandas()
+    assert set(cl.loc[cl["is_representative"], "member"]) == {"a"}
+    assert set(cl.loc[~cl["is_representative"], "member"]) == {"b"}
+
+
+def test_png_gray_alpha_excludes_alpha_from_luminance(ray_session):
+    """Color-type-4 (gray+alpha) PNG: the feature grid must average the
+    GRAY channel only — folding alpha in corrupts the luminance."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from fastq_dupaway_ray.functions.codecs import PNG_MAGIC
+    from fastq_dupaway_ray.stages.multimodal import ImageFeatures
+
+    h, w, gray_val = 8, 8, 10
+    px = np.zeros((h, w, 2), dtype=np.uint8)
+    px[..., 0] = gray_val
+    px[..., 1] = 255  # opaque alpha
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0)  # color type 4
+    raw = np.zeros((h, 1 + w * 2), dtype=np.uint8)
+    raw[:, 1:] = px.reshape(h, w * 2)
+    png = (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+    batch = pa.table({"payload": pa.array([png], pa.binary())})
+    out = ImageFeatures(require_real=True)(batch)
+    feat = np.asarray(out["image_feat"].to_pylist()[0])
+    assert np.allclose(feat, gray_val / 255.0), feat
