@@ -545,20 +545,26 @@ def _pair_lookup_pos(h1s: np.ndarray, h2s: np.ndarray, q1: np.ndarray, q2: np.nd
 
     Scans equal-h1 runs for the matching h2 (birthday-rare, but a leftmost-
     only probe silently loses the later-sorted id of an h1 collision — at
-    10^12 docs a 64-bit-only lookup drops real members/endpoints)."""
+    10^12 docs a 64-bit-only lookup drops real members/endpoints). One
+    searchsorted only: a run is detected from the NEXT index slot also
+    matching h1 (a second side="right" pass measured 2x the probe cost)."""
     n = len(h1s)
     if n == 0 or len(q1) == 0:
         return np.zeros(len(q1), dtype=np.int64), np.zeros(len(q1), dtype=bool)
     left = np.searchsorted(h1s, q1, side="left")
-    right = np.searchsorted(h1s, q1, side="right")
     pos = np.minimum(left, n - 1)
-    found = (right - left == 1) & (h1s[pos] == q1) & (h2s[pos] == q2)
-    for i in np.nonzero(right - left > 1)[0]:
-        run = h2s[left[i] : right[i]]
-        j = np.nonzero(run == q2[i])[0]
-        if len(j):
-            pos[i] = left[i] + j[0]
-            found[i] = True
+    h1_hit = h1s[pos] == q1
+    found = h1_hit & (h2s[pos] == q2)
+    nxt = np.minimum(pos + 1, n - 1)
+    in_run = h1_hit & ~found & (nxt > pos) & (h1s[nxt] == q1)
+    for i in np.nonzero(in_run)[0]:  # equal-h1 runs: birthday-rare
+        j = left[i] + 1
+        while j < n and h1s[j] == q1[i]:
+            if h2s[j] == q2[i]:
+                pos[i] = j
+                found[i] = True
+                break
+            j += 1
     return pos, found
 
 
