@@ -52,19 +52,7 @@ def _components_min_label_numpy(a: np.ndarray, b: np.ndarray):
     nodes = np.asarray(uniques, dtype=object)        # compare sort of 10^6 strings
     n = len(nodes)
     ia, ib = codes[: len(a)], codes[len(a) :]
-    lab = np.arange(n, dtype=np.int64)
-    while True:
-        old = lab.copy()
-        np.minimum.at(lab, ia, lab[ib])
-        np.minimum.at(lab, ib, lab[ia])
-        # pointer doubling to a per-iteration fixpoint (cheap O(n) hops)
-        while True:
-            nxt = lab[lab]
-            if np.array_equal(nxt, lab):
-                break
-            lab = nxt
-        if np.array_equal(lab, old):
-            break
+    lab = _min_label_loop(ia, ib, n)
     # lab holds min-INDEX roots (arbitrary factorize order); map each root to
     # its component's min node VALUE so labels match the distributed path.
     # One global argsort of the unique nodes + a C-speed min-RANK scatter —
@@ -83,23 +71,49 @@ _PAIR_DT = np.dtype([("h1", "<u8"), ("h2", "<u8")])
 
 def _components_min_label_pairs(a1, a2, b1, b2):
     """Numeric twin of ``_components_min_label_numpy`` over 128-bit (h1, h2)
-    node keys — the verify stage's numeric spine. np.unique over a structured
-    view replaces pandas factorize (C-speed memcmp sort, no Python objects),
-    and because unique codes ARE sort ranks, the converged min-label code is
-    directly the component's min (h1, h2) pair."""
+    node keys — the verify stage's numeric spine. A two-column ``np.lexsort``
+    factorize replaces np.unique over a structured view (native-dtype column
+    sorts; the structured memcmp argsort measured 5x slower at 2.6M
+    endpoints), and because the codes are sort ranks, the converged min-label
+    code is directly the component's min (h1, h2) pair."""
     m = len(a1)
-    both = np.empty((2 * m, 2), dtype=np.uint64)
-    both[:m, 0], both[:m, 1] = a1, a2
-    both[m:, 0], both[m:, 1] = b1, b2
-    v = np.ascontiguousarray(both).view(_PAIR_DT).ravel()
-    uniq, codes = np.unique(v, return_inverse=True)
-    n = len(uniq)
+    h1 = np.concatenate([a1, b1])
+    h2 = np.concatenate([a2, b2])
+    order = np.lexsort((h2, h1))
+    s1, s2 = h1[order], h2[order]
+    new = np.empty(len(s1), dtype=bool)
+    if len(s1):
+        new[0] = True
+        new[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+    grp = np.cumsum(new) - 1
+    codes = np.empty(len(h1), np.int64)
+    codes[order] = grp
+    n = int(grp[-1]) + 1 if len(grp) else 0
     ia, ib = codes[:m], codes[m:]
+    lab = _min_label_loop(ia, ib, n)
+    u1, u2 = s1[new], s2[new]
+    uniq = np.empty(n, dtype=_PAIR_DT)
+    uniq["h1"], uniq["h2"] = u1, u2
+    return uniq, uniq[lab]
+
+
+def _min_label_loop(ia: np.ndarray, ib: np.ndarray, n: int) -> np.ndarray:
+    """Shiloach-Vishkin-style min-label relaxation over edge code arrays ->
+    converged per-node label codes (component-min index). Each round scatters
+    the neighbor's label to both the node AND its current label's node (root
+    hooking) before pointer-doubling compression — plain node-only scatter
+    propagates one graph hop per round (O(diameter) rounds: 62 on a 64-chain
+    graph; hooking measured 6). Labels only decrease and are bounded by the
+    component min; the fixpoint check makes the result exact for any graph
+    (pinned to the union-find oracle)."""
     lab = np.arange(n, dtype=np.int64)
     while True:
         old = lab.copy()
-        np.minimum.at(lab, ia, lab[ib])
-        np.minimum.at(lab, ib, lab[ia])
+        la, lb = lab[ia], lab[ib]
+        np.minimum.at(lab, ia, lb)
+        np.minimum.at(lab, ib, la)
+        np.minimum.at(lab, la, lb)
+        np.minimum.at(lab, lb, la)
         while True:
             nxt = lab[lab]
             if np.array_equal(nxt, lab):
@@ -107,8 +121,7 @@ def _components_min_label_pairs(a1, a2, b1, b2):
             lab = nxt
         if np.array_equal(lab, old):
             break
-    roots = uniq[lab]
-    return uniq, roots
+    return lab
 
 
 def _pairs_to_bytes16(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
