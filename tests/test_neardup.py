@@ -124,6 +124,42 @@ def test_components_distributed_long_chain_and_random(ray_session):
     assert got == refmodel.union_find_components(edges)
 
 
+def test_min_label_loop_chains_and_random_vs_union_find():
+    """The driver solve's root-hooking relaxation on adversarial shapes:
+    long chains (worst case for node-only scatter — one hop per round),
+    stars, and a dense random block, numeric and string limbs both pinned
+    to the union-find oracle."""
+    from fastq_dupaway_ray.stages.components import (
+        _components_min_label_numpy,
+        _components_min_label_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    edges = [(i, i + 1) for i in range(200)]  # 201-chain, ids ascending
+    edges += [(1000, 1000 + k) for k in range(1, 50)]  # star
+    edges += [  # chain with ids DESCENDING (min at the far end)
+        (2000 + i + 1, 2000 + i) for i in range(100)
+    ]
+    edges += [
+        (int(a) + 5000, int(b) + 5000)
+        for a, b in rng.integers(0, 300, size=(500, 2))
+        if a != b
+    ]
+    ref = refmodel.union_find_components(edges)
+
+    a = np.array([e[0] for e in edges], dtype=object)
+    b = np.array([e[1] for e in edges], dtype=object)
+    nodes, labels = _components_min_label_numpy(a, b)
+    assert dict(zip(nodes, labels)) == ref
+
+    a1 = np.array([e[0] for e in edges], dtype=np.uint64)
+    b1 = np.array([e[0 + 1] for e in edges], dtype=np.uint64)
+    salt = np.uint64(0x9E3779B97F4A7C15)
+    nodes_p, roots_p = _components_min_label_pairs(a1, a1 * salt, b1, b1 * salt)
+    got = dict(zip(nodes_p["h1"].tolist(), roots_p["h1"].tolist()))
+    assert got == ref
+
+
 def test_word_ngram_jaccard_mode(ray_session):
     """MinHash/LSH over word 3-gram shingles with exact word-Jaccard verify:
     edge jaccard values must equal the direct word-shingle computation."""
