@@ -510,6 +510,26 @@ SQL_CONTAINMENT_DOCS = f"""
 """
 
 
+def q_containment_sa_docs(sf_dir: str):
+    """Same containment join, verified by the north rule's suffix-array
+    substring pass (one prefix-doubled SA per anchor group, binary-search
+    probes) instead of str.find — identical edge set, same oracle."""
+    import pyarrow as _pa
+
+    from .stages.containment import containment_edges
+
+    edges = containment_edges(
+        augmented_docs(sf_dir), anchors=None, id_col="doc_id", verify="suffix_array"
+    )
+
+    def cast(t: _pa.Table) -> _pa.Table:
+        return _pa.table(
+            {"a": t["a"].cast(_pa.int64()), "b": t["b"].cast(_pa.int64())}
+        )
+
+    return edges.map_batches(cast, batch_format="pyarrow")
+
+
 def q_quality_filter_docs(sf_dir: str):
     """Quality-threshold filtering (training-data pipeline stage)."""
     from .functions.textstats import quality_features
@@ -1709,6 +1729,7 @@ REGISTRY = {
     "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
     "dedup_tight_adjacency_docs": (q_dedup_tight_adjacency_docs, SQL_DEDUP_EXACT_DOCS),
     "containment_docs": (q_containment_docs, SQL_CONTAINMENT_DOCS),
+    "containment_sa_docs": (q_containment_sa_docs, SQL_CONTAINMENT_DOCS),
     "quality_filter_docs": (q_quality_filter_docs, SQL_QUALITY_FILTER_DOCS),
     "lang_dist_docs": (q_lang_dist_docs, SQL_LANG_DIST_DOCS),
     "top_tokens_docs": (q_top_tokens_docs, SQL_TOP_TOKENS_DOCS),

@@ -45,6 +45,60 @@ import ray.data
 from ..functions.hashing import char_ngram_hashes
 
 SEP = "\x00"
+SEP_B = b"\x00"
+
+
+def _suffix_array(buf: np.ndarray) -> np.ndarray:
+    """Suffix array of a uint8 buffer by prefix doubling (Manber–Myers),
+    each round one ``np.lexsort`` over (rank, rank-shifted-by-k) — O(n log n)
+    rounds, all-numpy. Out-of-range second keys rank -1 (< any byte), which
+    matches true suffix order: a shorter suffix that prefixes a longer one
+    sorts first (the same shorter-before-extension rule as the reference's
+    record compare, /root/reference/src/fastqview.cpp:56-67)."""
+    n = len(buf)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = buf.astype(np.int64)
+    order = np.argsort(rank, kind="stable")
+    k = 1
+    while k < n:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        r1, r2 = rank[order], key2[order]
+        diff = np.empty(n, dtype=np.int64)
+        diff[0] = 0
+        np.cumsum((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1]), out=diff[1:])
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = diff
+        if diff[-1] == n - 1:  # all ranks distinct: fully ordered
+            break
+        k <<= 1
+    return order
+
+
+def _sa_range(hay: bytes, sa: np.ndarray, needle: bytes) -> tuple[int, int]:
+    """[lo, hi) slice of ``sa`` whose suffixes start with ``needle``.
+    Each probe compares one ``bytes`` slice (C-speed memcmp): O(|needle| log n)."""
+    m = len(needle)
+    lo, hi = 0, len(sa)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        p = int(sa[mid])
+        if hay[p : p + m] < needle:
+            lo = mid + 1
+        else:
+            hi = mid
+    start = lo
+    hi = len(sa)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        p = int(sa[mid])
+        if hay[p : p + m] <= needle:
+            lo = mid + 1
+        else:
+            hi = mid
+    return start, lo
 
 
 def _doc_anchor_keys(text: str, shingle_k: int, anchors: int | None, M) -> np.ndarray:
@@ -150,6 +204,7 @@ def containment_edges(
     num_shuffle_buckets: int | None = None,
     signer_concurrency=None,  # kept for API compat; emitters are elastic tasks
     exchange: str = "tasks",
+    verify: str = "find",
 ) -> ray.data.Dataset:
     """pages -> containment edges (a=container, b=contained).
 
@@ -163,7 +218,17 @@ def containment_edges(
     exchange and fuses the duplicate-edge dedup onto an ``_ebucket`` key
     (same rationale + measurements as ``minhash._hash_exchange_tasks``);
     ``"groupby"`` keeps the Dataset-native shuffles.
-    """
+
+    ``verify`` picks the in-bucket substring verifier. ``"find"`` (default)
+    probes each text against the concatenation of strictly-longer group
+    members with ``str.find`` — O(needles x haystack) worst case but
+    memmem-fast on natural text. ``"suffix_array"`` is the north rule's
+    suffix-array substring pass: ONE prefix-doubled suffix array over the
+    group haystack, then an O(|needle| log n) binary search per needle —
+    total O((H + sum |needle|) log H) per group, immune to the pathological
+    repeated-substring corpora that degrade find to quadratic. Both emit the
+    identical edge set (test-pinned). Byte-level matching on UTF-8 is
+    codepoint-exact (lead/continuation byte ranges are disjoint)."""
     from .minhash import _default_shuffle_buckets, _hash_exchange_tasks
     from .simhash import dedup_edge_list
 
@@ -234,8 +299,49 @@ def containment_edges(
                 prev_len = lens[i]
         return pd.DataFrame({"a": edges_a, "b": edges_b})
 
+    def per_bucket_sa(df: pd.DataFrame) -> pd.DataFrame:
+        # Suffix-array verifier: same group scoping/truncation as per_bucket,
+        # but ONE suffix array over the whole group haystack (every member,
+        # SEP-terminated so no needle crosses a boundary) and a binary-search
+        # probe per needle. Occurrence positions map to owner docs via one
+        # searchsorted over the cumulative span ends; owners strictly longer
+        # in CHARS (the oracle's length()) than the needle emit an edge.
+        edges_a, edges_b = [], []
+        if len(df) == 0 or "anchor_key" not in df.columns:
+            return pd.DataFrame({"a": edges_a, "b": edges_b})
+        texts = dict(
+            zip(df.loc[df["_is_text"] == 1, id_col], df.loc[df["_is_text"] == 1, "_text"])
+        )
+        adf = df[df["_is_text"] == 0]
+        for _, grp in adf.groupby("anchor_key", sort=False):
+            grp = grp.drop_duplicates(subset=[id_col])
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values(["_len", id_col], ascending=[False, True],
+                                  kind="mergesort").head(max_bucket)
+            ids = grp[id_col].tolist()
+            lens = grp["_len"].tolist()  # char lengths — the oracle's compare
+            enc = [(texts.get(d) or "").encode("utf-8") for d in ids]
+            hay = b"".join(e + SEP_B for e in enc)
+            sa = _suffix_array(np.frombuffer(hay, dtype=np.uint8))
+            bnd = np.cumsum(np.array([len(e) + 1 for e in enc], dtype=np.int64))
+            for i, nb in enumerate(enc):
+                if not nb:
+                    continue
+                s, e = _sa_range(hay, sa, nb)
+                if e <= s:
+                    continue
+                owners = np.unique(np.searchsorted(bnd, sa[s:e], side="right"))
+                for j in owners.tolist():
+                    if lens[j] > lens[i]:  # strict > also excludes self
+                        edges_a.append(ids[j])
+                        edges_b.append(ids[i])
+        return pd.DataFrame({"a": edges_a, "b": edges_b})
+
+    bucket_fn = per_bucket_sa if verify == "suffix_array" else per_bucket
+
     if exchange != "tasks":
-        edges = rows.groupby("_bkt").map_groups(per_bucket, batch_format="pandas")
+        edges = rows.groupby("_bkt").map_groups(bucket_fn, batch_format="pandas")
         return dedup_edge_list(edges)
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
@@ -258,7 +364,7 @@ def containment_edges(
         # the verify itself is inherently string work (substring search over
         # concatenated haystacks) — the pandas pass stays; only the shuffle
         # machinery around it changes
-        df = per_bucket(t.to_pandas())
+        df = bucket_fn(t.to_pandas())
         if len(df) == 0:
             return empty
         from ..functions.hashing import hash64

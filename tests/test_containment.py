@@ -79,3 +79,70 @@ def test_no_self_or_equal_length_edges(corpus_ds):
     texts = _corpus().set_index("doc_id")["text"]
     assert (df["a"] != df["b"]).all()
     assert all(len(texts[a]) > len(texts[b]) for a, b in zip(df["a"], df["b"]))
+
+
+# ---- suffix-array verify mode (the north rule's suffix-array substring pass)
+
+
+def test_suffix_array_construction_matches_naive():
+    """Prefix-doubling SA == naive sorted-suffixes on random byte strings,
+    including runs/repeats (the doubling-terminaton edge cases)."""
+    from fastq_dupaway_ray.stages.containment import _suffix_array
+
+    rng = np.random.default_rng(11)
+    cases = [b"", b"a", b"aaaaaaa", b"banana", b"abcabcabcabc"]
+    for n in (2, 5, 17, 64, 200):
+        cases.append(bytes(rng.integers(97, 101, size=n, dtype=np.uint8)))
+    for s in cases:
+        buf = np.frombuffer(s, dtype=np.uint8)
+        got = _suffix_array(buf).tolist()
+        want = sorted(range(len(s)), key=lambda i: s[i:])
+        assert got == want, s
+
+
+def test_sa_range_matches_str_count():
+    """Binary-search occurrence range size == overlapping substring count."""
+    from fastq_dupaway_ray.stages.containment import _sa_range, _suffix_array
+
+    rng = np.random.default_rng(13)
+    hay = bytes(rng.integers(97, 100, size=400, dtype=np.uint8))
+    sa = _suffix_array(np.frombuffer(hay, dtype=np.uint8))
+    for m in (1, 2, 3, 5, 9):
+        for _ in range(20):
+            i = int(rng.integers(0, len(hay) - m))
+            needle = hay[i : i + m]
+            s, e = _sa_range(hay, sa, needle)
+            want = sum(1 for j in range(len(hay) - m + 1) if hay[j : j + m] == needle)
+            assert e - s == want
+    s, e = _sa_range(hay, sa, b"zzz-not-present")
+    assert e == s
+
+
+def test_suffix_array_mode_matches_find(corpus_ds):
+    """verify="suffix_array" emits the identical exact-mode edge set."""
+    got = _edge_set(
+        containment_edges(corpus_ds, anchors=None, id_col="doc_id", verify="suffix_array")
+    )
+    assert got == EXPECTED
+
+
+def test_suffix_array_mode_hot_anchor_skew():
+    """Hot-anchor stress: one short needle embedded in 30 wrappers — every
+    wrapper shares the needle's min shingle, so exact mode co-locates all 31
+    docs under one anchor key. Both verifiers must emit exactly the 30
+    (wrapper, needle) edges plus any planted wrapper-wrapper containments."""
+    rng = np.random.default_rng(23)
+    needle = "zq rare anchor needle phrase xv"
+    rows = [{"doc_id": "needle", "text": needle}]
+    for i in range(30):
+        pad = " ".join(f"p{rng.integers(0, 10 ** 6)}" for _ in range(3 + i % 4))
+        rows.append({"doc_id": f"wrap/{i}", "text": f"h{i} {pad} {needle} t{i} {pad}"})
+    # nested wrapper: wrap/0's full text inside a bigger shell
+    rows.append({"doc_id": "shell", "text": "S " + rows[1]["text"] + " outer tail S"})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    expected = {(f"wrap/{i}", "needle") for i in range(30)}
+    expected |= {("shell", "needle"), ("shell", "wrap/0")}
+    got_sa = _edge_set(containment_edges(ds, anchors=None, id_col="doc_id", verify="suffix_array"))
+    got_find = _edge_set(containment_edges(ds, anchors=None, id_col="doc_id"))
+    assert got_sa == expected
+    assert got_find == expected
