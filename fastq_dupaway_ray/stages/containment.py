@@ -221,13 +221,18 @@ def containment_edges(
 
     ``verify`` picks the in-bucket substring verifier. ``"find"`` (default)
     probes each text against the concatenation of strictly-longer group
-    members with ``str.find`` — O(needles x haystack) worst case but
-    memmem-fast on natural text. ``"suffix_array"`` is the north rule's
+    members with ``str.find`` (CPython two-way search: linear worst case,
+    memmem-fast constants). ``"suffix_array"`` is the north rule's
     suffix-array substring pass: ONE prefix-doubled suffix array over the
     group haystack, then an O(|needle| log n) binary search per needle —
-    total O((H + sum |needle|) log H) per group, immune to the pathological
-    repeated-substring corpora that degrade find to quadratic. Both emit the
-    identical edge set (test-pinned). Byte-level matching on UTF-8 is
+    total O((H + sum |needle|) log H) per group. Both emit the identical
+    edge set (test-pinned). Measured (BASELINE.md round 3): find wins both
+    on natural text (0.47 vs 0.95 s, sf0.01) AND on a periodic 200-doc
+    nested chain built to stress it (2.9 vs 4.1 s) — with group size capped
+    at ``max_bucket`` the scan count never outgrows the SA's lexsort
+    constants, so find stays the default; the SA mode is the reusable-index
+    form (one structure serves all probes — the shape to extend if groups
+    ever carry thousands of members). Byte-level matching on UTF-8 is
     codepoint-exact (lead/continuation byte ranges are disjoint)."""
     from .minhash import _default_shuffle_buckets, _hash_exchange_tasks
     from .simhash import dedup_edge_list
