@@ -66,6 +66,10 @@ def test_containment_exact_equals_bruteforce(ray_session, texts):
         if len(a["text"]) > len(b["text"]) and b["text"] in a["text"]
     }
     assert got_set == want
+    # suffix-array verifier: identical edge set on the same repeat-rich texts
+    sa = containment_edges(ds, anchors=None, id_col="url", verify="suffix_array").to_pandas()
+    sa_set = set(zip(sa["a"], sa["b"])) if len(sa) else set()
+    assert sa_set == want
 
 
 @given(
