@@ -47,6 +47,19 @@ def test_quarantine_split(ray_session):
     assert bad.count() == 2
 
 
+@pytest.mark.parametrize("mode", ["exact", "minhash", "simhash"])
+def test_run_dedup_deterministic_kept_set(ds, mode):
+    """Two runs over the same input keep the IDENTICAL url set — seeded
+    hashes + deterministic tie-breaks, the property that makes Ray task
+    retries reproduce identical outputs (SURVEY §4 fault-tolerance row)."""
+    kwargs = {"mode": mode, "emit_clusters": False, "signer_concurrency": 2}
+    if mode == "simhash":
+        kwargs["distance"] = 3
+    a = run_dedup(ds, DedupConfig(**kwargs)).kept.to_pandas()
+    b = run_dedup(ds, DedupConfig(**kwargs)).kept.to_pandas()
+    assert sorted(a["url"]) == sorted(b["url"])
+
+
 @pytest.mark.parametrize("mode", ["exact", "tight", "loose", "minhash"])
 def test_run_dedup_modes(ds, mode):
     out = run_dedup(ds, DedupConfig(mode=mode, signer_concurrency=2))
