@@ -408,9 +408,25 @@ def _hash_exchange_tasks(ds: ray.data.Dataset, key: str, B: int, fn) -> ray.data
     only their column of the slice matrix — on multi-node, Ray fetches those
     slices over the network exactly like shuffle blocks).
     """
-    refs = _nonempty_block_refs(ds)
+    mat = ds.materialize()
+    refs, rows, rows_known = [], 0, True
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None:
+                refs.append(ref)
+                rows_known = False
+            elif meta.num_rows > 0:  # zero-row blocks can be SCHEMA-LESS
+                refs.append(ref)
+                rows += meta.num_rows
     if not refs:
         return ray.data.from_arrow(fn(None))
+    if rows_known:
+        # size the reduce fan-out to the data: a tiny exchange (oracle-scale
+        # inputs, zero-duplicate drop sets) pays B reduce tasks of fixed
+        # scheduling cost otherwise. >=4096 rows per reducer amortizes task
+        # overhead; the configured B stays the cap, so multi-million-row
+        # exchanges (the measured 1M-row wins) are unchanged
+        B = min(B, max(1, rows // 4096))
     if B <= 1:
         red = [_exchange_reduce.remote(fn, *refs)]
     else:

@@ -147,3 +147,37 @@ def test_exchange_skips_schema_less_empty_blocks(ray_session):
     mixed = base.union(emptied)
     out2 = _hash_exchange_tasks(mixed, "k", 4, per_bucket)
     assert sorted(out2.to_pandas()["k"]) == list(range(8))
+
+
+def test_exchange_adaptive_fanout_keeps_keys_colocated(ray_session):
+    """The exchange sizes its reduce fan-out to the materialized row count
+    (>=4096 rows per reducer, capped at the configured B) so oracle-scale
+    inputs stop paying B fixed-cost reduce tasks. The invariant that makes
+    any fan-out correct: every key's rows land in exactly ONE fn call."""
+    import pyarrow as pa
+
+    from fastq_dupaway_ray.stages.minhash import _hash_exchange_tasks
+
+    def bucket_counts(t):
+        if t is None or t.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.uint64()), "n": pa.array([], pa.int64())})
+        k = t["k"].to_numpy()
+        uk, n = np.unique(k, return_counts=True)
+        return pa.table({"k": pa.array(uk, pa.uint64()), "n": pa.array(n, pa.int64())})
+
+    # tiny input, huge configured B -> collapses to one reducer; every key
+    # still appears exactly once with its full count
+    tiny = rd.from_pandas(
+        pd.DataFrame({"k": np.arange(8, dtype=np.uint64).repeat(3)})
+    ).repartition(4)
+    out = _hash_exchange_tasks(tiny, "k", 64, bucket_counts).to_pandas()
+    assert sorted(out["k"]) == list(range(8))
+    assert (out["n"] == 3).all()
+
+    # medium input -> multiple reducers; same invariant
+    med = rd.from_pandas(
+        pd.DataFrame({"k": (np.arange(20_000, dtype=np.uint64) % 100)})
+    ).repartition(8)
+    out2 = _hash_exchange_tasks(med, "k", 64, bucket_counts).to_pandas()
+    assert len(out2) == 100  # each key in exactly one fn call
+    assert (out2["n"] == 200).all()
