@@ -158,3 +158,45 @@ def test_join_unordered_equals_refmodel(ray_session, lkeys, rkeys):
     ref_pairs, ref_unmatched = refmodel.join_unordered(lrows, rrows, key="url")
     assert jr.matched == len(ref_pairs)
     assert jr.unmatched == ref_unmatched
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=300),
+    n_blocks=st.integers(min_value=1, max_value=6),
+    B=st.integers(min_value=1, max_value=64),
+)
+@SET
+def test_hash_exchange_equals_pandas_groupby(ray_session, keys, n_blocks, B):
+    """The task exchange (now under every slim shuffle AND adaptive in its
+    reduce fan-out) must equal a plain pandas groupby-count for ANY key
+    distribution, block layout, and configured bucket count — including
+    skewed/colliding keys and blocks the repartition leaves empty."""
+    import pyarrow as pa
+
+    from fastq_dupaway_ray.stages.minhash import _hash_exchange_tasks
+
+    def bucket_counts(t):
+        if t is None or t.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.uint64()), "n": pa.array([], pa.int64())})
+        uk, n = np.unique(t["k"].to_numpy(), return_counts=True)
+        return pa.table({"k": pa.array(uk, pa.uint64()), "n": pa.array(n, pa.int64())})
+
+    ds = rd.from_pandas(pd.DataFrame({"k": np.array(keys, dtype=np.uint64)})).repartition(
+        n_blocks
+    )
+    got = (
+        _hash_exchange_tasks(ds, "k", B, bucket_counts)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.Series(np.array(keys, dtype=np.uint64))
+        .value_counts()
+        .rename_axis("k")
+        .reset_index(name="n")
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
