@@ -117,3 +117,49 @@ def language_id(texts: np.ndarray) -> np.ndarray:
                 best_lang, best_n = lang, n
         out[i] = best_lang
     return out
+
+def dup_trigram_stats(texts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc duplicate word-trigram repetition signal (the Gopher /
+    RefinedWeb "dup n-gram fraction" quality rule): returns
+    ``(n_trigrams, dup_trigram_frac)`` where the fraction is
+    ``1 - distinct/total`` (0.0 for docs with fewer than 3 tokens).
+
+    Vectorized across the whole batch: one token flatten, one 64-bit hash
+    pass, trigram keys by shifted-index mixing, distinct counts via a single
+    (doc, key) lexsort — no per-document Python in the counting path.
+    """
+    import pandas as pd
+
+    n = len(texts)
+    total = np.zeros(n, dtype=np.int64)
+    frac = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return total, frac
+    toks = pd.Series(texts, dtype=object).fillna("").str.split()
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    total = np.maximum(lens - 2, 0)
+    if lens.sum() == 0 or total.sum() == 0:
+        return total, frac
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks.to_numpy()])
+    h = pd.util.hash_array(flat)
+    doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+    ends = np.cumsum(lens)
+    idx = np.arange(len(flat), dtype=np.int64)
+    # trigram start positions: i, i+1, i+2 all inside the same doc
+    valid = idx <= ends[doc] - 3
+    p = idx[valid]
+    m1 = np.uint64(0x9E3779B97F4A7C15)
+    m2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    th = (h[p] * m1) ^ (h[p + 1] * m2) ^ (h[p + 2] + m1)
+    tdoc = doc[p]
+    order = np.lexsort((th, tdoc))
+    st, td = th[order], tdoc[order]
+    new = np.ones(len(st), dtype=bool)
+    new[1:] = (st[1:] != st[:-1]) | (td[1:] != td[:-1])
+    distinct = np.bincount(td[new], minlength=n).astype(np.int64)
+    # no rounding: the fraction is one IEEE division + subtraction, bit-equal
+    # to the SQL oracle's arithmetic (numpy round is half-even, DuckDB's is
+    # half-away — rounding would DIVERGE on dyadic ties like 1/128)
+    has = total > 0
+    frac[has] = 1.0 - distinct[has] / total[has]
+    return total, frac

@@ -1175,6 +1175,66 @@ SQL_QUALITY_SCORES_DOCS = r"""
 """
 
 
+def q_repetition_docs(sf_dir: str):
+    """Per-doc duplicate word-trigram repetition signal (the Gopher /
+    RefinedWeb dup-ngram quality rule): n_trigrams and 1 - distinct/total.
+    Batch-vectorized (one flatten + hash + lexsort per batch); the SQL oracle
+    replays the identical arithmetic on exploded trigram strings."""
+    from .functions.textstats import dup_trigram_stats
+
+    def add(t: pa.Table) -> pa.Table:
+        total, frac = dup_trigram_stats(t["text"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_trigrams": pa.array(total, pa.int64()),
+                "dup_trigram_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        add, batch_format="pyarrow"
+    )
+
+
+SQL_REPETITION_DOCS = r"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        FROM documents
+    ), tri AS (
+        SELECT doc_id, a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS g
+        FROM toks, unnest(generate_series(1, len(a) - 2)) AS t(i)
+        WHERE len(a) >= 3
+    ), s AS (
+        SELECT doc_id, count(*) AS n_tri, count(DISTINCT g) AS n_dist
+        FROM tri GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_tri, 0) AS n_trigrams,
+           coalesce(1.0 - s.n_dist / s.n_tri::DOUBLE, 0.0) AS dup_trigram_frac
+    FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
+def q_cap_per_source_docs(sf_dir: str):
+    """Per-source quota cap (RefinedWeb-style per-domain budget): keep each
+    source's 10 smallest doc_ids. Combiner + slim threshold exchange +
+    broadcast filter — the hot-key-safe shape (stages/quota.py)."""
+    from .stages.quota import cap_per_key
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "source"])
+    return cap_per_key(ds, key_col="source", order_col="doc_id", n=10)
+
+
+SQL_CAP_PER_SOURCE_DOCS = """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 10
+"""
+
+
 def q_lang_id_docs(sf_dir: str):
     """Stopword-vote language ID — the heuristic is exactly SQL-expressible
     (distinct-token intersection counts per language, earlier-code tiebreak),
@@ -1762,6 +1822,8 @@ REGISTRY = {
     "token_counts_bpe_docs": (q_token_counts_bpe_docs, SQL_TOKEN_COUNTS_BPE_DOCS),
     "quality_scores_docs": (q_quality_scores_docs, SQL_QUALITY_SCORES_DOCS),
     "lang_id_docs": (q_lang_id_docs, _lang_id_sql()),
+    "repetition_docs": (q_repetition_docs, SQL_REPETITION_DOCS),
+    "cap_per_source_docs": (q_cap_per_source_docs, SQL_CAP_PER_SOURCE_DOCS),
     "fingerprint_docs": (q_fingerprint_docs, SQL_FINGERPRINT_DOCS),
     "minhash_dedup_docs": (q_minhash_dedup_docs, SQL_NEAR_KEPT),
     "minhash_oph_dedup_docs": (q_minhash_oph_dedup_docs, SQL_NEAR_KEPT),

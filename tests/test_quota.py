@@ -1,0 +1,86 @@
+"""Per-key quota cap (stages/quota.py) and the duplicate-trigram repetition
+kernel — exactness vs brute-force pandas/Python oracles under key skew."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from fastq_dupaway_ray.functions.textstats import dup_trigram_stats
+from fastq_dupaway_ray.stages.quota import cap_per_key
+
+
+def _corpus(n_rows: int, n_keys: int, seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "source": [f"s{int(x) % n_keys}" for x in rng.zipf(1.5, n_rows)],
+            "doc_id": rng.permutation(n_rows),
+            "text": ["x" * int(c) for c in rng.integers(3, 40, n_rows)],
+        }
+    )
+
+
+def _expected(df: pd.DataFrame, n: int) -> pd.DataFrame:
+    exp = (
+        df.sort_values(["source", "doc_id"], kind="mergesort")
+        .groupby("source", sort=False)
+        .head(n)
+    )
+    return exp.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("n,parts", [(1, 7), (5, 1), (5, 13), (100, 4)])
+def test_cap_per_key_matches_pandas(ray_session, n, parts):
+    df = _corpus(8000, 30, seed=n * 31 + parts)
+    ds = rd.from_pandas(df).repartition(parts)
+    got = (
+        cap_per_key(ds, "source", "doc_id", n)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    exp = _expected(df, n)
+    assert list(got.columns) == list(df.columns)  # payload rides through
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_cap_per_key_under_cap_is_identity(ray_session):
+    """No key over the cap -> the stage returns the input unfiltered."""
+    df = _corpus(200, 200, seed=3)
+    ds = rd.from_pandas(df).repartition(5)
+    got = cap_per_key(ds, "source", "doc_id", 10_000).to_pandas()
+    assert len(got) == len(df)
+
+
+def test_cap_per_key_hot_key_single_block(ray_session):
+    """One block holding a whole hot key must still cap it: the combiner's
+    per-block count rows carry the global count even when the merged
+    candidate list is exactly n."""
+    df = pd.DataFrame(
+        {"source": ["hot"] * 500 + ["cold"], "doc_id": list(range(501)), "text": "t"}
+    )
+    ds = rd.from_pandas(df).repartition(1)
+    got = cap_per_key(ds, "source", "doc_id", 7).to_pandas()
+    hot = got[got["source"] == "hot"]
+    assert sorted(hot["doc_id"]) == list(range(7))
+    assert (got["source"] == "cold").sum() == 1
+
+
+def _tri_oracle(t):
+    toks = (t or "").split()
+    tris = [" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))]
+    total = len(tris)
+    return total, (1.0 - len(set(tris)) / total) if total else 0.0
+
+
+def test_dup_trigram_stats_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    vocab = np.array(["a", "bb", "ccc", "dd", "e"], dtype=object)
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 30))) for _ in range(300)]
+    texts += ["", None, "one two", "w w w w w w"]
+    arr = np.array(texts, dtype=object)
+    total, frac = dup_trigram_stats(arr)
+    for t, g_t, g_f in zip(arr, total, frac):
+        e_t, e_f = _tri_oracle(t)
+        assert (int(g_t), float(g_f)) == (e_t, e_f), (t, g_t, g_f, e_t, e_f)
