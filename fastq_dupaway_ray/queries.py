@@ -1235,6 +1235,23 @@ SQL_CAP_PER_SOURCE_DOCS = """
 """
 
 
+def q_length_quantiles_docs(sf_dir: str):
+    """Exact p50/p90/p99 of document length via the distributed value
+    histogram (no full sort — combiner + slim merge; stages/quantiles.py).
+    The percentile cutoffs a length-based quality filter feeds on."""
+    from .stages.quantiles import exact_quantiles
+
+    return exact_quantiles(_docs(sf_dir), "n_chars", qs=(0.5, 0.9, 0.99))
+
+
+SQL_LENGTH_QUANTILES_DOCS = """
+    SELECT quantile_disc(n_chars, 0.5) AS p50,
+           quantile_disc(n_chars, 0.9) AS p90,
+           quantile_disc(n_chars, 0.99) AS p99
+    FROM documents
+"""
+
+
 def q_lang_id_docs(sf_dir: str):
     """Stopword-vote language ID — the heuristic is exactly SQL-expressible
     (distinct-token intersection counts per language, earlier-code tiebreak),
@@ -1824,6 +1841,7 @@ REGISTRY = {
     "lang_id_docs": (q_lang_id_docs, _lang_id_sql()),
     "repetition_docs": (q_repetition_docs, SQL_REPETITION_DOCS),
     "cap_per_source_docs": (q_cap_per_source_docs, SQL_CAP_PER_SOURCE_DOCS),
+    "length_quantiles_docs": (q_length_quantiles_docs, SQL_LENGTH_QUANTILES_DOCS),
     "fingerprint_docs": (q_fingerprint_docs, SQL_FINGERPRINT_DOCS),
     "minhash_dedup_docs": (q_minhash_dedup_docs, SQL_NEAR_KEPT),
     "minhash_oph_dedup_docs": (q_minhash_oph_dedup_docs, SQL_NEAR_KEPT),

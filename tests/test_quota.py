@@ -84,3 +84,24 @@ def test_dup_trigram_stats_matches_bruteforce():
     for t, g_t, g_f in zip(arr, total, frac):
         e_t, e_f = _tri_oracle(t)
         assert (int(g_t), float(g_f)) == (e_t, e_f), (t, g_t, g_f, e_t, e_f)
+
+
+@pytest.mark.parametrize("parts,seed", [(1, 5), (11, 6)])
+def test_exact_quantiles_matches_numpy(ray_session, parts, seed):
+    from fastq_dupaway_ray.stages.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 300, 9173).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"n_chars": vals, "pad": "x"})).repartition(parts)
+    got = exact_quantiles(ds, "n_chars", qs=(0.5, 0.9, 0.99)).to_pandas()
+    s = np.sort(vals)
+    for q, c in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+        assert got[c].iloc[0] == s[int(np.floor(q * (len(s) - 1)))]
+
+
+def test_exact_quantiles_distinct_budget(ray_session):
+    from fastq_dupaway_ray.stages.quantiles import exact_quantiles
+
+    ds = rd.from_pandas(pd.DataFrame({"v": np.arange(1000, dtype=np.int64)}))
+    with pytest.raises(ValueError, match="distinct_budget"):
+        exact_quantiles(ds, "v", distinct_budget=10)
