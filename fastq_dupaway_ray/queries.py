@@ -1252,6 +1252,36 @@ SQL_LENGTH_QUANTILES_DOCS = """
 """
 
 
+def q_pack_sequences_docs(sf_dir: str):
+    """LLM sequence packing (concat-and-chunk): docs laid on a token tape in
+    doc_id order; each doc assigned the 2048-token training sequence its
+    first token lands in. Distributed prefix sum, two streaming passes, no
+    shuffle (stages/packing.py)."""
+    from .stages.packing import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), seq_len=2048)
+
+
+SQL_PACK_SEQUENCES_DOCS = r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               -- SUM over BIGINT is HUGEINT (-> float64 in pandas); cast back
+               CAST(coalesce(SUM(n_tokens) OVER (
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tok_offset
+        FROM t
+    )
+    SELECT doc_id, n_tokens, tok_offset,
+           CAST(tok_offset // 2048 AS BIGINT) AS seq_id
+    FROM c
+"""
+
+
 def q_lang_id_docs(sf_dir: str):
     """Stopword-vote language ID — the heuristic is exactly SQL-expressible
     (distinct-token intersection counts per language, earlier-code tiebreak),
@@ -1842,6 +1872,7 @@ REGISTRY = {
     "repetition_docs": (q_repetition_docs, SQL_REPETITION_DOCS),
     "cap_per_source_docs": (q_cap_per_source_docs, SQL_CAP_PER_SOURCE_DOCS),
     "length_quantiles_docs": (q_length_quantiles_docs, SQL_LENGTH_QUANTILES_DOCS),
+    "pack_sequences_docs": (q_pack_sequences_docs, SQL_PACK_SEQUENCES_DOCS),
     "fingerprint_docs": (q_fingerprint_docs, SQL_FINGERPRINT_DOCS),
     "minhash_dedup_docs": (q_minhash_dedup_docs, SQL_NEAR_KEPT),
     "minhash_oph_dedup_docs": (q_minhash_oph_dedup_docs, SQL_NEAR_KEPT),

@@ -105,3 +105,25 @@ def test_exact_quantiles_distinct_budget(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"v": np.arange(1000, dtype=np.int64)}))
     with pytest.raises(ValueError, match="distinct_budget"):
         exact_quantiles(ds, "v", distinct_budget=10)
+
+
+@pytest.mark.parametrize("parts", [1, 9])
+def test_pack_sequences_matches_pandas_scan(ray_session, parts):
+    from fastq_dupaway_ray.stages.packing import pack_sequences
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    words = [" ".join(["w"] * int(k)) for k in rng.integers(0, 60, n)]
+    df = pd.DataFrame({"doc_id": rng.permutation(n).astype(np.int64), "text": words})
+    ds = rd.from_pandas(df).repartition(parts)
+    got = pack_sequences(ds, seq_len=512).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = df.copy()
+    exp["n_tokens"] = exp["text"].str.split().str.len().fillna(0).astype(np.int64)
+    exp = exp.sort_values("doc_id").reset_index(drop=True)
+    exp["tok_offset"] = exp["n_tokens"].cumsum().shift(fill_value=0)
+    exp["seq_id"] = exp["tok_offset"] // 512
+    pd.testing.assert_frame_equal(
+        got, exp[["doc_id", "n_tokens", "tok_offset", "seq_id"]], check_dtype=False
+    )
+    # tape invariant: sequences are contiguous and non-decreasing in id order
+    assert (got["seq_id"].diff().fillna(0) >= 0).all()
