@@ -42,8 +42,18 @@ def cap_per_key(
     order_col: str,
     n: int,
     num_buckets: int | None = None,
+    threshold_budget: int = 20_000_000,
 ) -> ray.data.Dataset:
-    """Keep each ``key_col`` group's ``n`` smallest rows by ``order_col``."""
+    """Keep each ``key_col`` group's ``n`` smallest rows by ``order_col``.
+
+    The broadcast threshold index holds one (hash, key, threshold) entry per
+    OVER-CAP key — ~50 B each, shared per node via the object store, so the
+    default budget is ~1 GB/node. A corpus with more over-cap keys than that
+    raises (like ``exact_quantiles``' distinct budget) rather than silently
+    materializing an unbounded driver object: split the keyspace (run the cap
+    per key-range partition — thresholds are independent across keys) or
+    raise the budget on fat-memory nodes.
+    """
     from .minhash import _default_shuffle_buckets, _fetch_cached, _hash_exchange_tasks
 
     if n < 1:
@@ -101,6 +111,12 @@ def cap_per_key(
     if not thr_tabs:
         return ds  # no key over cap — nothing to drop
     thr_tab = pa.concat_tables(thr_tabs)
+    if thr_tab.num_rows > threshold_budget:
+        raise ValueError(
+            f"cap_per_key: {thr_tab.num_rows} over-cap keys exceeds "
+            f"threshold_budget={threshold_budget}; run per key-range partition "
+            "(thresholds are independent across keys) or raise the budget"
+        )
     # ready broadcast index: keys sorted by 64-bit hash, threshold + the key
     # strings ride along so a (rare) hash collision never caps the wrong key
     tdf = thr_tab.to_pandas()

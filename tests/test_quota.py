@@ -127,3 +127,10 @@ def test_pack_sequences_matches_pandas_scan(ray_session, parts):
     )
     # tape invariant: sequences are contiguous and non-decreasing in id order
     assert (got["seq_id"].diff().fillna(0) >= 0).all()
+
+
+def test_cap_per_key_threshold_budget(ray_session):
+    df = pd.DataFrame({"source": ["a"] * 5 + ["b"] * 5, "doc_id": range(10), "text": "t"})
+    ds = rd.from_pandas(df)
+    with pytest.raises(ValueError, match="threshold_budget"):
+        cap_per_key(ds, "source", "doc_id", 2, threshold_budget=1)
