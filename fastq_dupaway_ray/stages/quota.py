@@ -4,8 +4,9 @@ Web corpora are power-law skewed across hosts/sources; a training mix caps
 how many documents any one key (domain, source, crawl) may contribute
 (the RefinedWeb-style per-domain quota). Semantics: for each key, keep its
 ``n`` smallest rows by ``order_col`` (a deterministic winner set — the
-reference's first-wins discipline, fastq-dupaway `src/comparator.cpp:L24`
-order-dependence, generalized to a per-key budget), drop the rest.
+reference's first-seen-wins discipline, fastq-dupaway
+`src/hash_dup_remover.hpp:130-138` insert-if-absent, generalized from
+"first 1 per content key" to a per-key budget of n), drop the rest.
 
 Scale shape (the reason this is not `groupby(key).map_groups(head)`):
 
