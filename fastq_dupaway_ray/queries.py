@@ -1037,6 +1037,37 @@ SQL_JOIN_ORDERS_CUSTOMER = """
 """
 
 
+def q_anti_join_customers_orders(sf_dir: str):
+    """Anti-join emitting rows (J1's unmatch_reads residue as data, not a
+    count): customers with no HIGH-VALUE order (every synthetic customer has
+    some order, so the right side is filtered to make the residue real).
+    Broadcast key-set filter at this scale; exchange-distinct + left_outer
+    marker join above budget. Result is collected to Arrow: Ray's
+    ``to_pandas`` drops the schema of an all-empty dataset, and an anti-join
+    is exactly the query shape that can legitimately return zero rows."""
+    import ray
+
+    from .stages.join import anti_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 250000")
+    orders = orders.rename_columns({"o_custkey": "c_custkey"})
+    res = anti_join(cust, orders, key="c_custkey")
+    tabs = [t for t in ray.get(res.materialize().to_arrow_refs()) if t.num_rows > 0]
+    if tabs:
+        return pa.concat_tables(tabs).select(["c_custkey", "c_name"])
+    return pa.table({"c_custkey": pa.array([], pa.int64()), "c_name": pa.array([], pa.string())})
+
+
+SQL_ANTI_JOIN_CUSTOMERS_ORDERS = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+"""
+
+
 def q_join_unmatched_counts(sf_dir: str):
     """Matched/unmatched accounting of the unordered join (unmatch_reads)."""
     from .stages.join import join_unordered
@@ -1865,6 +1896,7 @@ REGISTRY = {
     "join_orders_customer": (q_join_orders_customer, SQL_JOIN_ORDERS_CUSTOMER),
     "unordered_join_dedup_docs": (q_unordered_join_dedup_docs, SQL_UNORDERED_JOIN_DEDUP_DOCS),
     "join_unmatched_counts": (q_join_unmatched_counts, SQL_JOIN_UNMATCHED_COUNTS),
+    "anti_join_customers_orders": (q_anti_join_customers_orders, SQL_ANTI_JOIN_CUSTOMERS_ORDERS),
     "token_counts_docs": (q_token_counts_docs, SQL_TOKEN_COUNTS_DOCS),
     "token_counts_bpe_docs": (q_token_counts_bpe_docs, SQL_TOKEN_COUNTS_BPE_DOCS),
     "quality_scores_docs": (q_quality_scores_docs, SQL_QUALITY_SCORES_DOCS),

@@ -83,3 +83,37 @@ def test_tied_order_duplicates_through_join(ray_session):
     res = join_unordered(rd.from_pandas(left), rd.from_pandas(right), key="url")
     assert res.matched == 20
     assert res.unmatched == 0
+
+
+def test_anti_join_both_limbs_match_pandas(ray_session):
+    import numpy as np
+
+    from fastq_dupaway_ray.stages.join import anti_join
+
+    rng = np.random.default_rng(3)
+    L = pd.DataFrame({"key": rng.integers(0, 900, 5000), "val": rng.normal(size=5000)})
+    R = pd.DataFrame({"key": rng.integers(400, 1300, 3000), "x": 1})
+    exp = (
+        L[~L["key"].isin(R["key"])].sort_values(["key", "val"]).reset_index(drop=True)
+    )
+    for budget in (2_000_000, 0):  # broadcast limb, then exchange+left_outer limb
+        got = (
+            anti_join(
+                rd.from_pandas(L).repartition(7),
+                rd.from_pandas(R).repartition(5),
+                "key",
+                broadcast_budget=budget,
+            )
+            .to_pandas()
+            .sort_values(["key", "val"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["key", "val"]], exp[["key", "val"]])
+
+
+def test_anti_join_empty_right_is_identity(ray_session):
+    from fastq_dupaway_ray.stages.join import anti_join
+
+    L = pd.DataFrame({"key": [f"k{i % 50}" for i in range(300)], "v": range(300)})
+    R = pd.DataFrame({"key": pd.Series([], dtype=object)})
+    assert len(anti_join(rd.from_pandas(L), rd.from_pandas(R), "key").to_pandas()) == 300
