@@ -790,6 +790,29 @@ SQL_STREAMING_DEDUP_DOCS = f"""
 """
 
 
+def q_streaming_quota_docs(sf_dir: str):
+    """Streaming per-key quota (ingest-time per-domain cap through the
+    sharded QuotaShard actors): WHICH rows survive is arrival-order-
+    dependent, but the admitted COUNT per key is exactly min(count, n)
+    under any order/concurrency — oracle = least(count(*), 10)."""
+    from ray.data.aggregate import Count
+
+    from .stages.streaming import streaming_cap
+
+    kept, _index = streaming_cap(_docs(sf_dir), n=10, key_col="source", n_shards=4)
+    return (
+        kept.select_columns(["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="kept"))
+        .to_pandas()
+    )
+
+
+SQL_STREAMING_QUOTA_DOCS = """
+    SELECT source, least(count(*), 10) AS kept FROM documents GROUP BY source
+"""
+
+
 def q_streaming_neardup_docs(sf_dir: str):
     """Incremental MinHash NEAR-dedup through the sharded band-index actors
     (the streaming analogue of the flagship; which member of each planted
@@ -1897,6 +1920,7 @@ REGISTRY = {
     "unordered_join_dedup_docs": (q_unordered_join_dedup_docs, SQL_UNORDERED_JOIN_DEDUP_DOCS),
     "join_unmatched_counts": (q_join_unmatched_counts, SQL_JOIN_UNMATCHED_COUNTS),
     "anti_join_customers_orders": (q_anti_join_customers_orders, SQL_ANTI_JOIN_CUSTOMERS_ORDERS),
+    "streaming_quota_docs": (q_streaming_quota_docs, SQL_STREAMING_QUOTA_DOCS),
     "token_counts_docs": (q_token_counts_docs, SQL_TOKEN_COUNTS_DOCS),
     "token_counts_bpe_docs": (q_token_counts_bpe_docs, SQL_TOKEN_COUNTS_BPE_DOCS),
     "quality_scores_docs": (q_quality_scores_docs, SQL_QUALITY_SCORES_DOCS),

@@ -25,6 +25,7 @@ Design:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
@@ -397,6 +398,113 @@ def streaming_dedup_exact(
     kept = ds.map_batches(
         StreamingDedup,
         fn_constructor_kwargs={"shard_handles": index, "key_cols": key_cols},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return kept, index
+
+
+@ray.remote(num_cpus=0.25)
+class QuotaShard:
+    """Streaming per-key quota shard: owns keys with ``hash(key) % S ==
+    shard_id`` and their running admit counts (ST1-style mutable state — the
+    reference's insert-if-absent seen set generalized to admit-while-below-n,
+    `/root/reference/src/hash_dup_remover.hpp:130-138`).
+
+    ``reserve`` is atomic per actor call, so the TOTAL admitted per key never
+    exceeds n even under concurrent ingest batches (which rows win under
+    concurrency > 1 is arrival-order-dependent, like the other streaming
+    stages; the per-key admit count is exact regardless). The loop below is
+    per UNIQUE key per batch (scalar int math, distinct keys << rows), not
+    per row.
+    """
+
+    def __init__(self, n: int):
+        self.n = n
+        self.counts: dict = {}
+
+    def reserve(self, keys, wanted) -> np.ndarray:
+        granted = np.zeros(len(keys), dtype=np.int64)
+        for j, k in enumerate(keys):
+            c = self.counts.get(k, 0)
+            room = self.n - c
+            if room > 0:
+                g = min(int(wanted[j]), room)
+                self.counts[k] = c + g
+                granted[j] = g
+        return granted
+
+    def size(self) -> int:
+        return len(self.counts)
+
+
+class StreamingQuota:
+    """map_batches callable: admit a row only while its key's running count
+    (across everything already ingested) is below ``n`` — the per-domain cap
+    as an INGEST filter. Within a batch, earlier rows win (vectorized
+    cumcount ranks against the shards' granted budgets)."""
+
+    def __init__(self, shard_handles, n: int, key_col: str = "source"):
+        self.shards = shard_handles
+        self.n = n
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        if nrows == 0:
+            return batch
+        keys = batch[self.key_col].to_numpy(zero_copy_only=False).astype(object)
+        codes, uniques = pd.factorize(keys)
+        # rank of each row within its key, in batch order (one stable argsort)
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        starts = np.r_[0, np.flatnonzero(sc[1:] != sc[:-1]) + 1]
+        runlens = np.diff(np.r_[starts, len(sc)])
+        pos_in_run = np.arange(len(sc)) - np.repeat(starts, runlens)
+        ranks = np.empty(nrows, dtype=np.int64)
+        ranks[order] = pos_in_run
+        wanted = np.bincount(codes, minlength=len(uniques))
+        S = len(self.shards)
+        owner = (pd.util.hash_array(np.asarray(uniques, dtype=object)) % np.uint64(S)).astype(np.int64)
+        granted = np.zeros(len(uniques), dtype=np.int64)
+        futures, slots = [], []
+        for s in range(S):
+            rows = np.nonzero(owner == s)[0]
+            if len(rows):
+                futures.append(
+                    self.shards[s].reserve.remote(
+                        [uniques[i] for i in rows], wanted[rows]
+                    )
+                )
+                slots.append(rows)
+        for rows, g in zip(slots, ray.get(futures)):
+            granted[rows] = g
+        return batch.filter(pa.array(ranks < granted[codes]))
+
+
+def make_quota_index(n: int, n_shards: int = 8):
+    """Spin up the quota shard pool; reuse across incremental ingest runs."""
+    return [QuotaShard.remote(n) for _ in range(n_shards)]
+
+
+def streaming_cap(
+    ds: ray.data.Dataset,
+    n: int,
+    key_col: str = "source",
+    index=None,
+    n_shards: int = 8,
+    batch_size: int = 2048,
+    concurrency=(1, 8),
+):
+    """Returns (kept_dataset, index): rows admitted while their key is below
+    its quota. Feed later slices the same ``index`` to keep capping against
+    everything already ingested (the streaming sibling of
+    ``stages.quota.cap_per_key``)."""
+    index = index if index is not None else make_quota_index(n, n_shards)
+    kept = ds.map_batches(
+        StreamingQuota,
+        fn_constructor_kwargs={"shard_handles": index, "n": n, "key_col": key_col},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

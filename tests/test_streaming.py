@@ -193,3 +193,36 @@ def test_band_shard_query_stacked_layout(ray_session):
     assert ids == ["z", "x", "y"]
     assert sigs.shape == (3, K)
     assert sigs[0, 0] == 2 * K  # z's first signature slot
+
+
+def test_streaming_cap_counts_exact_any_concurrency(ray_session):
+    import numpy as np
+
+    from fastq_dupaway_ray.stages.streaming import streaming_cap
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "source": [f"s{int(x) % 25}" for x in rng.zipf(1.4, 6000)],
+            "doc_id": np.arange(6000),
+        }
+    )
+    exp = df["source"].value_counts().clip(upper=7).sort_index()
+    for conc in (1, (1, 4)):
+        kept, index = streaming_cap(
+            rd.from_pandas(df).repartition(9), n=7, key_col="source", concurrency=conc
+        )
+        got = kept.to_pandas()["source"].value_counts().sort_index()
+        pd.testing.assert_series_equal(got, exp, check_names=False)
+        assert got.max() <= 7
+
+
+def test_streaming_cap_incremental_reuses_index(ray_session):
+    from fastq_dupaway_ray.stages.streaming import streaming_cap
+
+    a = pd.DataFrame({"source": ["x"] * 5, "doc_id": range(5)})
+    b = pd.DataFrame({"source": ["x"] * 5, "doc_id": range(5, 10)})
+    kept_a, index = streaming_cap(rd.from_pandas(a), n=7, key_col="source", concurrency=1)
+    assert kept_a.count() == 5
+    kept_b, _ = streaming_cap(rd.from_pandas(b), n=7, key_col="source", index=index, concurrency=1)
+    assert kept_b.count() == 2  # 5 already admitted; only 2 quota slots left
