@@ -1336,6 +1336,41 @@ SQL_PACK_SEQUENCES_DOCS = r"""
 """
 
 
+def q_decontamination_docs(sf_dir: str):
+    """Benchmark decontamination: training docs (the augmented corpus)
+    containing an eval doc's text verbatim. Eval set = base docs with
+    doc_id % PREFIX_MOD == 0 (their planted prefix-extensions guarantee a
+    nonempty result); the tiny eval side broadcasts once, the corpus is
+    scanned in one shuffle-free vectorized pass (stages/decontaminate.py)."""
+    from .stages.decontaminate import contamination_pairs
+
+    def pick_eval(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return t.filter(pa.array(ids % PREFIX_MOD == 0))
+
+    eval_ds = _docs(sf_dir).map_batches(pick_eval, batch_format="pyarrow")
+    pairs = contamination_pairs(augmented_docs(sf_dir), eval_ds)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()), "eval_id": t["eval_id"].cast(pa.int64())}
+        )
+
+    return pairs.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_DECONTAMINATION_DOCS = f"""
+    WITH aug AS ({_AUGMENT_SQL}),
+    eval AS (
+        SELECT doc_id AS eval_id, text AS eval_text FROM documents
+        WHERE doc_id % {PREFIX_MOD} = 0
+    )
+    SELECT a.doc_id, e.eval_id
+    FROM aug a JOIN eval e
+      ON position(e.eval_text IN a.text) > 0 AND a.doc_id <> e.eval_id
+"""
+
+
 def q_lang_id_docs(sf_dir: str):
     """Stopword-vote language ID — the heuristic is exactly SQL-expressible
     (distinct-token intersection counts per language, earlier-code tiebreak),
@@ -1921,6 +1956,7 @@ REGISTRY = {
     "join_unmatched_counts": (q_join_unmatched_counts, SQL_JOIN_UNMATCHED_COUNTS),
     "anti_join_customers_orders": (q_anti_join_customers_orders, SQL_ANTI_JOIN_CUSTOMERS_ORDERS),
     "streaming_quota_docs": (q_streaming_quota_docs, SQL_STREAMING_QUOTA_DOCS),
+    "decontamination_docs": (q_decontamination_docs, SQL_DECONTAMINATION_DOCS),
     "token_counts_docs": (q_token_counts_docs, SQL_TOKEN_COUNTS_DOCS),
     "token_counts_bpe_docs": (q_token_counts_bpe_docs, SQL_TOKEN_COUNTS_BPE_DOCS),
     "quality_scores_docs": (q_quality_scores_docs, SQL_QUALITY_SCORES_DOCS),
