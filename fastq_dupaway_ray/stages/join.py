@@ -296,11 +296,17 @@ def anti_join(
         return out
 
     def distinct_keys(t: pa.Table | None) -> pa.Table:
-        if t is None or t.num_rows == 0:
+        if t is None:
+            # only reachable when the whole exchange is empty (single table)
             return pa.table({key: pa.array([], pa.string()), "_m": pa.array([], pa.int8())})
+        # zero-row reduces still carry the real schema — derive the key type
+        # from it so int-keyed datasets don't mix string/int64 blocks
+        schema = pa.schema([t.schema.field(key), pa.field("_m", pa.int8())])
+        if t.num_rows == 0:
+            return schema.empty_table()
         df = t.to_pandas().drop_duplicates(subset=[key])
         df["_m"] = np.int8(1)
-        return pa.Table.from_pandas(df[[key, "_m"]], preserve_index=False)
+        return pa.Table.from_pandas(df[[key, "_m"]], preserve_index=False, schema=schema)
 
     marker = _hash_exchange_tasks(
         slim.map_batches(bucketize, batch_format="pandas"), "_kbkt", B, distinct_keys

@@ -117,3 +117,25 @@ def test_anti_join_empty_right_is_identity(ray_session):
     L = pd.DataFrame({"key": [f"k{i % 50}" for i in range(300)], "v": range(300)})
     R = pd.DataFrame({"key": pd.Series([], dtype=object)})
     assert len(anti_join(rd.from_pandas(L), rd.from_pandas(R), "key").to_pandas()) == 300
+
+
+def test_anti_join_fallback_int_keys(ray_session):
+    """The exchange + left_outer limb on int64 keys: the distinct-keys
+    reducer must emit the key's REAL dtype (its zero-row branch derives the
+    schema from the slice rather than hardcoding string — defensive, since
+    the adaptive fan-out collapses tiny exchanges to one reducer)."""
+    import numpy as np
+
+    from fastq_dupaway_ray.stages.join import anti_join
+
+    L = pd.DataFrame({"key": np.array([1, 2, 3, 4, 5] * 2000, dtype=np.int64),
+                      "v": np.arange(10000)})
+    R = pd.DataFrame({"key": np.array([2, 4] * 3000, dtype=np.int64)})
+    got = anti_join(
+        rd.from_pandas(L).repartition(8),
+        rd.from_pandas(R).repartition(8),
+        "key",
+        broadcast_budget=0,  # force the exchange + left_outer limb
+    ).to_pandas()
+    assert sorted(got["key"].unique()) == [1, 3, 5]
+    assert len(got) == 6000
