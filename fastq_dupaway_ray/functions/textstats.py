@@ -163,3 +163,22 @@ def dup_trigram_stats(texts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     has = total > 0
     frac[has] = 1.0 - distinct[has] / total[has]
     return total, frac
+
+# PII patterns shared by redact_pii and its SQL oracle — RE2 semantics in
+# BOTH engines (pyarrow and DuckDB bundle RE2), so replacement parity is
+# exact, not approximate
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"
+
+
+def redact_pii(arr: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """(clean_text, n_pii) — emails then phones replaced with typed tags
+    (the PII-scrub stage of a web-text curation pipeline), all vectorized
+    RE2 kernels. n_pii counts matches BEFORE replacement."""
+    n = pc.add(
+        pc.count_substring_regex(arr, PII_EMAIL_RE),
+        pc.count_substring_regex(arr, PII_PHONE_RE),
+    )
+    clean = pc.replace_substring_regex(arr, pattern=PII_EMAIL_RE, replacement="<EMAIL>")
+    clean = pc.replace_substring_regex(clean, pattern=PII_PHONE_RE, replacement="<PHONE>")
+    return clean, pc.cast(n, pa.int64())

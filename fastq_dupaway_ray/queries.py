@@ -1371,6 +1371,54 @@ SQL_DECONTAMINATION_DOCS = f"""
 """
 
 
+def q_redact_docs(sf_dir: str):
+    """PII scrub (emails + phone numbers -> typed tags) over a corpus with
+    deterministically PLANTED contacts (doc_id % 3 == 0 gets an email+phone
+    suffix built from the doc_id — the natural corpus has no PII, so the
+    plant makes the redaction real). pyarrow and DuckDB both bundle RE2, so
+    the replacement parity is exact, not approximate."""
+    from .functions.textstats import redact_pii
+
+    def plant_redact(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        text = t["text"].combine_chunks()
+        suffix = pc.binary_join_element_wise(
+            pa.array([" contact u"] * t.num_rows),
+            pc.cast(ids, pa.string()).combine_chunks(),
+            pa.array(["@example.com or 555-123-4567"] * t.num_rows),
+            "",
+        )
+        mask = pa.array(ids.to_numpy() % 3 == 0)
+        planted = pc.if_else(
+            mask, pc.binary_join_element_wise(text, suffix, ""), text
+        )
+        clean, n_pii = redact_pii(planted)
+        return pa.table({"doc_id": ids, "clean_text": clean, "n_pii": n_pii})
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        plant_redact, batch_format="pyarrow"
+    )
+
+
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE_SQL = "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b"
+SQL_REDACT_DOCS = f"""
+    WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' contact u' || doc_id || '@example.com or 555-123-4567'
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE_SQL}', '<PHONE>', 'g') AS clean_text,
+           len(regexp_extract_all(text, '{_PII_EMAIL_SQL}'))
+             + len(regexp_extract_all(text, '{_PII_PHONE_SQL}')) AS n_pii
+    FROM planted
+"""
+
+
 def q_lang_id_docs(sf_dir: str):
     """Stopword-vote language ID — the heuristic is exactly SQL-expressible
     (distinct-token intersection counts per language, earlier-code tiebreak),
@@ -1957,6 +2005,7 @@ REGISTRY = {
     "anti_join_customers_orders": (q_anti_join_customers_orders, SQL_ANTI_JOIN_CUSTOMERS_ORDERS),
     "streaming_quota_docs": (q_streaming_quota_docs, SQL_STREAMING_QUOTA_DOCS),
     "decontamination_docs": (q_decontamination_docs, SQL_DECONTAMINATION_DOCS),
+    "redact_docs": (q_redact_docs, SQL_REDACT_DOCS),
     "token_counts_docs": (q_token_counts_docs, SQL_TOKEN_COUNTS_DOCS),
     "token_counts_bpe_docs": (q_token_counts_bpe_docs, SQL_TOKEN_COUNTS_BPE_DOCS),
     "quality_scores_docs": (q_quality_scores_docs, SQL_QUALITY_SCORES_DOCS),

@@ -281,3 +281,29 @@ def test_oph_batch_signatures_bit_identical():
         assert np.array_equal(batch[i], per), (i, t)
     # dispatch: signatures_batch routes char-shingle OPH through the batch path
     assert np.array_equal(h.signatures_batch(texts), batch)
+
+
+def test_redact_pii_kernel():
+    import pyarrow as pa
+
+    from fastq_dupaway_ray.functions.textstats import redact_pii
+
+    clean, n = redact_pii(
+        pa.array(
+            [
+                "write a.b+c@x-y.org today",
+                "call 555-123-4567 or 555 987 6543",
+                "nothing here",
+                "",
+                "two mails a@b.co c@d.io and 123-456-7890",
+            ]
+        )
+    )
+    assert clean.to_pylist() == [
+        "write <EMAIL> today",
+        "call <PHONE> or <PHONE>",
+        "nothing here",
+        "",
+        "two mails <EMAIL> <EMAIL> and <PHONE>",
+    ]
+    assert n.to_pylist() == [1, 2, 0, 0, 3]
