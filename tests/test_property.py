@@ -200,3 +200,59 @@ def test_hash_exchange_equals_pandas_groupby(ray_session, keys, n_blocks, B):
     )
     assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
     assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+
+
+@given(
+    keys=st.lists(st.sampled_from("pqrst"), min_size=1, max_size=60),
+    n=st.integers(min_value=1, max_value=5),
+    parts=st.integers(min_value=1, max_value=6),
+)
+@SET
+def test_cap_per_key_equals_pandas(ray_session, keys, n, parts):
+    from fastq_dupaway_ray.stages.quota import cap_per_key
+
+    df = pd.DataFrame(
+        {"k": keys, "o": np.arange(len(keys), dtype=np.int64), "pay": "x"}
+    )
+    got = (
+        cap_per_key(rd.from_pandas(df).repartition(parts), "k", "o", n)
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["k", "o"], kind="mergesort")
+        .groupby("k", sort=False)
+        .head(n)
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=50),
+    seq_len=st.integers(min_value=1, max_value=13),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@SET
+def test_pack_sequences_equals_serial_scan(ray_session, toks, seq_len, parts):
+    from fastq_dupaway_ray.stages.packing import pack_sequences
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(toks), dtype=np.int64),
+            "text": [" ".join(["w"] * t) for t in toks],
+        }
+    )
+    got = (
+        pack_sequences(rd.from_pandas(df).repartition(parts), seq_len=seq_len)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n_tok = np.array(toks, dtype=np.int64)
+    off = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+    assert got["n_tokens"].tolist() == n_tok.tolist()
+    assert got["tok_offset"].tolist() == off.tolist()
+    assert got["seq_id"].tolist() == (off // seq_len).tolist()
