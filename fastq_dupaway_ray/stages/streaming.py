@@ -494,7 +494,7 @@ def streaming_cap(
     key_col: str = "source",
     index=None,
     n_shards: int = 8,
-    batch_size: int = 2048,
+    batch_size: int = 8192,
     concurrency=(1, 8),
 ):
     """Returns (kept_dataset, index): rows admitted while their key is below
