@@ -164,6 +164,50 @@ def dup_trigram_stats(texts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     frac[has] = 1.0 - distinct[has] / total[has]
     return total, frac
 
+def dup_line_stats(
+    texts, sep: str = "\n"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc duplicate-line repetition signal (the Gopher line-level
+    quality rule, companion to :func:`dup_trigram_stats`): returns
+    ``(n_lines, dup_line_frac, dup_line_char_frac)`` where a duplicate is a
+    line whose exact text already appeared EARLIER IN THE SAME DOCUMENT, the
+    first fraction is duplicates/total lines, and the second is the
+    characters inside duplicate occurrences over the doc's total line
+    characters (0.0 when the doc has zero line characters).
+
+    Vectorized across the batch: one Arrow ``split_pattern``, one hash-table
+    duplicated pass over (doc, line) pairs (exact string equality — pandas'
+    C hashtable, not a hash-only shortcut), bincount reductions per doc.
+    """
+    import pandas as pd
+
+    arr = texts
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(np.asarray(texts, dtype=object), pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.astype(np.float64), z.astype(np.float64)
+    la = pc.split_pattern(pc.fill_null(arr, ""), pattern=sep)
+    offsets = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offsets)
+    flat = la.flatten()
+    doc = np.repeat(np.arange(n, dtype=np.int64), counts)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    dup = pd.DataFrame(
+        {"d": doc, "l": flat.to_numpy(zero_copy_only=False)}
+    ).duplicated().to_numpy()
+    dup_cnt = np.bincount(doc[dup], minlength=n).astype(np.int64)
+    tot_chars = np.bincount(doc, weights=lens, minlength=n)
+    dup_chars = np.bincount(doc[dup], weights=lens[dup], minlength=n)
+    # plain IEEE divisions, bit-equal to the SQL oracle's arithmetic
+    frac = dup_cnt / np.maximum(counts, 1)
+    char_frac = np.where(tot_chars > 0, dup_chars / np.maximum(tot_chars, 1), 0.0)
+    return counts, frac, char_frac
+
+
 # PII patterns shared by redact_pii and its SQL oracle — RE2 semantics in
 # BOTH engines (pyarrow and DuckDB bundle RE2), so replacement parity is
 # exact, not approximate

@@ -1270,6 +1270,150 @@ SQL_REPETITION_DOCS = r"""
 """
 
 
+# --------------------------------------------------- paragraph-level corpus
+
+_PARA_SEP = "\n\n"
+
+# doc i's paragraphs are the TEXTS of other documents picked by modular
+# arithmetic — cross-doc duplicate paragraphs are planted by construction
+# (each pool text appears as a paragraph of ~2-3 docs, boilerplate-style)
+# and the SQL oracle rebuilds the identical corpus with self-joins
+_PARA_CORPUS_SQL = """
+    WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+    paras AS (
+        SELECT i.doc_id, i.lang, i.source, 0 AS pos, p.text AS para
+        FROM documents i CROSS JOIN nn
+        JOIN documents p ON p.doc_id = (i.doc_id * 7 + 1) % nn.n
+        UNION ALL
+        SELECT i.doc_id, i.lang, i.source, 1, p.text
+        FROM documents i CROSS JOIN nn
+        JOIN documents p ON p.doc_id = (i.doc_id * 13 + 5) % nn.n
+        UNION ALL
+        SELECT i.doc_id, i.lang, i.source, 2, p.text
+        FROM documents i CROSS JOIN nn
+        JOIN documents p ON p.doc_id = (i.doc_id * 29 + 11) % nn.n
+        WHERE i.doc_id % 3 = 0
+    )
+"""
+
+
+def paragraph_docs(sf_dir: str) -> rd.Dataset:
+    """Deterministic multi-paragraph corpus over the documents table.
+
+    Doc i = pool[(7i+1)%N] ⊕ pool[(13i+5)%N] (⊕ pool[(29i+11)%N] when i%3==0),
+    joined by blank lines, where pool is the documents' own texts (none of
+    which contain a newline — verified property of the driver corpus, so the
+    engine's split on the separator recovers exactly these paragraphs).
+    Oracle scaffolding like :func:`augmented_near_docs`: the pool broadcast is
+    test-scale machinery, not a pipeline stage.
+    """
+    import ray
+
+    import pyarrow.parquet as pq
+
+    pool = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])["text"]
+        .to_numpy(zero_copy_only=False)
+        .astype(object)
+    )
+    n_pool = len(pool)
+    pool_ref = ray.put(pool)
+
+    def build(t: pa.Table) -> pa.Table:
+        from .stages.minhash import _fetch_cached
+
+        pool = _fetch_cached(pool_ref)
+        ids = t["doc_id"].to_numpy()
+        p0 = pool[(ids * 7 + 1) % n_pool]
+        p1 = pool[(ids * 13 + 5) % n_pool]
+        p2 = pool[(ids * 29 + 11) % n_pool]
+        texts = p0 + _PARA_SEP + p1
+        has3 = ids % 3 == 0
+        texts[has3] = texts[has3] + _PARA_SEP + p2[has3]
+        ta = pa.array(texts, pa.string())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": ta,
+                "lang": t["lang"],
+                "source": t["source"],
+                "n_chars": pc.utf8_length(ta).cast(pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(build, batch_format="pyarrow")
+
+
+def q_paragraph_dedup_docs(sf_dir: str):
+    """Corpus-wide keep-first PARAGRAPH dedup (CCNet / RefinedWeb-style):
+    the first occurrence of each exact paragraph survives, later occurrences
+    are removed from their documents, documents are rebuilt from the
+    survivors (dropped entirely when nothing survives). Drop-set dual of
+    dedup_exact — document text never enters a shuffle on the default limb
+    (stages/paradedup.py)."""
+    from .stages.paradedup import paragraph_dedup
+
+    return paragraph_dedup(
+        paragraph_docs(sf_dir), id_cols=("doc_id",), sep=_PARA_SEP
+    )
+
+
+SQL_PARAGRAPH_DEDUP_DOCS = f"""
+    {_PARA_CORPUS_SQL},
+    kept AS (
+        SELECT * FROM paras
+        QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1
+    )
+    SELECT doc_id,
+           string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+           any_value(lang) AS lang,
+           any_value(source) AS source,
+           length(string_agg(para, chr(10) || chr(10) ORDER BY pos)) AS n_chars
+    FROM kept GROUP BY doc_id
+"""
+
+
+def q_line_repetition_docs(sf_dir: str):
+    """Per-doc duplicate-LINE repetition signal (the Gopher line-level
+    quality rule, companion to repetition_docs' trigram fraction): fraction
+    of lines repeating an earlier line of the same doc, and the character
+    mass inside those repeats. Batch-vectorized (one Arrow split + one
+    hashtable pass per batch)."""
+    from .functions.textstats import dup_line_stats
+
+    def add(t: pa.Table) -> pa.Table:
+        n, f, cf = dup_line_stats(t["text"], sep=_PARA_SEP)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_lines": pa.array(n, pa.int64()),
+                "dup_line_frac": pa.array(f, pa.float64()),
+                "dup_line_char_frac": pa.array(cf, pa.float64()),
+            }
+        )
+
+    return paragraph_docs(sf_dir).map_batches(add, batch_format="pyarrow")
+
+
+SQL_LINE_REPETITION_DOCS = f"""
+    {_PARA_CORPUS_SQL},
+    m AS (
+        SELECT doc_id, para, pos,
+               row_number() OVER (PARTITION BY doc_id, para ORDER BY pos) AS rn
+        FROM paras
+    )
+    SELECT doc_id,
+           count(*) AS n_lines,
+           sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / count(*)::DOUBLE
+               AS dup_line_frac,
+           CASE WHEN sum(length(para)) = 0 THEN 0.0
+                ELSE sum(CASE WHEN rn > 1 THEN length(para) ELSE 0 END)
+                     / sum(length(para))::DOUBLE
+           END AS dup_line_char_frac
+    FROM m GROUP BY doc_id
+"""
+
+
 def q_cap_per_source_docs(sf_dir: str):
     """Per-source quota cap (RefinedWeb-style per-domain budget): keep each
     source's 10 smallest doc_ids. Combiner + slim threshold exchange +
@@ -2012,6 +2156,8 @@ REGISTRY = {
     "lang_id_docs": (q_lang_id_docs, _lang_id_sql()),
     "repetition_docs": (q_repetition_docs, SQL_REPETITION_DOCS),
     "cap_per_source_docs": (q_cap_per_source_docs, SQL_CAP_PER_SOURCE_DOCS),
+    "paragraph_dedup_docs": (q_paragraph_dedup_docs, SQL_PARAGRAPH_DEDUP_DOCS),
+    "line_repetition_docs": (q_line_repetition_docs, SQL_LINE_REPETITION_DOCS),
     "length_quantiles_docs": (q_length_quantiles_docs, SQL_LENGTH_QUANTILES_DOCS),
     "pack_sequences_docs": (q_pack_sequences_docs, SQL_PACK_SEQUENCES_DOCS),
     "fingerprint_docs": (q_fingerprint_docs, SQL_FINGERPRINT_DOCS),
