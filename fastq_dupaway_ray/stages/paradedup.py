@@ -190,8 +190,12 @@ def paragraph_dedup(
     ddf = drops.to_pandas()
     if len(ddf) == 0:
         return ds  # nothing to drop (an all-empty Dataset also loses its schema)
-    # READY broadcast index: sorted by (_d1, _dp) ONCE here, not per worker
-    order = np.lexsort((ddf["_dp"].to_numpy(), ddf["_d1"].to_numpy()))
+    # READY broadcast index sorted ONCE here, not per worker. PRIMARY key is
+    # _dp (the position-folded hash — uniform, so equal-key runs are
+    # birthday-rare as _pair_lookup_pos assumes); sorting by _d1 instead
+    # would create a length-k run for every doc with k dropped paragraphs
+    # and push millions of probes into the helper's Python run-scan
+    order = np.lexsort((ddf["_d1"].to_numpy(), ddf["_dp"].to_numpy()))
     drop_ref = ray.put(
         pa.table(
             {
@@ -209,9 +213,9 @@ def paragraph_dedup(
         q1 = d1[doc_idx]
         q2 = combine_hash64(d2[doc_idx], pos.astype(np.uint64))
         idx = _fetch_cached(
-            drop_ref, lambda t: (t["_d1"].to_numpy(), t["_dp"].to_numpy())
+            drop_ref, lambda t: (t["_dp"].to_numpy(), t["_d1"].to_numpy())
         )
-        _, found = _pair_lookup_pos(idx[0], idx[1], q1, q2)
+        _, found = _pair_lookup_pos(idx[0], idx[1], q2, q1)
         texts, kept_counts = _rebuild_texts(flat, ~found, counts, doc_idx, sep)
         out = batch.set_column(
             batch.schema.get_field_index(text_col), text_col, texts
