@@ -1270,6 +1270,124 @@ SQL_REPETITION_DOCS = r"""
 """
 
 
+# ----------------------------------------------------- cross-corpus dedup
+
+_XC_COPY_MOD = 3
+_XC_COPY_OFFSET = 1_000_000
+_XC_FRESH_OFFSET = 2_000_000
+_XC_FRESH_SUFFIX = " fresh"
+
+
+def _cross_b_docs(sf_dir: str) -> rd.Dataset:
+    """Corpus B for cross-dedup: exact copies of every 3rd reference doc
+    (contamination) ∪ fresh variants of all docs (clean)."""
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        copy = t.filter(pa.array(ids % _XC_COPY_MOD == 0))
+        copy = copy.set_column(0, "doc_id", pc.add(copy["doc_id"], _XC_COPY_OFFSET))
+        fresh_text = pc.binary_join_element_wise(
+            t["text"].combine_chunks(), pa.scalar(_XC_FRESH_SUFFIX), ""
+        )
+        fresh = t.set_column(0, "doc_id", pc.add(t["doc_id"], _XC_FRESH_OFFSET))
+        fresh = fresh.set_column(fresh.schema.get_field_index("text"), "text", fresh_text)
+        fresh = fresh.set_column(
+            fresh.schema.get_field_index("n_chars"),
+            "n_chars",
+            pc.add(fresh["n_chars"], len(_XC_FRESH_SUFFIX)),
+        )
+        return pa.concat_tables([copy, fresh])
+
+    return _docs(sf_dir).map_batches(build, batch_format="pyarrow")
+
+
+def q_cross_dedup_exact_docs(sf_dir: str):
+    """Cross-corpus EXACT dedup: drop corpus-B rows whose content identity
+    appears in the reference corpus (adding a new crawl to a curated
+    dataset). Slim side-tagged identity exchange -> contaminated-identity
+    drop set broadcast -> one streaming filter; payload-exchange fallback
+    above budget (stages/crossdedup.py)."""
+    from .stages.crossdedup import cross_dedup_exact
+
+    return cross_dedup_exact(_cross_b_docs(sf_dir), _docs(sf_dir), key_cols=("text",))
+
+
+SQL_CROSS_DEDUP_EXACT_DOCS = f"""
+    WITH b AS (
+        SELECT doc_id + {_XC_COPY_OFFSET} AS doc_id, text, lang, source, n_chars
+        FROM documents WHERE doc_id % {_XC_COPY_MOD} = 0
+        UNION ALL
+        SELECT doc_id + {_XC_FRESH_OFFSET}, text || '{_XC_FRESH_SUFFIX}', lang, source,
+               n_chars + {len(_XC_FRESH_SUFFIX)}
+        FROM documents
+    )
+    SELECT b.* FROM b
+    WHERE NOT EXISTS (SELECT 1 FROM documents a WHERE a.text = b.text)
+"""
+
+
+def q_cross_dedup_near_docs(sf_dir: str):
+    """Cross-corpus NEAR dedup (MinHash/LSH): corpus-B docs sharing a
+    verified near-dup cluster with a reference doc are dropped; B-internal
+    near-pairs survive (that is the within-corpus pipeline's job). Planted
+    classes on the synthesized near-corpus (see the near-dup section
+    comment): exact + above-threshold copies drop, reversed + fresh +
+    B-internal pairs keep — pure doc_id arithmetic for the oracle."""
+    from .stages.crossdedup import cross_dedup_minhash
+
+    ref = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def build_a(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": pa.array([_near_text(int(i)) for i in ids], pa.string()),
+            }
+        )
+
+    def build_b(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        out_ids, out_texts = [], []
+        for i in ids:
+            i = int(i)
+            base = _near_text(i)
+            if i % NEAR_EXACT_MOD == 0:
+                out_ids.append(i + NEAR_EXACT_OFFSET); out_texts.append(base)
+            if i % NEAR_ABOVE_MOD == 0:
+                out_ids.append(i + NEAR_ABOVE_OFFSET); out_texts.append(base + NEAR_MARKER)
+            if i % NEAR_BELOW_MOD == 0:
+                out_ids.append(i + NEAR_BELOW_OFFSET); out_texts.append(base[::-1])
+            out_ids.append(i + 7_000_000); out_texts.append(_near_text(i + 7_000_000))
+            if i % 17 == 0:  # B-internal near pair: both must survive
+                t8 = _near_text(i + 8_000_000)
+                out_ids.append(i + 8_000_000); out_texts.append(t8)
+                out_ids.append(i + 8_500_000); out_texts.append(t8 + NEAR_MARKER)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_texts, pa.string()),
+            }
+        )
+
+    a = ref.map_batches(build_a, batch_format="pyarrow")
+    b = ref.map_batches(build_b, batch_format="pyarrow")
+    kept = cross_dedup_minhash(b, a, id_col="doc_id", text_col="text")
+    return kept.select_columns(["doc_id"])
+
+
+SQL_CROSS_DEDUP_NEAR_DOCS = f"""
+    SELECT doc_id + {NEAR_BELOW_OFFSET} AS doc_id
+    FROM documents WHERE doc_id % {NEAR_BELOW_MOD} = 0
+    UNION ALL
+    SELECT doc_id + 7000000 FROM documents
+    UNION ALL
+    SELECT doc_id + 8000000 FROM documents WHERE doc_id % 17 = 0
+    UNION ALL
+    SELECT doc_id + 8500000 FROM documents WHERE doc_id % 17 = 0
+"""
+
+
 # --------------------------------------------------- paragraph-level corpus
 
 _PARA_SEP = "\n\n"
@@ -2158,6 +2276,8 @@ REGISTRY = {
     "cap_per_source_docs": (q_cap_per_source_docs, SQL_CAP_PER_SOURCE_DOCS),
     "paragraph_dedup_docs": (q_paragraph_dedup_docs, SQL_PARAGRAPH_DEDUP_DOCS),
     "line_repetition_docs": (q_line_repetition_docs, SQL_LINE_REPETITION_DOCS),
+    "cross_dedup_exact_docs": (q_cross_dedup_exact_docs, SQL_CROSS_DEDUP_EXACT_DOCS),
+    "cross_dedup_near_docs": (q_cross_dedup_near_docs, SQL_CROSS_DEDUP_NEAR_DOCS),
     "length_quantiles_docs": (q_length_quantiles_docs, SQL_LENGTH_QUANTILES_DOCS),
     "pack_sequences_docs": (q_pack_sequences_docs, SQL_PACK_SEQUENCES_DOCS),
     "fingerprint_docs": (q_fingerprint_docs, SQL_FINGERPRINT_DOCS),
