@@ -153,10 +153,12 @@ def _cross_filter_shuffle(
         ).append_column("_side", pa.array(np.ones(len(k1), dtype=np.int8), pa.int8()))
 
     payload_cols = corpus.schema().names
-    # materialize the tagged corpus to learn its REAL Arrow schema (the
-    # exchange reduce concatenates blocks, so both union sides must match it
-    # exactly — drop rows are padded with typed nulls below)
-    tagged = corpus.map_batches(tag, batch_format="pyarrow").materialize()
+    # the exchange reduce concatenates blocks, so both union sides must match
+    # schemas exactly — drop rows are padded with typed nulls below.
+    # Dataset.schema() on the tagged side peeks at ONE block (our own Arrow
+    # map fn, so real pyarrow types) without materializing the payload — the
+    # exchange downstream is the single full pass over the corpus
+    tagged = corpus.map_batches(tag, batch_format="pyarrow")
     ts = tagged.schema()
     full_schema = pa.schema(list(zip(ts.names, ts.types)))
 
@@ -351,8 +353,8 @@ def _cross_filter_shuffle_ids(
             "_k2", pa.array(h2, pa.uint64())
         ).append_column("_side", pa.array(np.ones(len(h1), dtype=np.int8), pa.int8()))
 
-    tagged = corpus.map_batches(tag, batch_format="pyarrow").materialize()
-    ts = tagged.schema()
+    tagged = corpus.map_batches(tag, batch_format="pyarrow")
+    ts = tagged.schema()  # one-block peek, not a materialize (see exact limb)
     full_schema = pa.schema(list(zip(ts.names, ts.types)))
 
     def tag_drop(t: pa.Table) -> pa.Table:
