@@ -614,6 +614,62 @@ SQL_TOP_TOKENS_DOCS = r"""
 """
 
 
+def q_doc_frequency_docs(sf_dir: str):
+    """Top-25 tokens by DOCUMENT frequency (the DF half of IDF — stopword /
+    boilerplate detection feeds on this). Combiner counts each token once
+    per doc within the batch (a doc is one row, so partial DFs are exact);
+    the merge bucket owns each token wholly, so per-bucket top-k is globally
+    correct before the driver's final head."""
+    from .stages.minhash import _default_shuffle_buckets
+
+    B = _default_shuffle_buckets()
+
+    def explode_df(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df):
+            toks = df["text"].str.split()
+            flat = np.concatenate(toks.to_numpy())
+            doc = np.repeat(np.arange(len(df)), toks.str.len().to_numpy())
+            pairs = pd.DataFrame({"d": doc, "token": flat}).drop_duplicates()
+            cnt = pairs["token"].value_counts()
+        else:
+            cnt = pd.Series([], dtype=np.int64)
+        out = pd.DataFrame({"token": cnt.index, "df": cnt.to_numpy()})
+        out["_bkt"] = pd.util.hash_array(out["token"].to_numpy(dtype=object)) % B
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", as_index=False).agg(df=("df", "sum"))
+        return g.sort_values(
+            ["df", "token"], ascending=[False, True], kind="mergesort"
+        ).head(25)
+
+    counts = (
+        _docs(sf_dir)
+        .select_columns(["text"])
+        .map_batches(explode_df, batch_format="pandas")
+        .groupby("_bkt")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    counts = counts.sort_values(
+        ["df", "token"], ascending=[False, True], kind="mergesort"
+    ).head(25)
+    return counts.reset_index(drop=True)
+
+
+SQL_DOC_FREQUENCY_DOCS = r"""
+    SELECT token, count(*) AS df FROM (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents WHERE trim(text) <> ''
+        )
+    )
+    GROUP BY token
+    ORDER BY df DESC, token ASC
+    LIMIT 25
+"""
+
+
 def q_events_sliding_window(sf_dir: str):
     """Hopping-window aggregate (1h window, 30min hop): each event lands in
     two windows — explode to window starts in the batch (combiner), then one
@@ -2239,6 +2295,7 @@ REGISTRY = {
     "quality_filter_docs": (q_quality_filter_docs, SQL_QUALITY_FILTER_DOCS),
     "lang_dist_docs": (q_lang_dist_docs, SQL_LANG_DIST_DOCS),
     "top_tokens_docs": (q_top_tokens_docs, SQL_TOP_TOKENS_DOCS),
+    "doc_frequency_docs": (q_doc_frequency_docs, SQL_DOC_FREQUENCY_DOCS),
     "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "dedup_exact_composite_docs": (q_dedup_exact_composite_docs, SQL_DEDUP_EXACT_COMPOSITE_DOCS),
