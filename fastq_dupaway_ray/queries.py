@@ -1588,6 +1588,30 @@ SQL_LINE_REPETITION_DOCS = f"""
 """
 
 
+def q_dedup_lines_within_docs(sf_dir: str):
+    """WITHIN-document line dedup (removal twin of line_repetition_docs):
+    repeats of an earlier line of the same doc are removed, text rebuilt.
+    Pure map — zero shuffles at any corpus size (stages/paradedup.py)."""
+    from .stages.paradedup import dedup_lines_within
+
+    return dedup_lines_within(paragraph_docs(sf_dir), sep=_PARA_SEP)
+
+
+SQL_DEDUP_LINES_WITHIN_DOCS = f"""
+    {_PARA_CORPUS_SQL},
+    kept AS (
+        SELECT * FROM paras
+        QUALIFY row_number() OVER (PARTITION BY doc_id, para ORDER BY pos) = 1
+    )
+    SELECT doc_id,
+           string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+           any_value(lang) AS lang,
+           any_value(source) AS source,
+           length(string_agg(para, chr(10) || chr(10) ORDER BY pos)) AS n_chars
+    FROM kept GROUP BY doc_id
+"""
+
+
 def q_cap_per_source_docs(sf_dir: str):
     """Per-source quota cap (RefinedWeb-style per-domain budget): keep each
     source's 10 smallest doc_ids. Combiner + slim threshold exchange +
@@ -2333,6 +2357,7 @@ REGISTRY = {
     "cap_per_source_docs": (q_cap_per_source_docs, SQL_CAP_PER_SOURCE_DOCS),
     "paragraph_dedup_docs": (q_paragraph_dedup_docs, SQL_PARAGRAPH_DEDUP_DOCS),
     "line_repetition_docs": (q_line_repetition_docs, SQL_LINE_REPETITION_DOCS),
+    "dedup_lines_within_docs": (q_dedup_lines_within_docs, SQL_DEDUP_LINES_WITHIN_DOCS),
     "cross_dedup_exact_docs": (q_cross_dedup_exact_docs, SQL_CROSS_DEDUP_EXACT_DOCS),
     "cross_dedup_near_docs": (q_cross_dedup_near_docs, SQL_CROSS_DEDUP_NEAR_DOCS),
     "length_quantiles_docs": (q_length_quantiles_docs, SQL_LENGTH_QUANTILES_DOCS),

@@ -231,6 +231,46 @@ def paragraph_dedup(
     return ds.map_batches(rebuild, batch_format="pyarrow")
 
 
+def dedup_lines_within(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    sep: str = "\n",
+    recount_col: str | None = "n_chars",
+) -> ray.data.Dataset:
+    """WITHIN-document line dedup — remove every repeat of an earlier line of
+    the same document (the removal twin of
+    functions.textstats.dup_line_stats; corpus-wide dedup is
+    :func:`paragraph_dedup`). A pure ``map_batches`` — zero shuffles, zero
+    driver state: each document's decision depends only on itself, so this
+    stage costs one streaming pass at any corpus size. Every document keeps
+    at least its first line, so no rows are dropped.
+    """
+    import pandas as pd
+
+    def fix(batch: pa.Table) -> pa.Table:
+        flat, doc_idx, _pos, counts = _flatten_paragraphs(batch[text_col], sep)
+        dup = (
+            pd.DataFrame(
+                {"d": doc_idx, "l": flat.to_numpy(zero_copy_only=False)}
+            )
+            .duplicated()
+            .to_numpy()
+        )
+        texts, _kept = _rebuild_texts(flat, ~dup, counts, doc_idx, sep)
+        out = batch.set_column(
+            batch.schema.get_field_index(text_col), text_col, texts
+        )
+        if recount_col is not None and recount_col in batch.column_names:
+            out = out.set_column(
+                out.schema.get_field_index(recount_col),
+                recount_col,
+                pc.utf8_length(texts).cast(out.schema.field(recount_col).type),
+            )
+        return out
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
 def _paragraph_dedup_shuffle(
     ds: ray.data.Dataset,
     text_col: str,

@@ -100,6 +100,28 @@ def test_paragraph_dedup_unique_corpus_is_identity(ray_session):
     assert len(got) == 50
 
 
+def test_dedup_lines_within_matches_bruteforce(ray_session):
+    from fastq_dupaway_ray.stages.paradedup import dedup_lines_within
+
+    df = _corpus(300, 12, seed=23)  # tiny pool -> many within-doc repeats
+    ds = rd.from_pandas(df).repartition(7)
+    got = (
+        dedup_lines_within(ds, sep=SEP)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(df)  # no docs dropped
+    for r, orig in zip(got.itertuples(), df.sort_values("doc_id").itertuples()):
+        seen, keep = set(), []
+        for p in orig.text.split(SEP):
+            if p not in seen:
+                seen.add(p)
+                keep.append(p)
+        assert r.text == SEP.join(keep)
+        assert r.n_chars == len(r.text)
+
+
 def test_dup_line_stats_matches_bruteforce():
     rng = np.random.default_rng(5)
     pool = [f"line {i}" for i in range(8)]
