@@ -197,6 +197,51 @@ def _cross_filter_shuffle(
     return _hash_exchange_tasks(both, "_k1", num_buckets, bucket_filter)
 
 
+def _tag_side(ds: ray.data.Dataset, prefix: str, id_col: str, text_col: str) -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.string())
+        tagged = pc.binary_join_element_wise(
+            pa.array([prefix] * batch.num_rows), ids.combine_chunks(), ""
+        )
+        return pa.table({id_col: tagged, text_col: batch[text_col]})
+
+    return ds.select_columns([id_col, text_col]).map_batches(fn, batch_format="pyarrow")
+
+
+def sign_reference_bands(
+    reference: ray.data.Dataset,
+    id_col: str = "url",
+    text_col: str = "text",
+    params=None,
+) -> ray.data.Dataset:
+    """Sign the curated corpus ONCE for reuse across cross_dedup_minhash
+    runs: returns its numeric band rows (band_key, h1, h2 — three uint64
+    columns), side-tagged exactly as cross_dedup_minhash tags them
+    internally. Persist with ``.write_parquet(dir)`` and reload with
+    ``ray.data.read_parquet(dir)``; pass as ``reference_bands=``. At 10^12
+    docs this amortizes the dominant cost of cross-corpus near-dedup — the
+    A-side signing — across every new crawl deduped against A (the verify
+    stage still column-prune-scans A's (id, text) to gather the few
+    endpoint texts that candidate edges actually touch).
+    """
+    from ..functions.sketches import MinHashParams
+    from .minhash import sign_and_band
+
+    params = params or MinHashParams()
+    return _tag_side(reference, "A:", id_col, text_col).map_batches(
+        sign_and_band,
+        fn_kwargs={
+            "params": params,
+            "text_col": text_col,
+            "id_col": id_col,
+            "order_cols": (id_col,),
+            "numeric_ids": True,
+        },
+        batch_format="pyarrow",
+        batch_size=2048,
+    )
+
+
 def cross_dedup_minhash(
     corpus: ray.data.Dataset,
     reference: ray.data.Dataset,
@@ -207,6 +252,7 @@ def cross_dedup_minhash(
     num_buckets: int = 64,
     drop_broadcast_budget: int = 5_000_000,
     counters: dict | None = None,
+    reference_bands: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Drop every ``corpus`` doc sharing a verified near-dup CLUSTER with a
     ``reference`` doc; returns the filtered corpus (lazy).
@@ -226,23 +272,9 @@ def cross_dedup_minhash(
 
     params = params or MinHashParams()
 
-    def tag(prefix: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            ids = pc.cast(batch[id_col], pa.string())
-            tagged = pc.binary_join_element_wise(
-                pa.array([prefix] * batch.num_rows), ids.combine_chunks(), ""
-            )
-            return pa.table({id_col: tagged, text_col: batch[text_col]})
-
-        return fn
-
-    union = reference.select_columns([id_col, text_col]).map_batches(
-        tag("A:"), batch_format="pyarrow"
-    ).union(
-        corpus.select_columns([id_col, text_col]).map_batches(
-            tag("B:"), batch_format="pyarrow"
-        )
-    )
+    a_tagged = _tag_side(reference, "A:", id_col, text_col)
+    b_tagged = _tag_side(corpus, "B:", id_col, text_col)
+    union = a_tagged.union(b_tagged)
     edges = dedup_edges_minhash(
         union,
         params=params,
@@ -251,6 +283,11 @@ def cross_dedup_minhash(
         order_cols=(id_col,),
         threshold=threshold,
         emit="ids",
+        # incremental mode: A's band rows were persisted by a prior
+        # sign_reference_bands run — sign only the new crawl (B); the verify
+        # stage still gathers endpoint texts from the full union
+        sign_pages=None if reference_bands is None else b_tagged,
+        extra_band_rows=reference_bands,
     )
     labels = connected_components(edges)
 

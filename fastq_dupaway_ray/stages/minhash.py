@@ -1472,6 +1472,8 @@ def dedup_edges_minhash(
     raw_edge_budget: int = 2_000_000,  # retired: dedup is now a task exchange
     out: dict | None = None,
     emit: str = "ids",  # "ids" (public string contract) | "numeric" (flagship)
+    sign_pages: ray.data.Dataset | None = None,
+    extra_band_rows: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """pages -> verified near-duplicate candidate edges (a, b)[, jaccard].
 
@@ -1479,6 +1481,16 @@ def dedup_edges_minhash(
     stages.components.connected_components and stages.representative.
     (``raw_edge_budget`` is kept for API compatibility; the edge dedup no
     longer needs a driver-vs-distributed budget decision — see below.)
+
+    Incremental reuse: ``sign_pages`` restricts the SIGNING pass to a subset
+    of ``pages`` (default: all of them), and ``extra_band_rows`` unions
+    pre-computed band rows into the LSH input — together they let a caller
+    persist one corpus's band rows once (write_parquet) and re-sign only the
+    new side on later runs (see stages.crossdedup.sign_reference_bands). The
+    extra rows MUST have been signed with the same params and the same
+    numeric/string id mode as this call (numeric when ``verify=True``), and
+    ``pages`` must still cover every signed doc — the verify stage gathers
+    endpoint texts from ``pages``.
     """
     threshold = params.threshold() if threshold is None else threshold
     # NUMERIC SPINE (verify mode): band rows and candidate edges carry
@@ -1490,7 +1502,7 @@ def dedup_edges_minhash(
     # is no index to translate hashes back.
     numeric = bool(verify)
     slim_cols = [id_col, text_col] if numeric else sorted(set([id_col, text_col, *order_cols]))
-    slim = pages.select_columns(slim_cols)
+    slim = (sign_pages if sign_pages is not None else pages).select_columns(slim_cols)
     sign_kwargs = {
         "params": params,
         "text_col": text_col,
@@ -1522,6 +1534,10 @@ def dedup_edges_minhash(
     # ~6.7 s -> ~1.5 s at 2.3M raw edges, and it scales with CPUs. EB is
     # sized to 2x CPUs so the deduped blocks are already spread wide enough
     # for the verify task pool (no repartition barrier needed).
+    if extra_band_rows is not None:
+        # persisted rows from a prior signing run (same params + id mode,
+        # enforced by the caller contract in the docstring)
+        band_rows = band_rows.union(extra_band_rows)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     # edge-dedup exchange width: 2x CPUs, capped — the deduped edge list is
     # a few % of the corpus, and widening past ~32 reducers only multiplies

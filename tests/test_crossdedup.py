@@ -82,6 +82,30 @@ def _near_corpora():
     return pd.DataFrame(rows_a), pd.DataFrame(rows_b)
 
 
+def test_cross_dedup_minhash_presigned_reference_matches_direct(ray_session, tmp_path):
+    """Incremental mode: A's band rows persisted to parquet by
+    sign_reference_bands, reloaded, and passed as reference_bands= must
+    yield the IDENTICAL kept set as the direct (sign-everything) run."""
+    import ray.data as rdd
+
+    from fastq_dupaway_ray.stages.crossdedup import sign_reference_bands
+
+    a, b = _near_corpora()
+    bands_dir = str(tmp_path / "a_bands")
+    sign_reference_bands(rd.from_pandas(a).repartition(3)).write_parquet(bands_dir)
+    direct = cross_dedup_minhash(
+        rd.from_pandas(b).repartition(4), rd.from_pandas(a).repartition(4)
+    ).to_pandas()
+    incremental = cross_dedup_minhash(
+        rd.from_pandas(b).repartition(4),
+        rd.from_pandas(a).repartition(4),
+        reference_bands=rdd.read_parquet(bands_dir),
+    ).to_pandas()
+    assert sorted(incremental.url) == sorted(direct.url)
+    exp_drop = {u for u in b.url if u[0] in "em"}
+    assert set(b.url) - set(incremental.url) == exp_drop
+
+
 @pytest.mark.parametrize(
     "kwargs", [{}, {"drop_broadcast_budget": 0}], ids=["broadcast", "shuffle"]
 )
