@@ -164,6 +164,25 @@ def dup_trigram_stats(texts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     frac[has] = 1.0 - distinct[has] / total[has]
     return total, frac
 
+def flatten_lines(texts, sep: str):
+    """Split a string column on ``sep`` into (flat pieces, doc index,
+    position-within-doc, per-doc counts) — all-Arrow/numpy (one
+    ``split_pattern``; the ListArray offsets give counts and positions).
+    Shared by :func:`dup_line_stats` and stages.paradedup (the stat and the
+    removal twin must split identically)."""
+    arr = texts
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(np.asarray(texts, dtype=object), pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    la = pc.split_pattern(pc.fill_null(arr, ""), pattern=sep)
+    offsets = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    pos = np.arange(offsets[-1], dtype=np.int64) - np.repeat(offsets[:-1], counts)
+    return la.flatten(), doc_idx, pos, counts
+
+
 def dup_line_stats(
     texts, sep: str = "\n"
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -181,20 +200,11 @@ def dup_line_stats(
     """
     import pandas as pd
 
-    arr = texts
-    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
-        arr = pa.array(np.asarray(texts, dtype=object), pa.string())
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    n = len(arr)
+    n = len(texts)
     if n == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z.astype(np.float64), z.astype(np.float64)
-    la = pc.split_pattern(pc.fill_null(arr, ""), pattern=sep)
-    offsets = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    counts = np.diff(offsets)
-    flat = la.flatten()
-    doc = np.repeat(np.arange(n, dtype=np.int64), counts)
+    flat, doc, _pos, counts = flatten_lines(texts, sep)
     lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
     dup = pd.DataFrame(
         {"d": doc, "l": flat.to_numpy(zero_copy_only=False)}

@@ -583,7 +583,13 @@ def q_top_tokens_docs(sf_dir: str):
 
     def explode_count(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.split()
-        flat = pd.Series(np.concatenate(toks.to_numpy())) if len(df) else pd.Series([], dtype=object)
+        # concatenate of ALL-empty token lists yields float64 — force object
+        # so the token column's Arrow type is string in every block
+        flat = (
+            pd.Series(np.concatenate(toks.to_numpy()).astype(object))
+            if len(df)
+            else pd.Series([], dtype=object)
+        )
         cnt = flat.value_counts()
         out = pd.DataFrame({"token": cnt.index, "n": cnt.to_numpy()})
         out["_bkt"] = pd.util.hash_array(out["token"].to_numpy(dtype=object)) % B
@@ -627,13 +633,17 @@ def q_doc_frequency_docs(sf_dir: str):
     def explode_df(df: pd.DataFrame) -> pd.DataFrame:
         if len(df):
             toks = df["text"].str.split()
-            flat = np.concatenate(toks.to_numpy())
+            # .astype(object): all-empty token lists concatenate to float64,
+            # which would emit a token: double block and break the shuffle
+            flat = np.concatenate(toks.to_numpy()).astype(object)
             doc = np.repeat(np.arange(len(df)), toks.str.len().to_numpy())
             pairs = pd.DataFrame({"d": doc, "token": flat}).drop_duplicates()
             cnt = pairs["token"].value_counts()
         else:
             cnt = pd.Series([], dtype=np.int64)
-        out = pd.DataFrame({"token": cnt.index, "df": cnt.to_numpy()})
+        out = pd.DataFrame(
+            {"token": cnt.index.astype(object), "df": cnt.to_numpy()}
+        )
         out["_bkt"] = pd.util.hash_array(out["token"].to_numpy(dtype=object)) % B
         return out
 
@@ -1403,22 +1413,25 @@ def q_cross_dedup_near_docs(sf_dir: str):
         )
 
     def build_b(t: pa.Table) -> pa.Table:
+        # class code folded into doc_id*10 + c: collision-free at ANY corpus
+        # size (additive offsets collide across classes past ~1M base docs —
+        # e.g. 65+5e6 == 1,000,065+4e6 — silently diverging engine vs oracle)
         ids = t["doc_id"].to_numpy()
         out_ids, out_texts = [], []
         for i in ids:
             i = int(i)
             base = _near_text(i)
             if i % NEAR_EXACT_MOD == 0:
-                out_ids.append(i + NEAR_EXACT_OFFSET); out_texts.append(base)
+                out_ids.append(i * 10 + 1); out_texts.append(base)
             if i % NEAR_ABOVE_MOD == 0:
-                out_ids.append(i + NEAR_ABOVE_OFFSET); out_texts.append(base + NEAR_MARKER)
+                out_ids.append(i * 10 + 2); out_texts.append(base + NEAR_MARKER)
             if i % NEAR_BELOW_MOD == 0:
-                out_ids.append(i + NEAR_BELOW_OFFSET); out_texts.append(base[::-1])
-            out_ids.append(i + 7_000_000); out_texts.append(_near_text(i + 7_000_000))
+                out_ids.append(i * 10 + 3); out_texts.append(base[::-1])
+            out_ids.append(i * 10 + 4); out_texts.append(_near_text(i + 7_000_000))
             if i % 17 == 0:  # B-internal near pair: both must survive
                 t8 = _near_text(i + 8_000_000)
-                out_ids.append(i + 8_000_000); out_texts.append(t8)
-                out_ids.append(i + 8_500_000); out_texts.append(t8 + NEAR_MARKER)
+                out_ids.append(i * 10 + 5); out_texts.append(t8)
+                out_ids.append(i * 10 + 6); out_texts.append(t8 + NEAR_MARKER)
         return pa.table(
             {
                 "doc_id": pa.array(out_ids, pa.int64()),
@@ -1433,14 +1446,14 @@ def q_cross_dedup_near_docs(sf_dir: str):
 
 
 SQL_CROSS_DEDUP_NEAR_DOCS = f"""
-    SELECT doc_id + {NEAR_BELOW_OFFSET} AS doc_id
+    SELECT doc_id * 10 + 3 AS doc_id
     FROM documents WHERE doc_id % {NEAR_BELOW_MOD} = 0
     UNION ALL
-    SELECT doc_id + 7000000 FROM documents
+    SELECT doc_id * 10 + 4 FROM documents
     UNION ALL
-    SELECT doc_id + 8000000 FROM documents WHERE doc_id % 17 = 0
+    SELECT doc_id * 10 + 5 FROM documents WHERE doc_id % 17 = 0
     UNION ALL
-    SELECT doc_id + 8500000 FROM documents WHERE doc_id % 17 = 0
+    SELECT doc_id * 10 + 6 FROM documents WHERE doc_id % 17 = 0
 """
 
 

@@ -113,7 +113,9 @@ def cross_dedup_exact(
     if n_drops == 0:
         return corpus
     if n_drops > drop_broadcast_budget:
-        return _cross_filter_shuffle(corpus, drops, key_cols, num_buckets)
+        return _payload_exchange_filter(
+            corpus, drops, lambda b: _identity128(b, key_cols), num_buckets
+        )
 
     ddf = drops.to_pandas()
     order = np.lexsort((ddf["_k2"].to_numpy(), ddf["_k1"].to_numpy()))
@@ -139,15 +141,18 @@ def cross_dedup_exact(
     return corpus.map_batches(keep, batch_format="pyarrow")
 
 
-def _cross_filter_shuffle(
-    corpus: ray.data.Dataset, drops: ray.data.Dataset, key_cols, num_buckets: int
+def _payload_exchange_filter(
+    corpus: ray.data.Dataset, drops: ray.data.Dataset, key_fn, num_buckets: int
 ) -> ray.data.Dataset:
-    """Above-budget limb: corpus payload co-shuffled with the drop
-    identities on _k1; each bucket filters locally (payload moves once)."""
+    """Above-budget limb shared by both modes: corpus payload co-shuffled
+    with the drop keys on _k1; each bucket filters locally (payload moves
+    once). ``key_fn(batch) -> (k1, k2)`` derives the 128-bit row key —
+    content identity in exact mode, id-hash pair in near mode. ``drops``
+    must carry (_k1, _k2)."""
     from .minhash import _hash_exchange_tasks, _pair_lookup_pos
 
     def tag(batch: pa.Table) -> pa.Table:
-        k1, k2 = _identity128(batch, key_cols)
+        k1, k2 = key_fn(batch)
         return batch.append_column("_k1", pa.array(k1, pa.uint64())).append_column(
             "_k2", pa.array(k2, pa.uint64())
         ).append_column("_side", pa.array(np.ones(len(k1), dtype=np.int8), pa.int8()))
@@ -328,7 +333,7 @@ def cross_dedup_minhash(
     if n_drops == 0:
         return corpus
 
-    from .minhash import _id_hash_pair, _id_member_mask
+    from .minhash import _id_hash_pair
 
     if n_drops > drop_broadcast_budget:
         # payload-exchange limb: reuse the exact-mode shuffle filter keyed on
@@ -346,7 +351,13 @@ def cross_dedup_minhash(
             )
 
         keys = drops.map_batches(as_keys, batch_format="pyarrow")
-        return _cross_filter_shuffle_ids(corpus, keys, id_col, num_buckets)
+        def id_key(batch: pa.Table):
+            arr = batch[id_col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            return _id_hash_pair(arr.to_numpy(zero_copy_only=False).astype(object))
+
+        return _payload_exchange_filter(corpus, keys, id_key, num_buckets)
 
     ddf = drops.to_pandas()
     h1, h2 = _id_hash_pair(ddf["b_id"].to_numpy().astype(object))
@@ -371,59 +382,3 @@ def cross_dedup_minhash(
         return batch.filter(pa.array(~found))
 
     return corpus.map_batches(keep, batch_format="pyarrow")
-
-
-def _cross_filter_shuffle_ids(
-    corpus: ray.data.Dataset, keys: ray.data.Dataset, id_col: str, num_buckets: int
-) -> ray.data.Dataset:
-    """Payload-exchange id-membership filter (near mode, above budget)."""
-    from .minhash import _hash_exchange_tasks, _id_hash_pair, _pair_lookup_pos
-
-    payload_cols = corpus.schema().names
-
-    def tag(batch: pa.Table) -> pa.Table:
-        arr = batch[id_col]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        h1, h2 = _id_hash_pair(arr.to_numpy(zero_copy_only=False).astype(object))
-        return batch.append_column("_k1", pa.array(h1, pa.uint64())).append_column(
-            "_k2", pa.array(h2, pa.uint64())
-        ).append_column("_side", pa.array(np.ones(len(h1), dtype=np.int8), pa.int8()))
-
-    tagged = corpus.map_batches(tag, batch_format="pyarrow")
-    ts = tagged.schema()  # one-block peek, not a materialize (see exact limb)
-    full_schema = pa.schema(list(zip(ts.names, ts.types)))
-
-    def tag_drop(t: pa.Table) -> pa.Table:
-        cols = {}
-        for f in full_schema:
-            if f.name == "_k1":
-                cols[f.name] = t["_k1"]
-            elif f.name == "_k2":
-                cols[f.name] = t["_k2"]
-            elif f.name == "_side":
-                cols[f.name] = pa.array(np.zeros(t.num_rows, dtype=np.int8), pa.int8())
-            else:
-                cols[f.name] = pa.nulls(t.num_rows, type=f.type)
-        return pa.table(cols)
-
-    both = keys.map_batches(tag_drop, batch_format="pyarrow").union(tagged)
-
-    def bucket_filter(t: pa.Table | None):
-        if t is None:
-            return pa.table({})
-        if t.num_rows == 0:
-            return t.select(payload_cols)
-        side = t["_side"].to_numpy()
-        rows = t.filter(pa.array(side == 1))
-        if rows.num_rows == 0:
-            return rows.select(payload_cols)
-        d = t.filter(pa.array(side == 0))
-        d1, d2 = d["_k1"].to_numpy(), d["_k2"].to_numpy()
-        order = np.lexsort((d2, d1))
-        _, found = _pair_lookup_pos(
-            d1[order], d2[order], rows["_k1"].to_numpy(), rows["_k2"].to_numpy()
-        )
-        return rows.filter(pa.array(~found)).select(payload_cols)
-
-    return _hash_exchange_tasks(both, "_k1", num_buckets, bucket_filter)

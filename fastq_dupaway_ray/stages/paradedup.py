@@ -56,26 +56,19 @@ from ..functions.hashing import combine_hash64, hash64
 _SALT2 = np.uint64(0xD6E8FEB86659FD93)
 
 
-def _flatten_paragraphs(texts: pa.Array, sep: str):
-    """Split a string column into (flat paragraphs, doc index, position).
-
-    All-Arrow/numpy: ``split_pattern`` returns a ListArray whose offsets give
-    both the per-doc counts and the position numbering.
-    """
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    la = pc.split_pattern(pc.fill_null(texts, ""), pattern=sep)
-    offsets = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    counts = np.diff(offsets)
-    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-    pos = np.arange(offsets[-1], dtype=np.int64) - np.repeat(offsets[:-1], counts)
-    return la.flatten(), doc_idx, pos, counts
+# split/flatten shared with functions.textstats.dup_line_stats — the stat
+# and this removal stage must split text identically
+from ..functions.textstats import flatten_lines as _flatten_paragraphs
 
 
 def _para_identity128(flat: pa.Array):
-    """Two independent 64-bit content hashes (+ length fold) per paragraph."""
+    """Two independent 64-bit content hashes (+ length fold) per paragraph.
+
+    Lengths come from the vectorized Arrow ``utf8_length`` kernel (character
+    counts, same as Python ``len`` on str) — a Python per-paragraph loop here
+    would run once per occurrence on the hot slim pass."""
     vals = flat.to_numpy(zero_copy_only=False).astype(object)
-    lens = np.fromiter((len(v) for v in vals), dtype=np.uint64, count=len(vals))
+    lens = pc.utf8_length(flat).cast(pa.uint64()).to_numpy(zero_copy_only=False)
     p1 = combine_hash64(hash64(vals), lens)
     p2 = combine_hash64(hash64(vals, alt_key=True), lens, np.full(len(vals), _SALT2, dtype=np.uint64))
     return p1, p2
