@@ -47,7 +47,11 @@ def augmented_docs(sf_dir: str) -> rd.Dataset:
     """documents ∪ exact copies ∪ prefix extensions (deterministic).
 
     Single-pass: one map_batches emits base rows + both planted classes per
-    batch (a three-way ``ds.union`` would read the input three times)."""
+    batch (a three-way ``ds.union`` would read the input three times).
+
+    Oracle scaffolding bound: the additive id offsets (1e6/2e6) collide with
+    base ids past 1M base docs, silently diverging engine from oracle — the
+    planted classes guard against that loudly."""
     ds = _docs(sf_dir)
 
     def _mod_filter(t: pa.Table, mod: int) -> pa.Table:
@@ -55,6 +59,11 @@ def augmented_docs(sf_dir: str) -> rd.Dataset:
         return t.filter(pa.array(ids % mod == 0))  # pyarrow 16 lacks pc.modulo
 
     def build(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        if len(ids) and ids.max() >= EXACT_COPY_OFFSET:
+            raise ValueError(
+                "augmented_docs planted-id offsets collide past 1M base docs"
+            )
         m = _mod_filter(t, EXACT_COPY_MOD)
         exact = m.set_column(0, "doc_id", pc.add(m["doc_id"], EXACT_COPY_OFFSET))
         m = _mod_filter(t, PREFIX_MOD)
@@ -128,6 +137,10 @@ def augmented_near_docs(sf_dir: str, with_above: bool = True) -> rd.Dataset:
 
     def build(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
+        if len(ids) and ids.max() >= NEAR_EXACT_OFFSET:
+            raise ValueError(
+                "augmented_near_docs planted-id offsets collide past 3M base docs"
+            )
         langs = t["lang"].to_pylist()
         out_ids, out_texts, out_langs = [], [], []
         for i, lang in zip(ids, langs):
@@ -1350,6 +1363,10 @@ def _cross_b_docs(sf_dir: str) -> rd.Dataset:
 
     def build(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
+        if len(ids) and ids.max() >= _XC_COPY_OFFSET:
+            raise ValueError(
+                "_cross_b_docs planted-id offsets collide past 1M base docs"
+            )
         copy = t.filter(pa.array(ids % _XC_COPY_MOD == 0))
         copy = copy.set_column(0, "doc_id", pc.add(copy["doc_id"], _XC_COPY_OFFSET))
         fresh_text = pc.binary_join_element_wise(
