@@ -100,6 +100,31 @@ def test_paragraph_dedup_unique_corpus_is_identity(ray_session):
     assert len(got) == 50
 
 
+def test_paragraph_dedup_unicode_multibyte(ray_session):
+    """Multibyte text: identity lengths are CHARACTER counts (utf8_length)
+    and rebuild must round-trip the exact bytes; emoji/CJK paragraphs with
+    shared boilerplate must dedup identically to the brute-force oracle."""
+    pool = ["héllo wörld 🌍", "日本語の段落です", "καλημέρα κόσμε", "🎉🎊" * 3, "ascii one"]
+    rows = []
+    for d in range(120):
+        k = 1 + d % 4
+        text = SEP.join(pool[(d * 3 + j) % len(pool)] for j in range(k))
+        rows.append({"doc_id": d, "text": text, "lang": "xx", "n_chars": len(text)})
+    df = pd.DataFrame(rows)
+    got = (
+        paragraph_dedup(rd.from_pandas(df).repartition(5), id_cols=("doc_id",), sep=SEP)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _expected(df.assign(lang="xx"))
+    pd.testing.assert_frame_equal(
+        got.astype({"n_chars": "int64"}), exp.astype({"n_chars": "int64"})
+    )
+    # n_chars is a CHARACTER count, not bytes (matches SQL length())
+    assert (got.n_chars == got.text.str.len()).all()
+
+
 def test_dedup_lines_within_matches_bruteforce(ray_session):
     from fastq_dupaway_ray.stages.paradedup import dedup_lines_within
 
