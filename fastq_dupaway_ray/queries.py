@@ -1708,6 +1708,25 @@ SQL_PACK_SEQUENCES_DOCS = r"""
 """
 
 
+def q_shuffle_rank_docs(sf_dir: str):
+    """Deterministic global shuffle for reproducible training order:
+    rank under ORDER BY (md5(doc_id), doc_id) — pseudo-random w.r.t. insert
+    order, identical across re-runs/resharding/retries (random_shuffle is
+    not). Distributed sort + two-pass prefix count; no payload moves
+    (stages/packing.py:deterministic_shuffle_rank)."""
+    from .stages.packing import deterministic_shuffle_rank
+
+    return deterministic_shuffle_rank(_docs(sf_dir), id_col="doc_id")
+
+
+SQL_SHUFFLE_RANK_DOCS = """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1
+                AS BIGINT) AS shuffle_rank
+    FROM documents
+"""
+
+
 def q_decontamination_docs(sf_dir: str):
     """Benchmark decontamination: training docs (the augmented corpus)
     containing an eval doc's text verbatim. Eval set = base docs with
@@ -2392,6 +2411,7 @@ REGISTRY = {
     "cross_dedup_near_docs": (q_cross_dedup_near_docs, SQL_CROSS_DEDUP_NEAR_DOCS),
     "length_quantiles_docs": (q_length_quantiles_docs, SQL_LENGTH_QUANTILES_DOCS),
     "pack_sequences_docs": (q_pack_sequences_docs, SQL_PACK_SEQUENCES_DOCS),
+    "shuffle_rank_docs": (q_shuffle_rank_docs, SQL_SHUFFLE_RANK_DOCS),
     "fingerprint_docs": (q_fingerprint_docs, SQL_FINGERPRINT_DOCS),
     "minhash_dedup_docs": (q_minhash_dedup_docs, SQL_NEAR_KEPT),
     "minhash_oph_dedup_docs": (q_minhash_oph_dedup_docs, SQL_NEAR_KEPT),

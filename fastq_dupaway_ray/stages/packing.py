@@ -99,3 +99,79 @@ def pack_sequences(
         )
 
     return slim.map_batches(assign, batch_size=None, batch_format="pandas")
+
+
+def deterministic_shuffle_rank(
+    ds: ray.data.Dataset, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """(id, shuffle_rank): a REPRODUCIBLE global shuffle order for training.
+
+    ``ray.data.Dataset.random_shuffle`` gives a different order per run (and
+    cannot be oracle-checked); training-data pipelines instead want an order
+    that is pseudo-random w.r.t. content/insert order but stable under
+    re-runs, resharding and retries. Rank = position under
+    ``ORDER BY (md5(id), id)`` — md5 of the id is the repo's deterministic
+    split convention (byte-identical in Python and DuckDB), the id
+    tiebreaks the (practically impossible) digest collision so the order is
+    total.
+
+    Same two-pass prefix shape as :func:`pack_sequences`: distributed sort
+    on the hash, one summary row per block to the driver, exclusive scan,
+    second streaming pass adds each block's base to an intra-block arange.
+    No payload moves — callers join ranks back or feed the slim order
+    directly to a reader.
+    """
+    import hashlib
+
+    def hashed(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col]].copy()
+        out["_h"] = [
+            hashlib.md5(str(i).encode()).hexdigest() for i in df[id_col]
+        ]
+        return out
+
+    slim = (
+        ds.select_columns([id_col])
+        .map_batches(hashed, batch_format="pandas")
+        .sort(["_h", id_col])
+        .materialize()
+    )
+
+    def block_summary(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"first_h": [], "first_id": [], "n": []})
+        return pd.DataFrame(
+            {
+                "first_h": [df["_h"].iloc[0]],
+                "first_id": [df[id_col].iloc[0]],
+                "n": [len(df)],
+            }
+        )
+
+    seams = slim.map_batches(
+        block_summary, batch_size=None, batch_format="pandas"
+    ).to_pandas()
+    seams = seams.sort_values(["first_h", "first_id"], kind="mergesort")
+    counts = seams["n"].to_numpy(dtype=np.int64)
+    bases = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    plan = dict(
+        zip(zip(seams["first_h"].tolist(), seams["first_id"].tolist()), bases.tolist())
+    )
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype=object),
+                    "shuffle_rank": pd.Series([], dtype=np.int64),
+                }
+            )
+        base = plan[(df["_h"].iloc[0], df[id_col].iloc[0])]
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "shuffle_rank": base + np.arange(len(df), dtype=np.int64),
+            }
+        )
+
+    return slim.map_batches(assign, batch_size=None, batch_format="pandas")

@@ -1,5 +1,6 @@
-"""Per-key quota cap (stages/quota.py) and the duplicate-trigram repetition
-kernel — exactness vs brute-force pandas/Python oracles under key skew."""
+"""Per-key quota cap (stages/quota.py), the duplicate-trigram repetition
+kernel, and the deterministic shuffle rank — exactness vs brute-force
+pandas/Python oracles under key skew."""
 
 import numpy as np
 import pandas as pd
@@ -134,3 +135,29 @@ def test_cap_per_key_threshold_budget(ray_session):
     ds = rd.from_pandas(df)
     with pytest.raises(ValueError, match="threshold_budget"):
         cap_per_key(ds, "source", "doc_id", 2, threshold_budget=1)
+
+
+def test_deterministic_shuffle_rank_matches_serial_and_is_reshard_stable(ray_session):
+    import hashlib
+
+    import ray.data as rdd
+
+    from fastq_dupaway_ray.stages.packing import deterministic_shuffle_rank
+
+    ids = np.arange(2000, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids, "text": ["x"] * len(ids)})
+    exp_order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    exp = {i: r for r, i in enumerate(exp_order)}
+    got_by_parts = []
+    for parts in (1, 7, 23):
+        got = (
+            deterministic_shuffle_rank(rdd.from_pandas(df).repartition(parts))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(got.columns) == ["doc_id", "shuffle_rank"]
+        assert all(exp[i] == r for i, r in zip(got.doc_id, got.shuffle_rank))
+        got_by_parts.append(got.shuffle_rank.to_numpy())
+    # resharding must not change the order (the whole point vs random_shuffle)
+    assert all((g == got_by_parts[0]).all() for g in got_by_parts[1:])
