@@ -273,3 +273,33 @@ def containment(small: np.ndarray, big: np.ndarray) -> float:
         return 1.0
     inter = len(np.intersect1d(small, big, assume_unique=True))
     return inter / len(small)
+
+
+_MD5_CON = None
+
+
+def md5_hex(strs) -> "pyarrow.Array":
+    """Vectorized md5 hex digests of a string column.
+
+    DuckDB's C md5 kernel over the Arrow column, zero-copy in — byte-identical
+    to ``hashlib.md5(s.encode()).hexdigest()`` and to SQL ``md5(s)``, which is
+    the repo's deterministic split/shuffle convention (train_split,
+    deterministic_shuffle_rank). A per-row ``hashlib`` loop here was the one
+    Python hot loop on the shuffle-rank slim pass; the connection is cached
+    once per worker process. DuckDB preserves insertion order for plain
+    projections (``preserve_insertion_order`` default), so row i of the
+    output is the digest of row i of the input.
+    """
+    global _MD5_CON
+    import duckdb
+    import pyarrow as pa
+
+    if _MD5_CON is None:
+        _MD5_CON = duckdb.connect()
+    if not isinstance(strs, (pa.Array, pa.ChunkedArray)):
+        strs = pa.array(strs, pa.string())
+    _md5_in = pa.table({"s": strs})  # noqa: F841 — scanned by name below
+    out = _MD5_CON.execute(
+        "SELECT md5(CAST(s AS VARCHAR)) AS h FROM _md5_in"
+    ).arrow()
+    return out["h"].combine_chunks()

@@ -278,15 +278,20 @@ def q_train_split_docs(sf_dir: str):
     byte-identical in Python and DuckDB): ~10% of docs to 'val', rest
     'train'. The reproducible split every training-corpus pipeline needs —
     stable under re-runs, resharding and retries."""
-    import hashlib
+    def split(t: pa.Table) -> pa.Table:
+        from .functions.hashing import md5_hex
 
-    def split(df: pd.DataFrame) -> pd.DataFrame:
-        h = [hashlib.md5(str(i).encode()).hexdigest()[:2] for i in df["doc_id"]]
-        out = df[["doc_id", "lang"]].copy()
-        out["split"] = np.where(np.array(h, dtype=object) < "1a", "val", "train")
-        return out
+        h2 = pc.utf8_slice_codeunits(md5_hex(t["doc_id"]), 0, 2)
+        is_val = pc.less(h2, "1a")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "split": pc.if_else(is_val, "val", "train"),
+            }
+        )
 
-    return _docs(sf_dir).map_batches(split, batch_format="pandas")
+    return _docs(sf_dir).map_batches(split, batch_format="pyarrow")
 
 
 SQL_TRAIN_SPLIT_DOCS = """
@@ -1434,6 +1439,17 @@ def q_cross_dedup_near_docs(sf_dir: str):
         # size (additive offsets collide across classes past ~1M base docs —
         # e.g. 65+5e6 == 1,000,065+4e6 — silently diverging engine vs oracle)
         ids = t["doc_id"].to_numpy()
+        # fresh/B-internal texts use additive _near_text offsets (+7M/+8M);
+        # past 1M base docs the two families overlap (i1+7M == i2+8M at
+        # i1 = i2+1M) and past 7M a "fresh" text equals a reference doc's —
+        # either silently diverges engine vs oracle, so fail loud instead
+        # (same style as the multiplicative id-fold guard above)
+        if len(ids) and int(ids.max()) >= 1_000_000:
+            raise ValueError(
+                f"cross_dedup_near oracle corpus needs doc_id < 1e6 to keep "
+                f"the +7M/+8M fresh-text families collision-free, got "
+                f"max={ids.max()}"
+            )
         out_ids, out_texts = [], []
         for i in ids:
             i = int(i)
@@ -1515,12 +1531,20 @@ def paragraph_docs(sf_dir: str) -> rd.Dataset:
 
     import pyarrow.parquet as pq
 
-    pool = (
-        pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])["text"]
-        .to_numpy(zero_copy_only=False)
-        .astype(object)
-    )
-    n_pool = len(pool)
+    pool_t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pool_ids = pool_t["doc_id"].to_numpy()
+    texts_in_file_order = pool_t["text"].to_numpy(zero_copy_only=False).astype(object)
+    # the SQL oracle joins pool paragraphs BY doc_id VALUE; index the array
+    # the same way instead of assuming file order == id order, and fail loud
+    # if the ids are not dense 0..N-1 (the modular pick needs a total pool)
+    n_pool = len(pool_ids)
+    if int(pool_ids.min()) != 0 or int(pool_ids.max()) != n_pool - 1:
+        raise ValueError(
+            f"paragraph_docs needs dense doc_ids 0..N-1, got "
+            f"[{pool_ids.min()}, {pool_ids.max()}] over {n_pool} rows"
+        )
+    pool = np.empty(n_pool, dtype=object)
+    pool[pool_ids] = texts_in_file_order
     pool_ref = ray.put(pool)
 
     def build(t: pa.Table) -> pa.Table:
@@ -2361,58 +2385,15 @@ SQL_PAGES_FLAGSHIP = f"""
 
 
 REGISTRY = {
-    "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
-    "dedup_tight_adjacency_docs": (q_dedup_tight_adjacency_docs, SQL_DEDUP_EXACT_DOCS),
-    "containment_docs": (q_containment_docs, SQL_CONTAINMENT_DOCS),
-    "containment_sa_docs": (q_containment_sa_docs, SQL_CONTAINMENT_DOCS),
-    "quality_filter_docs": (q_quality_filter_docs, SQL_QUALITY_FILTER_DOCS),
-    "lang_dist_docs": (q_lang_dist_docs, SQL_LANG_DIST_DOCS),
-    "top_tokens_docs": (q_top_tokens_docs, SQL_TOP_TOKENS_DOCS),
-    "doc_frequency_docs": (q_doc_frequency_docs, SQL_DOC_FREQUENCY_DOCS),
-    "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
-    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
-    "dedup_exact_composite_docs": (q_dedup_exact_composite_docs, SQL_DEDUP_EXACT_COMPOSITE_DOCS),
-    "dedup_exact_paranoid_docs": (q_dedup_exact_paranoid_docs, SQL_DEDUP_EXACT_DOCS),
-    "clusters_exact_docs": (q_clusters_exact_docs, SQL_CLUSTERS_EXACT_DOCS),
-    "dedup_counts_docs": (q_dedup_counts_docs, SQL_DEDUP_COUNTS_DOCS),
-    "cluster_size_hist_docs": (q_cluster_size_hist_docs, SQL_CLUSTER_SIZE_HIST_DOCS),
-    "train_split_docs": (q_train_split_docs, SQL_TRAIN_SPLIT_DOCS),
-    "dedup_loose_docs": (q_dedup_loose_docs, SQL_DEDUP_LOOSE_DOCS),
-    "dedup_loose_paired_docs": (q_dedup_loose_paired_docs, SQL_DEDUP_LOOSE_PAIRED_DOCS),
-    "dedup_tight_paired_docs": (q_dedup_tight_paired_docs, SQL_DEDUP_TIGHT_PAIRED_DOCS),
-    "training_pipeline_docs": (q_training_pipeline_docs, SQL_TRAINING_PIPELINE_DOCS),
-    "training_pipeline_full_docs": (q_training_pipeline_full_docs, SQL_TRAINING_PIPELINE_FULL_DOCS),
-    "streaming_dedup_docs": (q_streaming_dedup_docs, SQL_STREAMING_DEDUP_DOCS),
-    "streaming_neardup_docs": (q_streaming_neardup_docs, SQL_STREAMING_NEARDUP_DOCS),
-    "set_intersect_docs": (q_set_intersect_docs, SQL_SET_INTERSECT_DOCS),
-    "set_except_docs": (q_set_except_docs, SQL_SET_EXCEPT_DOCS),
-    "sort_topn_docs": (q_sort_topn_docs, SQL_SORT_TOPN_DOCS),
-    "topk_per_lang_docs": (q_topk_per_lang_docs, SQL_TOPK_PER_LANG_DOCS),
-    "broadcast_join_customer_nation": (q_broadcast_join_customer_nation, SQL_BROADCAST_JOIN_CUSTOMER_NATION),
-    "asof_join_events_orders": (q_asof_join_events_orders, SQL_ASOF_JOIN_EVENTS_ORDERS),
-    "range_join_events_sessions": (q_range_join_events_sessions, SQL_RANGE_JOIN_EVENTS_SESSIONS),
-    "join_orders_customer": (q_join_orders_customer, SQL_JOIN_ORDERS_CUSTOMER),
-    "unordered_join_dedup_docs": (q_unordered_join_dedup_docs, SQL_UNORDERED_JOIN_DEDUP_DOCS),
-    "join_unmatched_counts": (q_join_unmatched_counts, SQL_JOIN_UNMATCHED_COUNTS),
-    "anti_join_customers_orders": (q_anti_join_customers_orders, SQL_ANTI_JOIN_CUSTOMERS_ORDERS),
-    "streaming_quota_docs": (q_streaming_quota_docs, SQL_STREAMING_QUOTA_DOCS),
-    "decontamination_docs": (q_decontamination_docs, SQL_DECONTAMINATION_DOCS),
-    "redact_docs": (q_redact_docs, SQL_REDACT_DOCS),
-    "token_counts_docs": (q_token_counts_docs, SQL_TOKEN_COUNTS_DOCS),
-    "token_counts_bpe_docs": (q_token_counts_bpe_docs, SQL_TOKEN_COUNTS_BPE_DOCS),
-    "quality_scores_docs": (q_quality_scores_docs, SQL_QUALITY_SCORES_DOCS),
-    "lang_id_docs": (q_lang_id_docs, _lang_id_sql()),
-    "repetition_docs": (q_repetition_docs, SQL_REPETITION_DOCS),
-    "cap_per_source_docs": (q_cap_per_source_docs, SQL_CAP_PER_SOURCE_DOCS),
-    "paragraph_dedup_docs": (q_paragraph_dedup_docs, SQL_PARAGRAPH_DEDUP_DOCS),
-    "line_repetition_docs": (q_line_repetition_docs, SQL_LINE_REPETITION_DOCS),
-    "dedup_lines_within_docs": (q_dedup_lines_within_docs, SQL_DEDUP_LINES_WITHIN_DOCS),
-    "cross_dedup_exact_docs": (q_cross_dedup_exact_docs, SQL_CROSS_DEDUP_EXACT_DOCS),
-    "cross_dedup_near_docs": (q_cross_dedup_near_docs, SQL_CROSS_DEDUP_NEAR_DOCS),
-    "length_quantiles_docs": (q_length_quantiles_docs, SQL_LENGTH_QUANTILES_DOCS),
-    "pack_sequences_docs": (q_pack_sequences_docs, SQL_PACK_SEQUENCES_DOCS),
-    "shuffle_rank_docs": (q_shuffle_rank_docs, SQL_SHUFFLE_RANK_DOCS),
+    # Driver-gate ordering: the correctness driver witnesses only the FIRST
+    # 50 entries per round.  Order = (1) queries with no driver-green row in
+    # the previous round's CORRECTNESS artifact, (2) new/heavy queries,
+    # (3) long-stable cheap queries rotated past the cap (all were
+    # driver-witnessed green in earlier rounds).  When adding a query, insert
+    # it BEFORE the stable tail so the next round's gate witnesses it.
     "fingerprint_docs": (q_fingerprint_docs, SQL_FINGERPRINT_DOCS),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "pages_flagship": (q_pages_flagship, SQL_PAGES_FLAGSHIP),
     "minhash_dedup_docs": (q_minhash_dedup_docs, SQL_NEAR_KEPT),
     "minhash_oph_dedup_docs": (q_minhash_oph_dedup_docs, SQL_NEAR_KEPT),
     "ngram_jaccard_dedup_docs": (q_ngram_jaccard_dedup_docs, SQL_NEAR_KEPT),
@@ -2424,6 +2405,56 @@ REGISTRY = {
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
-    "pages_flagship": (q_pages_flagship, SQL_PAGES_FLAGSHIP),
-    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "shuffle_rank_docs": (q_shuffle_rank_docs, SQL_SHUFFLE_RANK_DOCS),
+    "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
+    "dedup_tight_adjacency_docs": (q_dedup_tight_adjacency_docs, SQL_DEDUP_EXACT_DOCS),
+    "containment_docs": (q_containment_docs, SQL_CONTAINMENT_DOCS),
+    "containment_sa_docs": (q_containment_sa_docs, SQL_CONTAINMENT_DOCS),
+    "doc_frequency_docs": (q_doc_frequency_docs, SQL_DOC_FREQUENCY_DOCS),
+    "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "dedup_exact_composite_docs": (q_dedup_exact_composite_docs, SQL_DEDUP_EXACT_COMPOSITE_DOCS),
+    "dedup_exact_paranoid_docs": (q_dedup_exact_paranoid_docs, SQL_DEDUP_EXACT_DOCS),
+    "clusters_exact_docs": (q_clusters_exact_docs, SQL_CLUSTERS_EXACT_DOCS),
+    "dedup_loose_docs": (q_dedup_loose_docs, SQL_DEDUP_LOOSE_DOCS),
+    "dedup_loose_paired_docs": (q_dedup_loose_paired_docs, SQL_DEDUP_LOOSE_PAIRED_DOCS),
+    "dedup_tight_paired_docs": (q_dedup_tight_paired_docs, SQL_DEDUP_TIGHT_PAIRED_DOCS),
+    "training_pipeline_docs": (q_training_pipeline_docs, SQL_TRAINING_PIPELINE_DOCS),
+    "training_pipeline_full_docs": (q_training_pipeline_full_docs, SQL_TRAINING_PIPELINE_FULL_DOCS),
+    "streaming_dedup_docs": (q_streaming_dedup_docs, SQL_STREAMING_DEDUP_DOCS),
+    "streaming_neardup_docs": (q_streaming_neardup_docs, SQL_STREAMING_NEARDUP_DOCS),
+    "broadcast_join_customer_nation": (q_broadcast_join_customer_nation, SQL_BROADCAST_JOIN_CUSTOMER_NATION),
+    "asof_join_events_orders": (q_asof_join_events_orders, SQL_ASOF_JOIN_EVENTS_ORDERS),
+    "range_join_events_sessions": (q_range_join_events_sessions, SQL_RANGE_JOIN_EVENTS_SESSIONS),
+    "join_orders_customer": (q_join_orders_customer, SQL_JOIN_ORDERS_CUSTOMER),
+    "unordered_join_dedup_docs": (q_unordered_join_dedup_docs, SQL_UNORDERED_JOIN_DEDUP_DOCS),
+    "join_unmatched_counts": (q_join_unmatched_counts, SQL_JOIN_UNMATCHED_COUNTS),
+    "anti_join_customers_orders": (q_anti_join_customers_orders, SQL_ANTI_JOIN_CUSTOMERS_ORDERS),
+    "streaming_quota_docs": (q_streaming_quota_docs, SQL_STREAMING_QUOTA_DOCS),
+    "decontamination_docs": (q_decontamination_docs, SQL_DECONTAMINATION_DOCS),
+    "token_counts_bpe_docs": (q_token_counts_bpe_docs, SQL_TOKEN_COUNTS_BPE_DOCS),
+    "repetition_docs": (q_repetition_docs, SQL_REPETITION_DOCS),
+    "cap_per_source_docs": (q_cap_per_source_docs, SQL_CAP_PER_SOURCE_DOCS),
+    "paragraph_dedup_docs": (q_paragraph_dedup_docs, SQL_PARAGRAPH_DEDUP_DOCS),
+    "dedup_lines_within_docs": (q_dedup_lines_within_docs, SQL_DEDUP_LINES_WITHIN_DOCS),
+    "cross_dedup_exact_docs": (q_cross_dedup_exact_docs, SQL_CROSS_DEDUP_EXACT_DOCS),
+    "cross_dedup_near_docs": (q_cross_dedup_near_docs, SQL_CROSS_DEDUP_NEAR_DOCS),
+    "length_quantiles_docs": (q_length_quantiles_docs, SQL_LENGTH_QUANTILES_DOCS),
+    "pack_sequences_docs": (q_pack_sequences_docs, SQL_PACK_SEQUENCES_DOCS),
+    "quality_filter_docs": (q_quality_filter_docs, SQL_QUALITY_FILTER_DOCS),
+    "lang_dist_docs": (q_lang_dist_docs, SQL_LANG_DIST_DOCS),
+    "top_tokens_docs": (q_top_tokens_docs, SQL_TOP_TOKENS_DOCS),
+    "set_intersect_docs": (q_set_intersect_docs, SQL_SET_INTERSECT_DOCS),
+    "set_except_docs": (q_set_except_docs, SQL_SET_EXCEPT_DOCS),
+    "sort_topn_docs": (q_sort_topn_docs, SQL_SORT_TOPN_DOCS),
+    "topk_per_lang_docs": (q_topk_per_lang_docs, SQL_TOPK_PER_LANG_DOCS),
+    "redact_docs": (q_redact_docs, SQL_REDACT_DOCS),
+    "token_counts_docs": (q_token_counts_docs, SQL_TOKEN_COUNTS_DOCS),
+    "quality_scores_docs": (q_quality_scores_docs, SQL_QUALITY_SCORES_DOCS),
+    "lang_id_docs": (q_lang_id_docs, _lang_id_sql()),
+    "train_split_docs": (q_train_split_docs, SQL_TRAIN_SPLIT_DOCS),
+    "cluster_size_hist_docs": (q_cluster_size_hist_docs, SQL_CLUSTER_SIZE_HIST_DOCS),
+    "dedup_counts_docs": (q_dedup_counts_docs, SQL_DEDUP_COUNTS_DOCS),
+    "line_repetition_docs": (q_line_repetition_docs, SQL_LINE_REPETITION_DOCS),
 }
+

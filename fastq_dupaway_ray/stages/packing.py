@@ -121,18 +121,17 @@ def deterministic_shuffle_rank(
     No payload moves — callers join ranks back or feed the slim order
     directly to a reader.
     """
-    import hashlib
+    def hashed(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_hex
 
-    def hashed(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[[id_col]].copy()
-        out["_h"] = [
-            hashlib.md5(str(i).encode()).hexdigest() for i in df[id_col]
-        ]
-        return out
+        # C-backed vectorized digest (DuckDB kernel, cached connection per
+        # worker) — byte-identical hex to the per-row hashlib loop it
+        # replaced, which was the only Python hot loop feeding this sort
+        return pa.table({id_col: t[id_col], "_h": md5_hex(t[id_col])})
 
     slim = (
         ds.select_columns([id_col])
-        .map_batches(hashed, batch_format="pandas")
+        .map_batches(hashed, batch_format="pyarrow")
         .sort(["_h", id_col])
         .materialize()
     )

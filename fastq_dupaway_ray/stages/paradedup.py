@@ -128,6 +128,11 @@ def paragraph_dedup(
     order_cols = list(order_cols) if order_cols is not None else list(id_cols)
 
     if exact:
+        if counters is not None:
+            # sentinel: the payload-shuffle limb rebuilds documents in place
+            # and never materializes a drop list (crossdedup.py sets its
+            # counter before branching for the same reason)
+            counters["paragraph_drops"] = None
         return _paragraph_dedup_shuffle(
             ds, text_col, id_cols, order_cols, sep, num_buckets, recount_col
         )
@@ -173,12 +178,14 @@ def paragraph_dedup(
     slim_rows = ds.map_batches(slim, batch_format="pyarrow")
     drops = _hash_exchange_tasks(slim_rows, "_p1", num_buckets, bucket_losers)
     n_drops = drops.count()
+    # record BEFORE the budget gate: the count is known on both limbs here,
+    # and the fallback's rebuilt output drops exactly these occurrences
+    if counters is not None:
+        counters["paragraph_drops"] = n_drops
     if n_drops > drop_broadcast_budget:
         return _paragraph_dedup_shuffle(
             ds, text_col, id_cols, order_cols, sep, num_buckets, recount_col
         )
-    if counters is not None:
-        counters["paragraph_drops"] = n_drops
 
     ddf = drops.to_pandas()
     if len(ddf) == 0:

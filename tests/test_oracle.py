@@ -70,13 +70,10 @@ def test_query_matches_oracle(ray_session, con, name):
     pd.testing.assert_frame_equal(mine, oracle, check_dtype=False, check_exact=False, rtol=1e-6)
 
 
-@pytest.mark.parametrize("name", _rows_only_names())
-def test_rows_only_queries_run(ray_session, name):
-    from fastq_dupaway_ray.queries import REGISTRY
-
-    fn, _ = REGISTRY[name]
-    out = _to_pandas(fn(SF))
-    assert len(out) > 0
+def test_no_rows_only_queries_remain():
+    # every REGISTRY query carries a DuckDB oracle; a None SQL would silently
+    # downgrade that query to the driver's weaker rows-only check
+    assert _rows_only_names() == []
 
 
 def test_entry_contract(ray_session):
