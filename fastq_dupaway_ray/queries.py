@@ -1786,6 +1786,68 @@ SQL_DECONTAMINATION_DOCS = f"""
 """
 
 
+_DECON_10K_NEEDLES = 10_000
+_DECON_10K_EVAL_OFFSET = 10_000_000  # clear of the augmented 1e6/2e6 id ranges
+
+
+def q_decontamination_10k_docs(sf_dir: str):
+    """Benchmark decontamination at REAL eval-suite scale (10k needles —
+    MMLU+GSM8K-sized): training docs containing any of 10,000 eval texts.
+    Needle count pushes past the scan limb's threshold, so this exercises
+    the multi-pattern Rabin–Karp hashed-prefix prefilter
+    (stages/decontaminate.py method='ngram' via auto): sorted needle-prefix
+    hashes broadcast once, one vectorized window-hash pass per batch,
+    searchsorted membership (sub-linear in needles), byte verify on hits.
+    Eval text i = documents[(7i) % N].text (cycled — duplicate needle texts
+    under distinct eval_ids are intentional and must each emit)."""
+    import pyarrow.parquet as pq
+
+    from .stages.decontaminate import contamination_pairs
+
+    pool_t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pool_ids = pool_t["doc_id"].to_numpy()
+    n_pool = len(pool_ids)
+    if int(pool_ids.min()) != 0 or int(pool_ids.max()) != n_pool - 1:
+        raise ValueError("decontamination_10k needs dense doc_ids 0..N-1")
+    pool = np.empty(n_pool, dtype=object)
+    pool[pool_ids] = pool_t["text"].to_numpy(zero_copy_only=False).astype(object)
+    idx = (np.arange(_DECON_10K_NEEDLES, dtype=np.int64) * 7) % n_pool
+    eval_ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    _DECON_10K_EVAL_OFFSET + np.arange(_DECON_10K_NEEDLES), pa.int64()
+                ),
+                "text": pa.array(pool[idx], pa.string()),
+            }
+        )
+    )
+    pairs = contamination_pairs(augmented_docs(sf_dir), eval_ds)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "eval_id": t["eval_id"].cast(pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(cast, batch_format="pyarrow")
+
+
+SQL_DECONTAMINATION_10K_DOCS = f"""
+    WITH aug AS ({_AUGMENT_SQL}),
+    nn AS (SELECT count(*) AS n FROM documents),
+    eval AS (
+        SELECT {_DECON_10K_EVAL_OFFSET} + t.i AS eval_id, d.text AS eval_text
+        FROM range({_DECON_10K_NEEDLES}) t(i) CROSS JOIN nn
+        JOIN documents d ON d.doc_id = (t.i * 7) % nn.n
+    )
+    SELECT a.doc_id, e.eval_id
+    FROM aug a JOIN eval e ON position(e.eval_text IN a.text) > 0
+"""
+
+
 def q_redact_docs(sf_dir: str):
     """PII scrub (emails + phone numbers -> typed tags) over a corpus with
     deterministically PLANTED contacts (doc_id % 3 == 0 gets an email+phone
@@ -2406,6 +2468,7 @@ REGISTRY = {
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "shuffle_rank_docs": (q_shuffle_rank_docs, SQL_SHUFFLE_RANK_DOCS),
+    "decontamination_10k_docs": (q_decontamination_10k_docs, SQL_DECONTAMINATION_10K_DOCS),
     "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
     "dedup_tight_adjacency_docs": (q_dedup_tight_adjacency_docs, SQL_DEDUP_EXACT_DOCS),
     "containment_docs": (q_containment_docs, SQL_CONTAINMENT_DOCS),
