@@ -88,6 +88,113 @@ def _lag_dup_mask(mode: str, cols: list[np.ndarray], distance: int) -> np.ndarra
     return dup
 
 
+def _encode_u32(texts: np.ndarray):
+    """(codes uint32[total], lens int64[n], offsets int64[n+1]) — one flat
+    UTF-32 buffer per column so hamming compares are numpy gathers over code
+    points (identical to the per-character Python ``zip`` semantics,
+    including astral-plane characters where UTF-8 bytes would differ)."""
+    n = len(texts)
+    joined = "".join(texts)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    return codes, lens, offsets
+
+
+def _hamming_scan_vec(
+    cols: list[np.ndarray], distance: int, incoming_state
+) -> tuple[np.ndarray, tuple | None]:
+    """Vectorized run-carrying hamming scan over a sorted block.
+
+    Exact mirror of the serial loop (state = cluster head; a row is a
+    duplicate iff EVERY side has equal length and hamming <= distance vs the
+    head, and the head does NOT advance on duplicates —
+    /root/reference/src/comparator.cpp:76-91), decomposed into:
+
+    1. One fully-vectorized ADJACENT-PAIR pass: a row can only be a
+       duplicate if, on every side, it has the same length as its
+       predecessor and hamming(prev, cur) <= 2*distance. (Duplicates of a
+       head form a contiguous run, so a dup's predecessor is the head or a
+       sibling dup; both are within ``distance`` of the head, and the
+       triangle inequality bounds the adjacent distance by 2d.) Rows
+       failing this are DEFINITE heads — no per-row work ever touches them.
+    2. A serial walk over the surviving candidate indices only (numpy slice
+       compares against the current head's UTF-32 codes). Candidate count
+       tracks true duplicates + near-misses, so the per-row Python cost is
+       paid where duplication actually is, not corpus-wide — the previous
+       per-row loop cost ~3 us/row on 87%-unique corpora for nothing.
+
+    Returns (dup mask, out_state) — out_state is the final head's texts.
+    """
+    n = len(cols[0])
+    dup = np.zeros(n, dtype=bool)
+    if n == 0:
+        return dup, (tuple(incoming_state) if incoming_state is not None else None)
+    enc = [_encode_u32(texts) for texts in cols]
+
+    cand = np.ones(n, dtype=bool)
+    cand[0] = incoming_state is not None  # row 0's only possible head
+    for codes, lens, offs in enc:
+        eq = lens[1:] == lens[:-1]
+        side = np.zeros(n - 1, dtype=bool)
+        idx = np.nonzero(eq)[0]  # predecessor positions with equal length
+        if len(idx):
+            L = lens[idx]
+            total = int(L.sum())
+            if total:
+                seg_starts = np.cumsum(L) - L
+                seg_id = np.repeat(np.arange(len(idx)), L)
+                within = np.arange(total, dtype=np.int64) - seg_starts[seg_id]
+                a = codes[offs[idx][seg_id] + within]
+                b = codes[offs[idx + 1][seg_id] + within]
+                mism = np.bincount(seg_id[a != b], minlength=len(idx))
+                side[idx] = mism <= 2 * distance
+            else:
+                side[idx] = True  # equal-length empty strings
+        cand[1:] &= side
+
+    cand_idx = np.nonzero(cand)[0]
+    if len(cand_idx):
+
+        def row_enc(i: int) -> list[np.ndarray]:
+            return [codes[offs[i] : offs[i + 1]] for codes, _l, offs in enc]
+
+        def verify(head: list[np.ndarray], i: int) -> bool:
+            for s, (codes, lens, offs) in zip(head, enc):
+                if lens[i] != len(s):
+                    return False
+                if len(s) and int(
+                    (codes[offs[i] : offs[i + 1]] != s).sum()
+                ) > distance:
+                    return False
+            return True
+
+        if incoming_state is not None:
+            head = [
+                np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+                for s in incoming_state
+            ]
+            prev_cand = -1  # so a run starting at row 0 keeps the incoming head
+        else:
+            head, prev_cand = None, -2
+        for j in cand_idx.tolist():
+            if j != prev_cand + 1:
+                head = row_enc(j - 1)  # run restarts after a definite head
+            if verify(head, j):
+                dup[j] = True
+            else:
+                head = row_enc(j)
+            prev_cand = j
+
+    kept = np.nonzero(~dup)[0]
+    if len(kept):
+        out_state = tuple(c[kept[-1]] for c in cols)
+    else:
+        out_state = tuple(incoming_state) if incoming_state is not None else None
+    return dup, out_state
+
+
 def _scan_block(
     df: pd.DataFrame,
     mode: str,
@@ -114,15 +221,7 @@ def _scan_block(
             dup[0] = True
         out_state = tuple(c[-1] for c in cols)
     elif mode == "hamming":
-        dup = np.zeros(n, dtype=bool)
-        state = incoming_state  # tuple[str] | None
-        for i in range(n):
-            cur = tuple(c[i] for c in cols)
-            if state is not None and _is_dup("hamming", state, cur, distance):
-                dup[i] = True
-            else:
-                state = cur
-        out_state = state
+        dup, out_state = _hamming_scan_vec(cols, distance, incoming_state)
         if drop_first:
             dup[0] = True
     else:
@@ -287,27 +386,46 @@ def _block_to_df(block) -> pd.DataFrame:
 
 
 @ray.remote(num_returns=2)
-def _chain_scan_block(block, prev_meta, mode: str, distance: int, tcols, id_col: str):
-    """One link of the hamming serial chain: scan a sorted block given the
-    incoming (state, head) pair; returns (flagged Arrow table, (state, head)).
+def _chain_scan_link(prev_meta, mode: str, distance: int, tcols, id_col: str, *blocks):
+    """One link of the hamming serial chain: scan one-or-more consecutive
+    sorted blocks given the incoming (state, head) pair; returns
+    (flagged Arrow table, (state, head)).
 
     ``prev_meta`` arrives as the PREDECESSOR TASK'S OUTPUT REF — Ray resolves
     it just-in-time, so the whole chain is submitted up front and each link
     starts the moment its predecessor's O(1) state lands, with no driver
-    round-trip between links (round-2 looped ``ray.get`` per block)."""
+    round-trip between links (round-2 looped ``ray.get`` per block). The
+    member blocks are variadic task args, so Ray prefetches them while the
+    predecessor still runs; scan compute is the vectorized
+    ``_hamming_scan_vec``, arrow-native (no pandas hop)."""
     state, head_id = prev_meta if prev_meta is not None else (None, None)
-    df = _block_to_df(block)
-    if len(df) == 0:
-        out = df.assign(_kept=pd.Series([], dtype=bool), _head=pd.Series([], dtype=object))
-        return pa.Table.from_pandas(out, preserve_index=False), (state, head_id)
-    kept, head_ids, out_state = _scan_block(
-        df, mode, distance, list(tcols), id_col, False, head_id, incoming_state=state
+    tabs = [
+        b if isinstance(b, pa.Table) else pa.Table.from_pandas(b, preserve_index=False)
+        for b in blocks
+    ]
+    tbl = pa.concat_tables([t for t in tabs if t.num_rows > 0]) if tabs else None
+    if tbl is None or tbl.num_rows == 0:
+        empty = (tabs[0] if tabs else pa.table({})).schema
+        out = pa.table(
+            {
+                **{f.name: pa.array([], f.type) for f in empty},
+                "_kept": pa.array([], pa.bool_()),
+                "_head": pa.array([], pa.string()),
+            }
+        )
+        return out, (state, head_id)
+    cols = [tbl[c].to_numpy(zero_copy_only=False) for c in tcols]
+    ids = tbl[id_col].to_numpy(zero_copy_only=False)
+    n = tbl.num_rows
+    dup, out_state = _hamming_scan_vec(cols, distance, state)
+    kept = ~dup
+    kept_idx = np.where(kept, np.arange(n), -1)
+    head_idx = np.maximum.accumulate(kept_idx)
+    head_ids = np.where(head_idx >= 0, ids[np.maximum(head_idx, 0)], head_id)
+    out = tbl.append_column("_kept", pa.array(kept)).append_column(
+        "_head", pa.array(head_ids, tbl.schema.field(id_col).type)
     )
-    out = df.copy()
-    out["_kept"] = kept
-    out["_head"] = head_ids
-    out_head = head_ids[-1]
-    return pa.Table.from_pandas(out, preserve_index=False), (out_state, out_head)
+    return out, (out_state, head_ids[-1])
 
 
 def _chain_scan(
@@ -317,17 +435,27 @@ def _chain_scan(
     tcols: list[str],
     id_col: str,
     sort_keys: list[str],
+    target_link_rows: int = 65_536,
 ) -> ray.data.Dataset:
-    """Run-carrying modes: serial chain of per-block Ray tasks.
+    """Run-carrying modes: serial chain of per-link Ray tasks.
 
     Blocks of the range-partitioned sorted dataset are chained in global sort
-    order (ordered by each block's first sort key). Each task ships only the
-    O(1) comparator state to its successor; flagged blocks stay in the object
-    store and re-assemble into a Dataset — the whole corpus never concentrates
-    on one worker or the driver.
+    order (ordered by each block's first sort key), then COALESCED into links
+    of ~``target_link_rows`` rows: the chain hop (submit + state resolve +
+    output put, ~10 ms measured) is paid per LINK, so link count is sized by
+    rows, not by however finely ``sort`` happened to fragment its output
+    (96 blocks of 670 rows at sf0.1 — the hop dominated 6:1 before
+    coalescing). Each task ships only the O(1) comparator state to its
+    successor; flagged links stay in the object store and re-assemble into a
+    Dataset — the whole corpus never concentrates on one worker or driver.
     """
     bundles = list(sorted_ds.iter_internal_ref_bundles())
-    block_refs = [br for b in bundles for br, _meta in b.blocks]
+    block_refs = []
+    block_rows = []
+    for b in bundles:
+        for br, meta in b.blocks:
+            block_refs.append(br)
+            block_rows.append(meta.num_rows or 0)
 
     @ray.remote
     def first_key(block):
@@ -341,11 +469,23 @@ def _chain_scan(
         (i for i in range(len(block_refs)) if firsts[i] is not None), key=lambda i: firsts[i]
     )
 
+    links: list[list] = []
+    acc: list = []
+    acc_rows = 0
+    for i in order:
+        acc.append(block_refs[i])
+        acc_rows += block_rows[i]
+        if acc_rows >= target_link_rows:
+            links.append(acc)
+            acc, acc_rows = [], 0
+    if acc:
+        links.append(acc)
+
     meta = None  # first link starts with empty comparator state
     flagged_refs = []
-    for i in order:
-        tbl_ref, meta = _chain_scan_block.remote(
-            block_refs[i], meta, mode, distance, tuple(tcols), id_col
+    for link in links:
+        tbl_ref, meta = _chain_scan_link.remote(
+            meta, mode, distance, tuple(tcols), id_col, *link
         )
         flagged_refs.append(tbl_ref)
         # no ray.get: the next link consumes `meta` as a task-arg future, so
