@@ -71,11 +71,17 @@ def _file_bytes(path: str) -> bytes:
         return f.read()
 
 
-def parse_fastx_bytes(data: bytes, fmt: str) -> pa.Table:
-    """Parse one file's bytes into a pages-schema Arrow table (+ ``_valid``).
+def parse_fastx_bytes(data: bytes, fmt: str, base_offset: int = 0) -> pa.Table:
+    """Parse one file's (or byte range's) bytes into a pages-schema Arrow
+    table (+ ``_valid``).
 
     Vectorized over the line array (numpy slicing per field position); no
-    per-record Python beyond the initial line split.
+    per-record Python beyond the initial line split. ``warc_ts`` encodes the
+    record's BYTE OFFSET in the file (``base_offset`` + offset within
+    ``data``), not its ordinal — byte offsets are identical however the file
+    is sharded, so keep-first-in-file-order semantics survive byte-range
+    splitting (the ``BufferedInput`` carry-over analogue,
+    /root/reference/src/bufferedinput.hpp:57-88).
     """
     lines = data.split(b"\n")
     if lines and lines[-1] == b"":
@@ -85,6 +91,9 @@ def parse_fastx_bytes(data: bytes, fmt: str) -> pa.Table:
     marker = b"@" if fmt == "fastq" else b">"
     n = len(arr) // per
     tail = len(arr) - n * per  # trailing partial record -> one invalid row
+    line_lens = np.fromiter((len(l) for l in lines), dtype=np.int64, count=len(lines))
+    line_off = np.zeros(len(lines) + 1, dtype=np.int64)
+    np.cumsum(line_lens + 1, out=line_off[1:])  # +1: the split newline
     ids = arr[0 : n * per : per]
     seqs = arr[1 : n * per : per]
     ok = np.array([i[:1] == marker for i in ids], dtype=bool)
@@ -94,18 +103,21 @@ def parse_fastx_bytes(data: bytes, fmt: str) -> pa.Table:
     raw = [b"\n".join(arr[i * per : (i + 1) * per]) + b"\n" for i in range(n)]
     urls = [i[1:].decode("utf-8", "replace") for i in ids]
     texts = [s.decode("utf-8", "replace") for s in seqs]
-    ts = [_EPOCH + datetime.timedelta(microseconds=int(i)) for i in range(n)]
+    rec_off = line_off[0 : n * per : per] + base_offset
+    ts = np.datetime64(_EPOCH, "us") + rec_off.astype("timedelta64[us]")
     valid = ok.tolist()
     if tail:
         urls.append("")
         texts.append("")
-        ts.append(_EPOCH + datetime.timedelta(microseconds=n))
+        ts = np.concatenate(
+            [ts, [np.datetime64(_EPOCH, "us") + np.timedelta64(int(line_off[n * per] + base_offset), "us")]]
+        )
         raw = raw + [b"\n".join(arr[n * per :]) + b"\n"]
         valid.append(False)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "warc_ts": pa.array(ts if n + bool(tail) else np.array([], dtype="datetime64[us]"), pa.timestamp("us")),
             "html": pa.array(raw, pa.binary()),
             "text": pa.array(texts, pa.string()),
             "lang": pa.array([""] * len(urls), pa.string()),
@@ -114,12 +126,126 @@ def parse_fastx_bytes(data: bytes, fmt: str) -> pa.Table:
     )
 
 
-def read_fastx(path, fmt: str | None = None) -> ray.data.Dataset:
+_SYNC_CHUNK = 4 << 20  # bytes read per probe while hunting a record boundary
+
+
+def _fastq_boundary_ok(buf: bytes, pos: int):
+    """``True`` if ``buf[pos:]`` starts a well-formed FASTQ record: ``@`` id
+    line, ``+`` third line, qual length == seq length, and (when present)
+    the next record starting with ``@``. Quality lines may themselves start
+    with ``@`` — this 4-line shape check is what disambiguates them.
+    Returns ``"partial"`` when fewer than 4 lines remain (an EOF tail):
+    the caller must then decide via ``_reads_as_qual_line`` whether the
+    candidate is a truncated record or the LAST record's quality line."""
+    seg = buf[pos:]
+    lines = seg.split(b"\n", 5)
+    if not lines or lines[0][:1] != b"@":
+        return False
+    if len(lines) < 4:
+        return "partial"
+    if lines[2][:1] != b"+":
+        return False
+    if len(lines[3]) != len(lines[1]):
+        return False
+    if len(lines) >= 5 and lines[4] != b"" and lines[4][:1] != b"@":
+        return False
+    return True
+
+
+def _reads_as_qual_line(path: str, abs_pos: int, qual_len: int, back: int = 1 << 20) -> bool:
+    """True if the line starting at byte ``abs_pos`` is the QUALITY line of
+    a complete well-formed record — i.e. the three preceding lines read as
+    ``@id / seq / +`` with ``len(seq) == qual_len``. Disambiguates the EOF
+    case where a ``@``-leading quality line would otherwise be taken for a
+    truncated final record."""
+    lo = max(0, abs_pos - back)
+    with open(path, "rb") as f:
+        f.seek(lo)
+        win = f.read(abs_pos - lo)
+    lines = win.split(b"\n")
+    if lines and lines[-1] == b"":
+        lines.pop()  # the newline immediately before abs_pos
+    if len(lines) < 3:
+        return False
+    idl, seql, plus = lines[-3], lines[-2], lines[-1]
+    return idl[:1] == b"@" and plus[:1] == b"+" and len(seql) == qual_len
+
+
+def sync_offset(path: str, offset: int, fmt: str) -> int:
+    """First record-boundary byte offset >= ``offset`` in the PLAIN-TEXT
+    file at ``path`` — a pure function of (file bytes, offset), so adjacent
+    byte-range shards computed independently agree on record ownership
+    (shard [start, end) owns records whose first byte lies in it).
+
+    FASTA: the next ``\\n>`` transition (sequence lines never start ``>``).
+    FASTQ: the next ``\\n@`` transition whose following lines satisfy the
+    4-line record shape (``_fastq_boundary_ok`` — a quality line starting
+    with ``@`` fails the shape check). Returns file size when no boundary
+    exists past ``offset``.
+    """
+    if offset <= 0:
+        return 0
+    marker = b"@" if fmt == "fastq" else b">"
+    size = os.path.getsize(path)
+    if offset >= size:
+        return size
+    with open(path, "rb") as f:
+        # read from offset-1 so a boundary exactly AT offset sees its '\n'
+        probe_start = offset - 1
+        f.seek(probe_start)
+        buf = b""
+        while True:
+            chunk = f.read(_SYNC_CHUNK)
+            if chunk:
+                buf += chunk
+            at_eof = len(buf) + probe_start >= size
+            search = 0
+            while True:
+                i = buf.find(b"\n" + marker, search)
+                if i < 0:
+                    break
+                pos = i + 1
+                # the FASTQ shape check needs ~4 lines of lookahead: refill
+                # BEFORE judging a candidate near the buffer end, so a
+                # truncated quality line can neither falsely accept nor
+                # falsely reject a boundary
+                if fmt == "fastq" and not at_eof and len(buf) - pos < 4096:
+                    break  # refill and re-check this candidate with context
+                if fmt == "fasta":
+                    return probe_start + pos
+                ok = _fastq_boundary_ok(buf, pos)
+                if ok == "partial":
+                    qual_len = len(buf[pos:].split(b"\n", 1)[0])
+                    ok = not _reads_as_qual_line(path, probe_start + pos, qual_len)
+                if ok:
+                    return probe_start + pos
+                search = pos
+            if at_eof:
+                return size
+
+
+def read_fastx(
+    path,
+    fmt: str | None = None,
+    split_bytes: int = 64 << 20,
+) -> ray.data.Dataset:
     """FASTA/FASTQ(.gz) -> pages-schema Dataset (with ``_valid`` column).
 
     ``path``: a file, a directory (every fastx file inside), or a list.
     Callers split the quarantine flow exactly like the parquet source
     (``sources.pages.split_quarantine`` works unchanged on the output).
+
+    Parallelism: PLAIN-TEXT files larger than ``split_bytes`` are read as
+    independent byte-range tasks — each shard re-syncs to the first record
+    boundary at-or-after its start offset (``sync_offset``; the
+    ``BufferedInput`` partial-record carry-over analogue,
+    /root/reference/src/bufferedinput.hpp:57-88) and parses up to the first
+    boundary past its end, so one multi-GB ``.fa`` no longer serializes into
+    a single task. ``.gz`` files stay one task per file (gzip is not
+    splittable; the reference itself streams one file serially) — reshard
+    first if that is the bottleneck. ``warc_ts`` carries byte offsets, so
+    record order (and keep-first dedup) is identical however a file is
+    split.
     """
     if isinstance(path, (list, tuple)):
         files = [str(p) for p in path]
@@ -140,15 +266,40 @@ def read_fastx(path, fmt: str | None = None) -> ray.data.Dataset:
             raise ValueError(f"cannot infer fasta/fastq format of {f!r}; pass fmt=")
         fmts[f] = got
 
-    # one task per file: whole-file shards are the parallel unit (gzip is not
-    # splittable). Offsetting each file's warc_ts by its position keeps a
-    # global arrival order across shards, like concatenated reference inputs.
-    items = [{"path": f, "shard": i} for i, f in enumerate(files)]
+    # one task per (file, byte range). Offsetting each file's warc_ts by its
+    # position keeps a global arrival order across files, like concatenated
+    # reference inputs; ranges within a file inherit the file's offset and
+    # order by record byte offset.
+    items = []
+    for i, f in enumerate(files):
+        if not f.endswith(".gz") and os.path.getsize(f) > split_bytes:
+            size = os.path.getsize(f)
+            for start in range(0, size, split_bytes):
+                items.append(
+                    {"path": f, "shard": i, "start": start, "end": min(size, start + split_bytes)}
+                )
+        else:
+            items.append({"path": f, "shard": i, "start": -1, "end": -1})
 
     def load(batch: pa.Table) -> pa.Table:
         out = []
-        for p, shard in zip(batch["path"].to_pylist(), batch["shard"].to_pylist()):
-            t = parse_fastx_bytes(_file_bytes(p), fmts[p])
+        for p, shard, start, end in zip(
+            batch["path"].to_pylist(),
+            batch["shard"].to_pylist(),
+            batch["start"].to_pylist(),
+            batch["end"].to_pylist(),
+        ):
+            if start < 0:  # whole-file shard (gz or small file)
+                t = parse_fastx_bytes(_file_bytes(p), fmts[p])
+            else:
+                lo = sync_offset(p, start, fmts[p])
+                hi = sync_offset(p, end, fmts[p])
+                if hi <= lo:
+                    continue
+                with open(p, "rb") as fh:
+                    fh.seek(lo)
+                    data = fh.read(hi - lo)
+                t = parse_fastx_bytes(data, fmts[p], base_offset=lo)
             # shard-offset the timestamps so later files sort after earlier
             off = pa.compute.add(
                 t["warc_ts"].cast(pa.int64()), np.int64(shard) << np.int64(40)
@@ -159,6 +310,8 @@ def read_fastx(path, fmt: str | None = None) -> ray.data.Dataset:
                 off.cast(pa.timestamp("us")),
             )
             out.append(t)
+        if not out:
+            return parse_fastx_bytes(b"", "fasta")
         return pa.concat_tables(out)
 
     return ray.data.from_items(items).map_batches(

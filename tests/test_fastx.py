@@ -5,6 +5,8 @@ file_utils.cpp:71-79) flowing through the engine end-to-end."""
 import gzip
 import os
 
+import numpy as np
+import pandas as pd
 import pyarrow.parquet as pq
 import pytest
 
@@ -204,3 +206,97 @@ def test_flagship_spools_fastx_once(ray_session, tmp_path):
     # exact stage matches the serial reference model on this fixture (the
     # near-dup stage may remove more; exact drops are a lower bound)
     assert metrics["after_exact"] == len(ref_ids)
+
+
+# ------------------------------------------------ splittable byte-range path
+
+
+def _mk_fastq(path, n, seed=0):
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        for i in range(n):
+            L = int(rng.integers(5, 40))
+            seq = "".join(rng.choice(list("ACGTN"), size=L))
+            # quality strings that START WITH '@' on purpose: the classic
+            # FASTQ split ambiguity the shape check must disambiguate
+            qual = "@" + "".join(rng.choice(list("!@#IJK"), size=L - 1))
+            f.write(f"@SRR9.{i} extra words\n{seq}\n+\n{qual}\n")
+    return path
+
+
+def _mk_fasta(path, n, seed=0):
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        for i in range(n):
+            L = int(rng.integers(5, 60))
+            f.write(f">read.{i}\n" + "".join(rng.choice(list("ACGTN"), size=L)) + "\n")
+    return path
+
+
+def _read_canon(path, **kw):
+    from fastq_dupaway_ray.sources.fastx import read_fastx
+
+    df = read_fastx(path, **kw).to_pandas()
+    return df.sort_values("warc_ts").reset_index(drop=True)
+
+
+def test_sync_offset_agrees_with_whole_file_fasta(ray_session, tmp_path):
+    p = _mk_fasta(str(tmp_path / "big.fa"), 500, seed=3)
+    whole = _read_canon(p, split_bytes=1 << 30)
+    for split in (256, 1000, 4096):
+        sharded = _read_canon(p, split_bytes=split)
+        pd.testing.assert_frame_equal(whole, sharded)
+
+
+def test_sync_offset_agrees_with_whole_file_fastq(ray_session, tmp_path):
+    p = _mk_fastq(str(tmp_path / "big.fq"), 500, seed=4)
+    whole = _read_canon(p, split_bytes=1 << 30)
+    for split in (256, 1000, 4096):
+        sharded = _read_canon(p, split_bytes=split)
+        pd.testing.assert_frame_equal(whole, sharded)
+
+
+def test_sync_offset_every_boundary_fastq(tmp_path):
+    """sync_offset lands exactly on record starts for EVERY offset — the
+    pure-function property adjacent shards rely on (incl. '@'-leading
+    quality lines)."""
+    from fastq_dupaway_ray.sources.fastx import sync_offset
+
+    p = _mk_fastq(str(tmp_path / "s.fq"), 40, seed=5)
+    data = open(p, "rb").read()
+    # true record starts: every 4th line start
+    starts, pos = [], 0
+    for k, line in enumerate(data.split(b"\n")[:-1]):
+        if k % 4 == 0:
+            starts.append(pos)
+        pos += len(line) + 1
+    starts.append(len(data))  # EOF sentinel
+    import bisect
+
+    for off in range(0, len(data) + 1, 7):
+        want = starts[bisect.bisect_left(starts, off)]
+        got = sync_offset(p, off, "fastq")
+        assert got == want, (off, got, want)
+
+
+def test_split_read_dedup_matches_reference_semantics(ray_session, tmp_path):
+    """Keep-first dedup through the sharded path keeps the same records as
+    through the whole-file path (order survives splitting)."""
+    rng = np.random.default_rng(9)
+    p = str(tmp_path / "dups.fa")
+    seqs = ["".join(rng.choice(list("ACGT"), size=12)) for _ in range(60)]
+    with open(p, "w") as f:
+        for i in range(400):
+            f.write(f">r.{i}\n{seqs[rng.integers(0, len(seqs))]}\n")
+    from fastq_dupaway_ray.pipelines.dedup import DedupConfig, run_dedup
+    from fastq_dupaway_ray.sources.fastx import read_fastx
+    from fastq_dupaway_ray.sources.pages import split_quarantine
+
+    kept_urls = {}
+    for split in (1 << 30, 512):
+        good, _bad = split_quarantine(read_fastx(p, split_bytes=split))
+        res = run_dedup(good, DedupConfig(mode="exact", emit_clusters=False))
+        kept_urls[split] = sorted(res.kept.to_pandas()["url"])
+    assert kept_urls[1 << 30] == kept_urls[512]
+    # one kept record per distinct sequence that actually occurs
+    assert len(kept_urls[512]) == len({s for s in open(p).read().split("\n")[1::2] if s})
