@@ -700,42 +700,13 @@ SQL_DOC_FREQUENCY_DOCS = r"""
 
 def q_events_sliding_window(sf_dir: str):
     """Hopping-window aggregate (1h window, 30min hop): each event lands in
-    two windows — explode to window starts in the batch (combiner), then one
-    bucketed merge. The streaming-window shape Ray Data lacks natively."""
-    from .stages.minhash import _default_shuffle_buckets
-
-    B = _default_shuffle_buckets()
-    HOP = pd.Timedelta(minutes=30)
+    two windows — Arrow-native combiner + bucketed merge
+    (stages/windows.py hopping_window), the streaming-window shape Ray Data
+    lacks natively."""
+    from .stages.windows import hopping_window
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        slot = df["ts"].dt.floor("30min")
-        ex = pd.concat(
-            [
-                df.assign(window_start=slot),
-                df.assign(window_start=slot - HOP),
-            ],
-            ignore_index=True,
-        )
-        out = ex.groupby(["user_id", "window_start"], as_index=False).agg(
-            sum_value=("value", "sum"), n_events=("value", "size")
-        )
-        out["_bkt"] = out["user_id"].to_numpy() % B
-        return out
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(["user_id", "window_start"], as_index=False).agg(
-            sum_value=("sum_value", "sum"), n_events=("n_events", "sum")
-        )
-        out["sum_value"] = out["sum_value"].round(6)
-        return out
-
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("_bkt")
-        .map_groups(merge, batch_format="pandas")
-    )
+    return hopping_window(ds, width_minutes=60, hop_minutes=30)
 
 
 SQL_EVENTS_SLIDING_WINDOW = """
@@ -753,40 +724,13 @@ SQL_EVENTS_SLIDING_WINDOW = """
 
 
 def q_events_sessionize(sf_dir: str):
-    """Session windows (30-min inactivity gap) per user — streaming-shaped
-    stateful windowing done per-key inside hash buckets."""
-    from .stages.minhash import _default_shuffle_buckets
-
-    B = _default_shuffle_buckets()
-    GAP = pd.Timedelta(minutes=30)
+    """Session windows (30-min inactivity gap) per user — stateful
+    windowing resolved per hash bucket in one vectorized Arrow/numpy pass
+    (stages/windows.py sessionize)."""
+    from .stages.windows import sessionize
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
-
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_bkt"] = df["user_id"].to_numpy() % B
-        return df
-
-    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts"], kind="mergesort")
-        new_sess = (df["ts"] - df.groupby("user_id")["ts"].shift()).gt(GAP) | df[
-            "user_id"
-        ].ne(df["user_id"].shift())
-        df = df.assign(_sess=new_sess.cumsum())
-        out = df.groupby(["user_id", "_sess"], as_index=False).agg(
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-            n_events=("ts", "size"),
-            sum_value=("value", "sum"),
-        )
-        out["sum_value"] = out["sum_value"].round(6)
-        return out[["user_id", "session_start", "session_end", "n_events", "sum_value"]]
-
-    return (
-        ds.map_batches(bucketize, batch_format="pandas")
-        .groupby("_bkt")
-        .map_groups(sessionize, batch_format="pandas")
-    )
+    return sessionize(ds, gap_minutes=30)
 
 
 SQL_EVENTS_SESSIONIZE = """
@@ -990,30 +934,14 @@ SQL_BROADCAST_JOIN_CUSTOMER_NATION = """
 
 def q_set_intersect_docs(sf_dir: str):
     """Intersect-by-key (SURVEY.md 2.7: the --unordered merge doubles as
-    intersect): texts present in BOTH the short-doc and en-lang subsets,
-    via one bucketed groupby with side tags (single shuffle, no join)."""
-    from .stages.minhash import _default_shuffle_buckets
+    intersect): texts present in BOTH the short-doc and en-lang subsets —
+    one bucketed exchange with side tags (stages/setops.py)."""
+    from .stages.setops import keyed_set_op
 
-    B = _default_shuffle_buckets()
     ds = _docs(sf_dir)
-
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        short = df[df["n_chars"] < 200][["text"]].assign(_side=0)
-        en = df[df["lang"] == "en"][["text"]].assign(_side=1)
-        out = pd.concat([short, en], ignore_index=True)
-        out["_bkt"] = pd.util.hash_array(out["text"].to_numpy(dtype=object)) % B
-        return out
-
-    def intersect(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("text")["_side"].agg(["min", "max"])
-        both = g[(g["min"] == 0) & (g["max"] == 1)].index
-        return pd.DataFrame({"text": sorted(both)})
-
-    return (
-        ds.map_batches(tag, batch_format="pandas")
-        .groupby("_bkt")
-        .map_groups(intersect, batch_format="pandas")
-    )
+    short = ds.filter(expr="n_chars < 200").select_columns(["text"])
+    en = ds.filter(expr="lang == 'en'").select_columns(["text"])
+    return keyed_set_op(short, en, "intersect")
 
 
 SQL_SET_INTERSECT_DOCS = """
@@ -1025,29 +953,13 @@ SQL_SET_INTERSECT_DOCS = """
 
 def q_set_except_docs(sf_dir: str):
     """Except-by-key (counted anti-join residue analogue): short-doc texts
-    NOT in the en-lang subset."""
-    from .stages.minhash import _default_shuffle_buckets
+    NOT in the en-lang subset (stages/setops.py)."""
+    from .stages.setops import keyed_set_op
 
-    B = _default_shuffle_buckets()
     ds = _docs(sf_dir)
-
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        short = df[df["n_chars"] < 200][["text"]].assign(_side=0)
-        en = df[df["lang"] == "en"][["text"]].assign(_side=1)
-        out = pd.concat([short, en], ignore_index=True)
-        out["_bkt"] = pd.util.hash_array(out["text"].to_numpy(dtype=object)) % B
-        return out
-
-    def except_(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("text")["_side"].max()
-        only_short = g[g == 0].index
-        return pd.DataFrame({"text": sorted(only_short)})
-
-    return (
-        ds.map_batches(tag, batch_format="pandas")
-        .groupby("_bkt")
-        .map_groups(except_, batch_format="pandas")
-    )
+    short = ds.filter(expr="n_chars < 200").select_columns(["text"])
+    en = ds.filter(expr="lang == 'en'").select_columns(["text"])
+    return keyed_set_op(short, en, "except")
 
 
 SQL_SET_EXCEPT_DOCS = """
@@ -2286,40 +2198,12 @@ SQL_LINEITEM_AGG = """
 
 
 def q_events_window(sf_dir: str):
-    """Tumbling 1-hour window aggregate per user (streaming-shaped workload)."""
-    from ray.data.aggregate import Count, Sum
+    """Tumbling 1-hour window aggregate per user (streaming-shaped workload;
+    Arrow-native combiner + bucketed merge, stages/windows.py)."""
+    from .stages.windows import tumbling_window
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
-
-    # two-level bucketing: Ray's native aggregate is slow with ~n distinct
-    # groups; hash-partition by user into coarse buckets and run ONE vectorized
-    # pandas groupby per bucket (co-locating each user's windows)
-    from .stages.minhash import _default_shuffle_buckets
-
-    B = _default_shuffle_buckets()
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(window_start=df["ts"].dt.floor("h"))
-        out = df.groupby(["user_id", "window_start"], as_index=False).agg(
-            sum_value=("value", "sum"), n_events=("value", "size")
-        )
-        out["_bkt"] = out["user_id"].to_numpy() % B
-        return out
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(["user_id", "window_start"], as_index=False).agg(
-            sum_value=("sum_value", "sum"), n_events=("n_events", "sum")
-        )
-        return out
-
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("_bkt")
-        .map_groups(merge, batch_format="pandas")
-        .to_pandas()
-    )
-    out["sum_value"] = out["sum_value"].round(6)
-    return out
+    return tumbling_window(ds, width_minutes=60)
 
 
 SQL_EVENTS_WINDOW = """

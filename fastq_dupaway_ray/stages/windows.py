@@ -1,0 +1,239 @@
+"""Windowed aggregates over keyed event streams — Arrow-native stages.
+
+The streaming-window shapes Ray Data lacks natively (SURVEY.md §2.9), in
+the engine's standard combiner + bucketed-merge form:
+
+* ``tumbling_window`` / ``hopping_window`` — per-batch PARTIAL aggregation
+  (Arrow hash aggregate over (key, window_start)) shrinks each batch to its
+  distinct groups before anything shuffles; one ``groupby(_bkt)`` then
+  merges partials with each key's windows co-located. The exchange carries
+  (key, window, partial sum, partial count) rows only — corpus values never
+  move twice. Hopping windows explode each event into width/hop window
+  starts inside the combiner (an event belongs to that many windows).
+* ``sessionize`` — inactivity-gap sessions are order-dependent per key, so
+  events hash-bucket by key and each bucket resolves sessions in one
+  vectorized pass: sort by (key, ts), mark gap/key breaks, and aggregate
+  contiguous session runs with ``np.add.reduceat`` — no pandas groupby, no
+  per-session Python.
+
+All three stages are ``batch_format="pyarrow"`` end-to-end (pyarrow.compute
+kernels; the only pandas left in the window family is gone). Each key's
+whole event history must fit a bucket worker for sessionize — the same
+partitioning assumption every per-key streaming window makes; salt hot keys
+upstream if one user exceeds a worker.
+
+Generalizes the reference's run-summary aggregation (SURVEY.md A7,
+/root/reference/src/seq_dup_remover.hpp:104-109) from one global counter to
+keyed time windows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _bucket_count() -> int:
+    from .minhash import _default_shuffle_buckets
+
+    return _default_shuffle_buckets()
+
+
+def _floor_to(ts: pa.ChunkedArray | pa.Array, minutes: int) -> pa.Array:
+    """Floor timestamps to a multiple of ``minutes`` (us precision)."""
+    us = minutes * 60_000_000
+    # normalize to us FIRST: a pandas-born ns column cast straight to int64
+    # would floor in the wrong unit and mislabel the result
+    ints = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+    return pc.cast(pc.multiply(pc.divide(ints, us), us), pa.timestamp("us"))
+
+
+def _window_partial(
+    t: pa.Table, key_col: str, ts_col: str, value_col: str, starts: list[pa.Array], buckets: int
+) -> pa.Table:
+    """Partial (key, window_start) aggregate of one batch; ``starts`` holds
+    one window-start array per window the events belong to (1 for tumbling,
+    width/hop for hopping)."""
+    pieces = []
+    for s in starts:
+        pieces.append(
+            pa.table(
+                {
+                    key_col: t[key_col],
+                    "window_start": s,
+                    value_col: t[value_col],
+                }
+            )
+        )
+    ex = pa.concat_tables(pieces)
+    agg = pa.TableGroupBy(ex, [key_col, "window_start"]).aggregate(
+        [(value_col, "sum"), (value_col, "count")]
+    )
+    agg = agg.rename_columns([key_col, "window_start", "sum_value", "n_events"])
+    return agg.append_column(
+        "_bkt", pc.cast(_key_bucket(agg[key_col], buckets), pa.int64())
+    )
+
+
+def _key_bucket(keys: pa.ChunkedArray | pa.Array, buckets: int) -> np.ndarray:
+    k = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    if pa.types.is_integer(k.type):
+        return k.to_numpy(zero_copy_only=False).astype(np.int64) % buckets
+    from ..functions.hashing import hash64
+
+    return (hash64(k.to_numpy(zero_copy_only=False).astype(object)) % np.uint64(buckets)).astype(
+        np.int64
+    )
+
+
+def _window_merge(key_col: str, round_digits: int | None):
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # Ray probes map_groups with an empty batch; return the merged
+            # schema explicitly (an empty TableGroupBy would emit 0 columns)
+            key_type = (
+                t.schema.field(key_col).type if key_col in t.column_names else pa.int64()
+            )
+            return pa.table(
+                {
+                    key_col: pa.array([], key_type),
+                    "window_start": pa.array([], pa.timestamp("us")),
+                    "sum_value": pa.array([], pa.float64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        agg = pa.TableGroupBy(t, [key_col, "window_start"]).aggregate(
+            [("sum_value", "sum"), ("n_events", "sum")]
+        )
+        agg = agg.rename_columns([key_col, "window_start", "sum_value", "n_events"])
+        if round_digits is not None:
+            agg = agg.set_column(
+                agg.schema.get_field_index("sum_value"),
+                "sum_value",
+                pc.round(agg["sum_value"], round_digits),
+            )
+        return agg
+
+    return merge
+
+
+def tumbling_window(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width_minutes: int = 60,
+    round_digits: int | None = 6,
+) -> ray.data.Dataset:
+    """(key, window_start, sum_value, n_events) over fixed tumbling windows."""
+    B = _bucket_count()
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _window_partial(
+            t, key_col, ts_col, value_col, [_floor_to(t[ts_col], width_minutes)], B
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(_window_merge(key_col, round_digits), batch_format="pyarrow")
+    )
+
+
+def hopping_window(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width_minutes: int = 60,
+    hop_minutes: int = 30,
+    round_digits: int | None = 6,
+) -> ray.data.Dataset:
+    """Hopping (sliding) windows: each event lands in width/hop windows."""
+    if width_minutes % hop_minutes:
+        raise ValueError("hopping_window: width must be a multiple of hop")
+    B = _bucket_count()
+    k = width_minutes // hop_minutes
+    hop_us = hop_minutes * 60_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        base = _floor_to(t[ts_col], hop_minutes)
+        base_i = pc.cast(base, pa.int64())
+        starts = [
+            pc.cast(pc.subtract(base_i, j * hop_us), pa.timestamp("us"))
+            for j in range(k)
+        ]
+        return _window_partial(t, key_col, ts_col, value_col, starts, B)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(_window_merge(key_col, round_digits), batch_format="pyarrow")
+    )
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+    round_digits: int | None = 6,
+) -> ray.data.Dataset:
+    """Inactivity-gap sessions per key:
+    (key, session_start, session_end, n_events, sum_value)."""
+    B = _bucket_count()
+    gap_us = gap_minutes * 60_000_000
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bkt", pa.array(_key_bucket(t[key_col], B), pa.int64())
+        )
+
+    def resolve(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], t.schema.field(key_col).type),
+                    "session_start": pa.array([], pa.timestamp("us")),
+                    "session_end": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_value": pa.array([], pa.float64()),
+                }
+            )
+        order = pc.sort_indices(
+            t, sort_keys=[(key_col, "ascending"), (ts_col, "ascending")]
+        )
+        keys = t[key_col].take(order)
+        ts = pc.cast(
+            pc.cast(t[ts_col].take(order), pa.timestamp("us")), pa.int64()
+        ).to_numpy()
+        vals = t[value_col].take(order).to_numpy(zero_copy_only=False).astype(np.float64)
+        kn = keys.to_numpy(zero_copy_only=False)
+        n = len(ts)
+        new_sess = np.ones(n, dtype=bool)
+        if n > 1:
+            new_sess[1:] = (kn[1:] != kn[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        starts = np.nonzero(new_sess)[0]
+        ends = np.concatenate([starts[1:], [n]]) - 1
+        out_ts = ts.astype("datetime64[us]")
+        sums = np.add.reduceat(vals, starts)
+        if round_digits is not None:
+            sums = np.round(sums, round_digits)
+        return pa.table(
+            {
+                key_col: keys.take(pa.array(starts)),
+                "session_start": pa.array(out_ts[starts], pa.timestamp("us")),
+                "session_end": pa.array(out_ts[ends], pa.timestamp("us")),
+                "n_events": pa.array(np.diff(np.concatenate([starts, [n]])), pa.int64()),
+                "sum_value": pa.array(sums, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

@@ -1,0 +1,124 @@
+"""Arrow-native window/set-op stages (stages/windows.py, stages/setops.py):
+semantics vs serial reference computations, plus edge shapes."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from fastq_dupaway_ray.stages.setops import keyed_set_op
+from fastq_dupaway_ray.stages.windows import hopping_window, sessionize, tumbling_window
+
+
+def _events(n=2000, users=17, seed=7):
+    rng = np.random.default_rng(seed)
+    ts = pd.Timestamp("2025-03-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 86_400_000, size=n)), unit="ms"
+    )
+    return pd.DataFrame(
+        {
+            "user_id": rng.integers(0, users, size=n).astype(np.int64),
+            "ts": ts,
+            "value": rng.normal(size=n).round(3),
+        }
+    )
+
+
+def test_tumbling_window_matches_pandas(ray_session):
+    df = _events()
+    got = (
+        tumbling_window(rd.from_pandas(df).repartition(5), width_minutes=60)
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.assign(window_start=df["ts"].dt.floor("h"))
+        .groupby(["user_id", "window_start"], as_index=False)
+        .agg(sum_value=("value", "sum"), n_events=("value", "size"))
+    )
+    exp["sum_value"] = exp["sum_value"].round(6)
+    exp = exp.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_hopping_window_each_event_in_two_windows(ray_session):
+    df = _events(500)
+    got = hopping_window(
+        rd.from_pandas(df).repartition(3), width_minutes=60, hop_minutes=30
+    ).to_pandas()
+    # every event contributes to exactly width/hop = 2 windows
+    assert got["n_events"].sum() == 2 * len(df)
+    # a specific event is counted in both its slot and the previous one
+    slot = df["ts"].iloc[0].floor("30min")
+    u = df["user_id"].iloc[0]
+    w = got[got["user_id"] == u].set_index("window_start")
+    assert slot in w.index and slot - pd.Timedelta(minutes=30) in w.index
+
+
+def test_hopping_window_rejects_non_multiple(ray_session):
+    with pytest.raises(ValueError, match="multiple"):
+        hopping_window(rd.from_pandas(_events(10)), width_minutes=45, hop_minutes=30)
+
+
+def test_sessionize_matches_pandas(ray_session):
+    df = _events(3000, users=11, seed=13)
+    got = (
+        sessionize(rd.from_pandas(df).repartition(7), gap_minutes=30)
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    d = df.sort_values(["user_id", "ts"], kind="mergesort")
+    new = (d["ts"] - d.groupby("user_id")["ts"].shift()).gt(
+        pd.Timedelta(minutes=30)
+    ) | d["user_id"].ne(d["user_id"].shift())
+    d = d.assign(_s=new.cumsum())
+    exp = d.groupby(["user_id", "_s"], as_index=False).agg(
+        session_start=("ts", "min"),
+        session_end=("ts", "max"),
+        n_events=("ts", "size"),
+        sum_value=("value", "sum"),
+    )[["user_id", "session_start", "session_end", "n_events", "sum_value"]]
+    exp["sum_value"] = exp["sum_value"].round(6)
+    exp = exp.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_sessionize_single_event_sessions(ray_session):
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 2], dtype=np.int64),
+            "ts": pd.to_datetime(
+                ["2025-01-01 00:00", "2025-01-01 02:00", "2025-01-01 00:10"]
+            ),
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    got = sessionize(rd.from_pandas(df), gap_minutes=30).to_pandas()
+    assert len(got) == 3  # every event its own session (gaps exceed 30min)
+    assert (got["n_events"] == 1).all()
+
+
+def test_keyed_set_op_matches_python_sets(ray_session):
+    rng = np.random.default_rng(3)
+    a = pd.DataFrame({"text": [f"k{int(i)}" for i in rng.integers(0, 60, 300)]})
+    b = pd.DataFrame({"text": [f"k{int(i)}" for i in rng.integers(30, 90, 300)]})
+    inter = keyed_set_op(rd.from_pandas(a), rd.from_pandas(b), "intersect").to_pandas()
+    exc = keyed_set_op(rd.from_pandas(a), rd.from_pandas(b), "except").to_pandas()
+    sa, sb = set(a["text"]), set(b["text"])
+    assert set(inter["text"]) == sa & sb and len(inter) == len(sa & sb)
+    assert set(exc["text"]) == sa - sb and len(exc) == len(sa - sb)
+
+
+def test_keyed_set_op_integer_keys(ray_session):
+    a = pd.DataFrame({"k": np.arange(50, dtype=np.int64)})
+    b = pd.DataFrame({"k": np.arange(25, 75, dtype=np.int64)})
+    inter = keyed_set_op(rd.from_pandas(a), rd.from_pandas(b), "intersect", key_col="k").to_pandas()
+    assert sorted(inter["k"]) == list(range(25, 50))
+
+
+def test_keyed_set_op_bad_op(ray_session):
+    a = rd.from_pandas(pd.DataFrame({"text": ["x"]}))
+    with pytest.raises(ValueError, match="intersect"):
+        keyed_set_op(a, a, "union")
