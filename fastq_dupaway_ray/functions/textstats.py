@@ -52,8 +52,51 @@ def token_count_ws(arr: pa.Array) -> pa.Array:
     return pc.if_else(empty, pa.scalar(0, pa.int64()), pc.cast(n, pa.int64()))
 
 
-def token_count_bpe(texts: np.ndarray) -> np.ndarray:
-    """BPE-ish token estimate: words + numbers + punctuation marks."""
+_TIKTOKEN_ENC = None
+_TIKTOKEN_TRIED = False
+
+
+def _tiktoken_encoding():
+    """Lazy, guarded ``tiktoken`` load (optional dep; absent in this
+    container). Caching the encoder per process keeps the BPE merge table a
+    once-per-worker cost, per the actor-pool setup discipline."""
+    global _TIKTOKEN_ENC, _TIKTOKEN_TRIED
+    if not _TIKTOKEN_TRIED:
+        _TIKTOKEN_TRIED = True
+        try:  # pragma: no cover - exercised only where tiktoken is installed
+            import tiktoken
+
+            _TIKTOKEN_ENC = tiktoken.get_encoding("cl100k_base")
+        except Exception:
+            _TIKTOKEN_ENC = None
+    return _TIKTOKEN_ENC
+
+
+def token_count_bpe(texts: np.ndarray, tokenizer: str = "heuristic") -> np.ndarray:
+    """Token counts per text.
+
+    ``tokenizer``:
+    * ``"heuristic"`` (default) — the regex estimate (words + numbers +
+      punctuation marks). Deterministic, dependency-free, and the
+      SQL-oracle-checked semantics (``token_counts_bpe_docs``).
+    * ``"tiktoken"`` — real BPE counts via the optional ``tiktoken`` dep
+      (cl100k_base, batch ``encode_ordinary_batch``); raises ImportError
+      when the dep is absent.
+    * ``"auto"`` — tiktoken when importable, else the heuristic.
+    """
+    if tokenizer not in ("heuristic", "tiktoken", "auto"):
+        raise ValueError(f"token_count_bpe: unknown tokenizer {tokenizer!r}")
+    enc = _tiktoken_encoding() if tokenizer in ("tiktoken", "auto") else None
+    if tokenizer == "tiktoken" and enc is None:
+        raise ImportError(
+            "token_count_bpe(tokenizer='tiktoken') needs the optional "
+            "tiktoken package; use 'auto' or 'heuristic' for the fallback"
+        )
+    if enc is not None:  # pragma: no cover - exercised only with the dep
+        return np.array(
+            [len(ids) for ids in enc.encode_ordinary_batch([t or "" for t in texts])],
+            dtype=np.int64,
+        )
     return np.fromiter((len(_BPE_RE.findall(t)) for t in texts), dtype=np.int64, count=len(texts))
 
 

@@ -109,6 +109,20 @@ class DedupIndexShard:
             mo = np.lexsort((m2, m1))
             self.chunks = [(m1[mo], m2[mo]), (np.empty(0, np.uint64), np.empty(0, np.uint64))]
 
+    def snapshot(self):
+        """Compacted state for persistence: one sorted (k1, k2) pair."""
+        if not self.chunks:
+            return np.empty(0, np.uint64), np.empty(0, np.uint64)
+        m1 = np.concatenate([c[0] for c in self.chunks])
+        m2 = np.concatenate([c[1] for c in self.chunks])
+        mo = np.lexsort((m2, m1))
+        return m1[mo], m2[mo]
+
+    def restore(self, k1: np.ndarray, k2: np.ndarray) -> int:
+        self.chunks = [(np.asarray(k1, np.uint64), np.asarray(k2, np.uint64))]
+        self.n = len(k1)
+        return self.n
+
     def size(self) -> int:
         return self.n
 
@@ -216,6 +230,37 @@ class BandIndexShard:
         b[0].append(doc_id)
         b[1].append(sig)
         b[2] = None
+
+    def snapshot(self):
+        """Flattened state: (band_keys, positions, ids, sig matrix) — the
+        per-bucket position preserves insertion order, which max_bucket
+        first-wins and FIFO eviction semantics depend on."""
+        keys, poss, ids, sigs = [], [], [], []
+        for k, b in self.buckets.items():
+            for p, (i, s) in enumerate(zip(b[0], b[1])):
+                keys.append(k)
+                poss.append(p)
+                ids.append(i)
+                sigs.append(s)
+        sig_mat = np.stack(sigs) if sigs else np.empty((0, 0), np.uint64)
+        return (
+            np.array(keys, dtype=np.uint64),
+            np.array(poss, dtype=np.int32),
+            ids,
+            sig_mat,
+        )
+
+    def restore(self, keys: np.ndarray, poss: np.ndarray, ids, sig_mat: np.ndarray) -> int:
+        self.buckets = {}
+        order = np.lexsort((poss, keys))
+        for j in order.tolist():
+            k = int(keys[j])
+            b = self.buckets.get(k)
+            if b is None:
+                b = self.buckets[k] = [[], [], None]
+            b[0].append(ids[j])
+            b[1].append(sig_mat[j])
+        return self.size()
 
     def size(self) -> int:
         return sum(len(b[0]) for b in self.buckets.values())
@@ -435,6 +480,15 @@ class QuotaShard:
                 granted[j] = g
         return granted
 
+    def snapshot(self):
+        keys = list(self.counts.keys())
+        return keys, np.array([self.counts[k] for k in keys], dtype=np.int64), self.n
+
+    def restore(self, keys, counts: np.ndarray, n: int) -> int:
+        self.n = int(n)
+        self.counts = {k: int(c) for k, c in zip(keys, counts)}
+        return len(self.counts)
+
     def size(self) -> int:
         return len(self.counts)
 
@@ -510,3 +564,128 @@ def streaming_cap(
         concurrency=concurrency,
     )
     return kept, index
+
+
+# --------------------------------------------- index persistence (resume)
+
+def _index_kind(index) -> str:
+    name = index[0]._ray_actor_creation_function_descriptor.class_name
+    for kind, cls in (("exact", "DedupIndexShard"), ("band", "BandIndexShard"), ("quota", "QuotaShard")):
+        if cls in name:
+            return kind
+    raise ValueError(f"save_streaming_index: unknown shard class {name!r}")
+
+
+def save_streaming_index(index, root: str, name: str) -> dict:
+    """Persist a streaming index (exact / band / quota shard pool) under
+    ``root/name`` as one parquet part per shard plus an atomic manifest —
+    the same write-then-rename protocol as ``state.checkpoint`` (a crash
+    mid-save leaves the previous snapshot intact). The actors keep running;
+    the snapshot is the state AS OF the calls (quiesce ingest first for an
+    exact cut, like any online checkpoint).
+
+    Closes the round-3 gap that shard state died with the driver: a restart
+    calls ``load_streaming_index`` and continues ingesting with exact
+    admit/dedup invariants preserved.
+    """
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..state.checkpoint import MANIFEST
+
+    kind = _index_kind(index)
+    out_dir = os.path.join(root, name)
+    tmp_dir = out_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    states = ray.get([s.snapshot.remote() for s in index])
+    rows = 0
+    extra: dict = {}
+    for i, st in enumerate(states):
+        if kind == "exact":
+            k1, k2 = st
+            t = pa.table({"k1": pa.array(k1, pa.uint64()), "k2": pa.array(k2, pa.uint64())})
+        elif kind == "band":
+            keys, poss, ids, sig_mat = st
+            K = sig_mat.shape[1] if sig_mat.size else 0
+            extra["sig_width"] = max(extra.get("sig_width", 0), K)
+            t = pa.table(
+                {
+                    "band_key": pa.array(keys, pa.uint64()),
+                    "pos": pa.array(poss, pa.int32()),
+                    "id": pa.array(list(ids)),
+                    "sig": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sig_mat.ravel(), pa.uint64()), K or 1
+                    )
+                    if len(keys)
+                    else pa.array([], pa.list_(pa.uint64(), 1)),
+                }
+            )
+        else:  # quota
+            keys, counts, n_cap = st
+            extra["n_cap"] = int(n_cap)
+            t = pa.table({"key": pa.array(list(keys)), "count": pa.array(counts, pa.int64())})
+        pq.write_table(t, os.path.join(tmp_dir, f"shard-{i:05d}.parquet"))
+        rows += t.num_rows
+    manifest = {
+        "stage": name,
+        "kind": kind,
+        "n_shards": len(index),
+        "rows": rows,
+        "complete": True,
+        **extra,
+    }
+    with open(os.path.join(tmp_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp_dir, out_dir)
+    return manifest
+
+
+def load_streaming_index(root: str, name: str):
+    """Rebuild a shard pool from ``save_streaming_index`` output. Returns
+    fresh actors with the snapshotted state (same shard count — identities
+    were partitioned by ``% n_shards``, so the layout must match)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..state.checkpoint import MANIFEST
+
+    out_dir = os.path.join(root, name)
+    with open(os.path.join(out_dir, MANIFEST)) as f:
+        m = json.load(f)
+    if not m.get("complete"):
+        raise ValueError(f"streaming index snapshot at {out_dir} is incomplete")
+    kind, n_shards = m["kind"], m["n_shards"]
+    if kind == "exact":
+        index = make_index(n_shards)
+    elif kind == "band":
+        index = make_band_index(n_shards)
+    else:
+        index = make_quota_index(m["n_cap"], n_shards)
+    restores = []
+    for i, shard in enumerate(index):
+        t = pq.read_table(os.path.join(out_dir, f"shard-{i:05d}.parquet"))
+        if kind == "exact":
+            restores.append(
+                shard.restore.remote(t["k1"].to_numpy(), t["k2"].to_numpy())
+            )
+        elif kind == "band":
+            keys = t["band_key"].to_numpy()
+            poss = t["pos"].to_numpy()
+            ids = t["id"].to_pylist()
+            flat = t["sig"].combine_chunks().flatten().to_numpy()
+            K = m.get("sig_width") or 1
+            sig_mat = flat.reshape(len(keys), K) if len(keys) else np.empty((0, 0), np.uint64)
+            restores.append(shard.restore.remote(keys, poss, ids, sig_mat))
+        else:
+            restores.append(
+                shard.restore.remote(t["key"].to_pylist(), t["count"].to_numpy(), m["n_cap"])
+            )
+    ray.get(restores)
+    return index

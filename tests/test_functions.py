@@ -307,3 +307,28 @@ def test_redact_pii_kernel():
         "two mails <EMAIL> <EMAIL> and <PHONE>",
     ]
     assert n.to_pylist() == [1, 2, 0, 0, 3]
+
+
+def test_token_count_bpe_tokenizer_modes():
+    """Optional-dep contract: 'heuristic' is the oracle path; 'auto' equals
+    tiktoken when importable else the heuristic; 'tiktoken' raises without
+    the dep. Runs meaningfully in BOTH environments (no skip)."""
+    import numpy as np
+    import pytest
+
+    from fastq_dupaway_ray.functions import textstats
+
+    texts = np.array(["hello, world 42!", "", "a b  c"], dtype=object)
+    heur = textstats.token_count_bpe(texts)  # default = heuristic
+    assert heur.tolist() == [5, 0, 3]  # hello , world 42 !
+    auto = textstats.token_count_bpe(texts, tokenizer="auto")
+    if textstats._tiktoken_encoding() is None:
+        assert auto.tolist() == heur.tolist()
+        with pytest.raises(ImportError, match="tiktoken"):
+            textstats.token_count_bpe(texts, tokenizer="tiktoken")
+    else:  # pragma: no cover - container has no tiktoken
+        real = textstats.token_count_bpe(texts, tokenizer="tiktoken")
+        assert auto.tolist() == real.tolist()
+        assert real[1] == 0 and (real[:1] > 0).all()
+    with pytest.raises(ValueError, match="unknown tokenizer"):
+        textstats.token_count_bpe(texts, tokenizer="gpt5")

@@ -226,3 +226,96 @@ def test_streaming_cap_incremental_reuses_index(ray_session):
     assert kept_a.count() == 5
     kept_b, _ = streaming_cap(rd.from_pandas(b), n=7, key_col="source", index=index, concurrency=1)
     assert kept_b.count() == 2  # 5 already admitted; only 2 quota slots left
+
+
+# ------------------------------------------ snapshot / restore (resume)
+
+
+def test_exact_index_survives_actor_kill(ray_session, tmp_path):
+    """Kill the shard pool mid-ingest, reload from the snapshot, and the
+    dedup invariant holds exactly: nothing already ingested is re-admitted."""
+    import ray
+
+    from fastq_dupaway_ray.stages.streaming import (
+        load_streaming_index,
+        save_streaming_index,
+        streaming_dedup_exact,
+    )
+
+    a = pd.DataFrame({"url": [f"u{i}" for i in range(300)],
+                      "text": [f"t{i % 120}" for i in range(300)]})
+    kept_a, idx = streaming_dedup_exact(rd.from_pandas(a), n_shards=4)
+    assert kept_a.count() == 120
+    save_streaming_index(idx, str(tmp_path), "exact_idx")
+    for s in idx:
+        ray.kill(s)
+    idx2 = load_streaming_index(str(tmp_path), "exact_idx")
+    # re-ingesting the SAME slice admits nothing
+    again, idx2 = streaming_dedup_exact(rd.from_pandas(a), index=idx2)
+    assert again.count() == 0
+    # a new slice: only genuinely-new texts admitted
+    b = pd.DataFrame({"url": [f"v{i}" for i in range(200)],
+                      "text": [f"t{i}" for i in range(200)]})  # 120 overlap
+    kept_b, _ = streaming_dedup_exact(rd.from_pandas(b), index=idx2)
+    assert kept_b.count() == 80
+
+
+def test_quota_index_survives_actor_kill(ray_session, tmp_path):
+    """Per-key admit counts survive snapshot+restore: a key at quota stays
+    blocked, a key with room gets exactly the remainder."""
+    import ray
+
+    from fastq_dupaway_ray.stages.streaming import (
+        load_streaming_index,
+        save_streaming_index,
+        streaming_cap,
+    )
+
+    a = pd.DataFrame({"source": ["full"] * 10 + ["half"] * 3, "x": range(13)})
+    kept_a, idx = streaming_cap(rd.from_pandas(a), n=10, key_col="source", n_shards=3)
+    assert kept_a.count() == 13  # full: 10 of 10, half: 3 of 10
+    save_streaming_index(idx, str(tmp_path), "quota_idx")
+    for s in idx:
+        ray.kill(s)
+    idx2 = load_streaming_index(str(tmp_path), "quota_idx")
+    b = pd.DataFrame({"source": ["full"] * 5 + ["half"] * 20 + ["new"] * 2, "x": range(27)})
+    kept_b, _ = streaming_cap(rd.from_pandas(b), n=10, key_col="source", index=idx2)
+    got = kept_b.to_pandas()["source"].value_counts().to_dict()
+    assert got.get("full", 0) == 0    # already at quota before the kill
+    assert got["half"] == 7           # 3 admitted pre-kill -> 7 remaining
+    assert got["new"] == 2
+
+
+def test_band_index_survives_actor_kill(ray_session, tmp_path):
+    """Near-dup variants of docs kept BEFORE the kill are still recognized
+    as duplicates after reload (signatures + bucket order intact)."""
+    import ray
+
+    from fastq_dupaway_ray.stages.streaming import (
+        load_streaming_index,
+        save_streaming_index,
+        streaming_dedup_neardup,
+    )
+
+    rng = np.random.default_rng(21)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta", "iota"]
+    base = [" ".join(rng.choice(words, size=80)) for _ in range(40)]
+    a = pd.DataFrame({"url": [f"a{i}" for i in range(40)], "text": base})
+    kept_a, idx = streaming_dedup_neardup(rd.from_pandas(a), n_shards=3)
+    n_kept_a = kept_a.count()
+    assert n_kept_a > 0
+    save_streaming_index(idx, str(tmp_path), "band_idx")
+    for s in idx:
+        ray.kill(s)
+    idx2 = load_streaming_index(str(tmp_path), "band_idx")
+    # near-variants of the first 20 base docs (tiny tail edit) + 5 fresh docs
+    variants = [t + " zz" for t in base[:20]]
+    fresh = [" ".join(rng.choice(words[::-1], size=9)) + f" unique{i}" for i in range(5)]
+    b = pd.DataFrame(
+        {"url": [f"b{i}" for i in range(25)], "text": variants + fresh}
+    )
+    kept_b, _ = streaming_dedup_neardup(rd.from_pandas(b), index=idx2)
+    kept_urls = set(kept_b.to_pandas()["url"])
+    # every near-variant dropped, every fresh doc kept
+    assert all(f"b{20 + i}" in kept_urls for i in range(5))
+    assert not any(f"b{i}" in kept_urls for i in range(20))
