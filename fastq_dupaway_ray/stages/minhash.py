@@ -395,6 +395,29 @@ def _nonempty_block_refs(ds: ray.data.Dataset) -> list:
     ]
 
 
+_EXCHANGE_ROWS_PER_REDUCER = 4096
+_EXCHANGE_BYTES_PER_REDUCER = 4 << 20
+
+
+def _exchange_fanout(b_cap: int, rows: int, size_bytes: int, rows_known: bool = True) -> int:
+    """Reduce-task count for a hash exchange, capped at the configured
+    bucket count and sized by BOTH row count and byte volume.
+
+    Rows alone under-size wide exchanges: band rows vary 16-64 B but
+    payload-shuffle fallbacks carry KB-scale text rows, where 4096 rows is
+    megabytes per reducer x a skew factor. The bytes floor keeps per-reducer
+    volume bounded (~4 MB) regardless of row width, while tiny oracle-scale
+    exchanges still collapse to one task instead of paying ``b_cap``
+    scheduling costs. ``b_cap`` already scales with cluster CPUs
+    (``_default_shuffle_buckets``) — a pure function so multi-node sizings
+    are testable without a cluster."""
+    if not rows_known:
+        return b_cap
+    by_rows = rows // _EXCHANGE_ROWS_PER_REDUCER
+    by_bytes = (size_bytes or 0) // _EXCHANGE_BYTES_PER_REDUCER
+    return max(1, min(b_cap, max(by_rows, by_bytes)))
+
+
 def _hash_exchange_tasks(ds: ray.data.Dataset, key: str, B: int, fn) -> ray.data.Dataset:
     """Manual hash exchange: co-locate rows by ``key % B`` across ``B``
     reduce tasks, apply ``fn`` per bucket, return the results as a Dataset.
@@ -409,7 +432,7 @@ def _hash_exchange_tasks(ds: ray.data.Dataset, key: str, B: int, fn) -> ray.data
     slices over the network exactly like shuffle blocks).
     """
     mat = ds.materialize()
-    refs, rows, rows_known = [], 0, True
+    refs, rows, size_bytes, rows_known = [], 0, 0, True
     for bundle in mat.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
             if meta.num_rows is None:
@@ -418,15 +441,10 @@ def _hash_exchange_tasks(ds: ray.data.Dataset, key: str, B: int, fn) -> ray.data
             elif meta.num_rows > 0:  # zero-row blocks can be SCHEMA-LESS
                 refs.append(ref)
                 rows += meta.num_rows
+                size_bytes += meta.size_bytes or 0
     if not refs:
         return ray.data.from_arrow(fn(None))
-    if rows_known:
-        # size the reduce fan-out to the data: a tiny exchange (oracle-scale
-        # inputs, zero-duplicate drop sets) pays B reduce tasks of fixed
-        # scheduling cost otherwise. >=4096 rows per reducer amortizes task
-        # overhead; the configured B stays the cap, so multi-million-row
-        # exchanges (the measured 1M-row wins) are unchanged
-        B = min(B, max(1, rows // 4096))
+    B = _exchange_fanout(B, rows, size_bytes, rows_known)
     if B <= 1:
         red = [_exchange_reduce.remote(fn, *refs)]
     else:
