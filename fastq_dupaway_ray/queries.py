@@ -1597,6 +1597,39 @@ SQL_CAP_PER_SOURCE_DOCS = """
 """
 
 
+_TOKEN_BUDGET_PER_SOURCE = 5_000
+
+
+def q_cap_budget_per_source_docs(sf_dir: str):
+    """Per-source TOKEN budget (the RefinedWeb form: each source buys a
+    character/token allowance, not a row count): keep each source's docs in
+    doc_id order while the cumulative n_chars stays within the budget.
+    Combiner prunes to could-fit rows + one cutoff marker per key per
+    block; slim threshold exchange; broadcast filter
+    (stages/quota.py cap_per_key_budget)."""
+    from .stages.quota import cap_per_key_budget
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"])
+    out = cap_per_key_budget(
+        ds,
+        key_col="source",
+        order_col="doc_id",
+        weight_col="n_chars",
+        budget=_TOKEN_BUDGET_PER_SOURCE,
+    )
+    return out.select_columns(["doc_id", "source"])
+
+
+SQL_CAP_BUDGET_PER_SOURCE_DOCS = f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    ) WHERE cum <= {_TOKEN_BUDGET_PER_SOURCE}
+"""
+
+
 def q_length_quantiles_docs(sf_dir: str):
     """Exact p50/p90/p99 of document length via the distributed value
     histogram (no full sort — combiner + slim merge; stages/quantiles.py).
@@ -2353,6 +2386,7 @@ REGISTRY = {
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "shuffle_rank_docs": (q_shuffle_rank_docs, SQL_SHUFFLE_RANK_DOCS),
     "decontamination_10k_docs": (q_decontamination_10k_docs, SQL_DECONTAMINATION_10K_DOCS),
+    "cap_budget_per_source_docs": (q_cap_budget_per_source_docs, SQL_CAP_BUDGET_PER_SOURCE_DOCS),
     "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
     "dedup_tight_adjacency_docs": (q_dedup_tight_adjacency_docs, SQL_DEDUP_EXACT_DOCS),
     "containment_docs": (q_containment_docs, SQL_CONTAINMENT_DOCS),

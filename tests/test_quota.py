@@ -161,3 +161,93 @@ def test_deterministic_shuffle_rank_matches_serial_and_is_reshard_stable(ray_ses
         got_by_parts.append(got.shuffle_rank.to_numpy())
     # resharding must not change the order (the whole point vs random_shuffle)
     assert all((g == got_by_parts[0]).all() for g in got_by_parts[1:])
+
+
+# ------------------------------------------------ token-budget per-key cap
+
+
+def _budget_brute(df, key, order, weight, budget):
+    d = df.sort_values([key, order], kind="mergesort")
+    cum = d.groupby(key, sort=False)[weight].cumsum()
+    return d[cum.to_numpy() <= budget]
+
+
+def test_cap_per_key_budget_matches_bruteforce(ray_session):
+    from fastq_dupaway_ray.stages.quota import cap_per_key_budget
+
+    rng = np.random.default_rng(33)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "k": np.array([f"s{int(i)}" for i in rng.zipf(1.6, n) % 40], dtype=object),
+            "i": np.arange(n, dtype=np.int64),
+            "w": rng.integers(1, 400, size=n).astype(np.int64),
+        }
+    )
+    got = (
+        cap_per_key_budget(
+            rd.from_pandas(df).repartition(9), key_col="k", order_col="i",
+            weight_col="w", budget=2_000,
+        )
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    exp = (
+        _budget_brute(df, "k", "i", "w", 2_000)
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "i", "w"]], exp[["k", "i", "w"]])
+
+
+def test_cap_per_key_budget_drop_all_key(ray_session):
+    """A key whose FIRST row already exceeds the budget loses every row
+    (SQL cumulative-sum semantics) — the null-threshold limb."""
+    from fastq_dupaway_ray.stages.quota import cap_per_key_budget
+
+    df = pd.DataFrame(
+        {
+            "k": ["fat", "fat", "ok", "ok"],
+            "i": np.array([1, 2, 1, 2], dtype=np.int64),
+            "w": np.array([100, 1, 3, 4], dtype=np.int64),
+        }
+    )
+    got = cap_per_key_budget(
+        rd.from_pandas(df).repartition(2), key_col="k", order_col="i",
+        weight_col="w", budget=8,
+    ).to_pandas()
+    assert sorted(zip(got["k"], got["i"])) == [("ok", 1), ("ok", 2)]
+
+
+def test_cap_per_key_budget_cross_block_hot_key(ray_session):
+    """The cutoff-marker protocol stays exact when a hot key's rows scatter
+    over many blocks and the budget boundary falls mid-corpus."""
+    from fastq_dupaway_ray.stages.quota import cap_per_key_budget
+
+    n = 5_000
+    df = pd.DataFrame(
+        {
+            "k": ["hot"] * n,
+            "i": np.arange(n, dtype=np.int64),
+            "w": np.full(n, 7, dtype=np.int64),
+        }
+    )
+    budget = 7 * 123 + 3  # keeps exactly the first 123 rows
+    got = cap_per_key_budget(
+        rd.from_pandas(df.sample(frac=1.0, random_state=5)).repartition(16),
+        key_col="k", order_col="i", weight_col="w", budget=budget,
+    ).to_pandas()
+    assert sorted(got["i"]) == list(range(123))
+
+
+def test_cap_per_key_budget_rejects_bad_inputs(ray_session):
+    from fastq_dupaway_ray.stages.quota import cap_per_key_budget
+
+    df = pd.DataFrame({"k": ["a"], "i": [1], "w": [0]})
+    with pytest.raises(ValueError, match="budget >= 1"):
+        cap_per_key_budget(rd.from_pandas(df), "k", "i", "w", budget=0)
+    import ray.exceptions
+
+    with pytest.raises(Exception, match="positive weights"):
+        cap_per_key_budget(rd.from_pandas(df), "k", "i", "w", budget=5).to_pandas()
