@@ -1630,6 +1630,31 @@ SQL_CAP_BUDGET_PER_SOURCE_DOCS = f"""
 """
 
 
+def q_unigram_logprob_docs(sf_dir: str):
+    """Corpus-trained unigram LM score (CCNet-style quality signal): mean
+    ln p(token) per document, p = corpus token frequency. Vocab built with
+    a distinct-token combiner + token-owned bucket exchange, broadcast
+    once; the corpus streams through a single scoring pass
+    (stages/lmscore.py; top_vocab caps the table with a pooled OOV mass at
+    web scale — full vocab here for the exact oracle)."""
+    from .stages.lmscore import unigram_logprob_scores
+
+    return unigram_logprob_scores(_docs(sf_dir), id_cols=("doc_id",))
+
+
+SQL_UNIGRAM_LOGPROB_DOCS = r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    tot AS (SELECT sum(c)::DOUBLE AS t FROM tf)
+    SELECT doc_id, round(avg(ln(c / t)), 6) AS logprob
+    FROM toks JOIN tf USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+"""
+
+
 def q_length_quantiles_docs(sf_dir: str):
     """Exact p50/p90/p99 of document length via the distributed value
     histogram (no full sort — combiner + slim merge; stages/quantiles.py).
@@ -2387,6 +2412,7 @@ REGISTRY = {
     "shuffle_rank_docs": (q_shuffle_rank_docs, SQL_SHUFFLE_RANK_DOCS),
     "decontamination_10k_docs": (q_decontamination_10k_docs, SQL_DECONTAMINATION_10K_DOCS),
     "cap_budget_per_source_docs": (q_cap_budget_per_source_docs, SQL_CAP_BUDGET_PER_SOURCE_DOCS),
+    "unigram_logprob_docs": (q_unigram_logprob_docs, SQL_UNIGRAM_LOGPROB_DOCS),
     "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
     "dedup_tight_adjacency_docs": (q_dedup_tight_adjacency_docs, SQL_DEDUP_EXACT_DOCS),
     "containment_docs": (q_containment_docs, SQL_CONTAINMENT_DOCS),
