@@ -160,32 +160,61 @@ def _hamming_scan_vec(
         def row_enc(i: int) -> list[np.ndarray]:
             return [codes[offs[i] : offs[i + 1]] for codes, _l, offs in enc]
 
-        def verify(head: list[np.ndarray], i: int) -> bool:
-            for s, (codes, lens, offs) in zip(head, enc):
-                if lens[i] != len(s):
-                    return False
-                if len(s) and int(
-                    (codes[offs[i] : offs[i + 1]] != s).sum()
-                ) > distance:
-                    return False
-            return True
-
+        # candidate runs are CONSTANT-LENGTH per side (the candidate
+        # condition chains length equality), so each run resolves as matrix
+        # sweeps: distances of every remaining run row to the current head
+        # in one gather, dups = the prefix within `distance`, the first
+        # over-distance row becomes the new head and the sweep repeats from
+        # there. Cost is O(#heads-in-run x run x len) numpy — dup-dense
+        # runs have few heads, which is exactly when runs are long.
+        run_breaks = np.nonzero(np.diff(cand_idx) > 1)[0] + 1
+        run_starts = np.concatenate([[0], run_breaks])
+        run_ends = np.concatenate([run_breaks, [len(cand_idx)]])
         if incoming_state is not None:
-            head = [
+            incoming_enc = [
                 np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
                 for s in incoming_state
             ]
-            prev_cand = -1  # so a run starting at row 0 keeps the incoming head
         else:
-            head, prev_cand = None, -2
-        for j in cand_idx.tolist():
-            if j != prev_cand + 1:
-                head = row_enc(j - 1)  # run restarts after a definite head
-            if verify(head, j):
-                dup[j] = True
-            else:
-                head = row_enc(j)
-            prev_cand = j
+            incoming_enc = None
+        for rs, re_ in zip(run_starts.tolist(), run_ends.tolist()):
+            rows = cand_idx[rs:re_]
+            j0 = int(rows[0])
+            head = incoming_enc if j0 == 0 else row_enc(j0 - 1)
+            m = len(rows)
+            # per-side (m, L) matrices for this run (one gather per side)
+            mats = []
+            for codes, lens, offs in enc:
+                L = int(lens[j0])
+                if L:
+                    mats.append(codes[offs[rows][:, None] + np.arange(L)[None, :]])
+                else:
+                    mats.append(np.empty((m, 0), dtype=np.uint32))
+            i = 0
+            while i < m:
+                # doubling window: a head change discards at most the
+                # current window of speculative compares, so alternating
+                # dup/non-dup runs stay O(run x len) instead of O(run^2)
+                w = 16
+                while i < m:
+                    hi = min(m, i + w)
+                    over = np.zeros(hi - i, dtype=bool)
+                    for mat, h in zip(mats, head):
+                        if mat.shape[1] != len(h):
+                            over[:] = True  # head length differs: no dups
+                            break
+                        if mat.shape[1]:
+                            over |= (mat[i:hi] != h[None, :]).sum(axis=1) > distance
+                    nd = np.nonzero(over)[0]
+                    if len(nd):
+                        k = i + int(nd[0])
+                        dup[rows[i:k]] = True
+                        head = [mat[k] for mat in mats]
+                        i = k + 1
+                        break  # restart with a fresh small window
+                    dup[rows[i:hi]] = True
+                    i = hi
+                    w *= 2
 
     kept = np.nonzero(~dup)[0]
     if len(kept):

@@ -203,3 +203,58 @@ def test_flagship_handles_duplicate_and_tied_urls(ray_session, tmp_path):
     k2 = kept2.to_pandas()
     assert sorted(k2["url"]) == ["u1", "u2"]
     assert metrics2["kept"] == 2 and metrics2["after_exact"] == 2
+
+
+def test_hamming_scan_vec_matches_serial_reference():
+    """_hamming_scan_vec (adjacent-pair prefilter + per-run matrix sweeps)
+    is bit-exact vs the serial head-compare loop, incl. unicode, paired
+    columns and incoming seam state."""
+    import numpy as np
+
+    from fastq_dupaway_ray.stages.adjacency import _hamming_scan_vec, _is_dup
+
+    def naive(cols, distance, incoming_state):
+        n = len(cols[0])
+        dup = np.zeros(n, bool)
+        state = incoming_state
+        for i in range(n):
+            cur = tuple(c[i] for c in cols)
+            if state is not None and _is_dup("hamming", tuple(state), cur, distance):
+                dup[i] = True
+            else:
+                state = cur
+        return dup, (tuple(state) if state is not None else None)
+
+    rng = np.random.default_rng(17)
+    alpha = list("ACGT") + ["é", "𝄞"]
+    for trial in range(150):
+        n = int(rng.integers(0, 50))
+        ncols = int(rng.integers(1, 3))
+        cols = []
+        for _ in range(ncols):
+            texts = []
+            for _ in range(n):
+                if rng.random() < 0.7 and texts:
+                    t = list(texts[-1])
+                    for _ in range(rng.integers(0, 3)):
+                        if t:
+                            t[rng.integers(0, len(t))] = rng.choice(alpha)
+                    texts.append("".join(t))
+                else:
+                    texts.append("".join(rng.choice(alpha, size=rng.integers(0, 10))))
+            cols.append(np.array(sorted(texts) if ncols == 1 else texts, dtype=object))
+        if n == 0:
+            cols = [np.array([], dtype=object) for _ in range(ncols)]
+        d = int(rng.integers(0, 4))
+        inc = (
+            None
+            if rng.random() < 0.5 or n == 0
+            else tuple(
+                "".join(rng.choice(alpha, size=int(rng.integers(0, 6))))
+                for _ in range(ncols)
+            )
+        )
+        a = _hamming_scan_vec([c.copy() for c in cols], d, inc)
+        b = naive(cols, d, inc)
+        assert (a[0] == b[0]).all(), (trial, d, inc)
+        assert a[1] == b[1], (trial, d, inc)
