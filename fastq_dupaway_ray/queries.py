@@ -1429,6 +1429,34 @@ _PARA_CORPUS_SQL = """
 """
 
 
+def _dense_text_pool(sf_dir: str) -> np.ndarray:
+    """documents' texts as an array indexed BY doc_id VALUE, with a loud
+    guard that the ids are dense AND unique 0..N-1 (file order is not id
+    order, and a duplicated id would leave a None slot that downstream
+    joins/encodings would hit far from the cause). Shared by the
+    paragraph-corpus and 10k-needle oracle builders — test-scale
+    scaffolding, not a pipeline stage."""
+    import pyarrow.parquet as pq
+
+    pool_t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pool_ids = pool_t["doc_id"].to_numpy()
+    n_pool = len(pool_ids)
+    if (
+        n_pool == 0
+        or int(pool_ids.min()) != 0
+        or int(pool_ids.max()) != n_pool - 1
+        or len(np.unique(pool_ids)) != n_pool
+    ):
+        raise ValueError(
+            f"need dense unique doc_ids 0..N-1, got "
+            f"[{pool_ids.min() if n_pool else '-'}, "
+            f"{pool_ids.max() if n_pool else '-'}] over {n_pool} rows"
+        )
+    pool = np.empty(n_pool, dtype=object)
+    pool[pool_ids] = pool_t["text"].to_numpy(zero_copy_only=False).astype(object)
+    return pool
+
+
 def paragraph_docs(sf_dir: str) -> rd.Dataset:
     """Deterministic multi-paragraph corpus over the documents table.
 
@@ -1443,20 +1471,8 @@ def paragraph_docs(sf_dir: str) -> rd.Dataset:
 
     import pyarrow.parquet as pq
 
-    pool_t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    pool_ids = pool_t["doc_id"].to_numpy()
-    texts_in_file_order = pool_t["text"].to_numpy(zero_copy_only=False).astype(object)
-    # the SQL oracle joins pool paragraphs BY doc_id VALUE; index the array
-    # the same way instead of assuming file order == id order, and fail loud
-    # if the ids are not dense 0..N-1 (the modular pick needs a total pool)
-    n_pool = len(pool_ids)
-    if int(pool_ids.min()) != 0 or int(pool_ids.max()) != n_pool - 1:
-        raise ValueError(
-            f"paragraph_docs needs dense doc_ids 0..N-1, got "
-            f"[{pool_ids.min()}, {pool_ids.max()}] over {n_pool} rows"
-        )
-    pool = np.empty(n_pool, dtype=object)
-    pool[pool_ids] = texts_in_file_order
+    pool = _dense_text_pool(sf_dir)
+    n_pool = len(pool)
     pool_ref = ray.put(pool)
 
     def build(t: pa.Table) -> pa.Table:
@@ -1774,13 +1790,8 @@ def q_decontamination_10k_docs(sf_dir: str):
 
     from .stages.decontaminate import contamination_pairs
 
-    pool_t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    pool_ids = pool_t["doc_id"].to_numpy()
-    n_pool = len(pool_ids)
-    if int(pool_ids.min()) != 0 or int(pool_ids.max()) != n_pool - 1:
-        raise ValueError("decontamination_10k needs dense doc_ids 0..N-1")
-    pool = np.empty(n_pool, dtype=object)
-    pool[pool_ids] = pool_t["text"].to_numpy(zero_copy_only=False).astype(object)
+    pool = _dense_text_pool(sf_dir)
+    n_pool = len(pool)
     idx = (np.arange(_DECON_10K_NEEDLES, dtype=np.int64) * 7) % n_pool
     eval_ds = rd.from_arrow(
         pa.table(

@@ -129,6 +129,17 @@ def parse_fastx_bytes(data: bytes, fmt: str, base_offset: int = 0) -> pa.Table:
 _SYNC_CHUNK = 4 << 20  # bytes read per probe while hunting a record boundary
 
 
+def _has_newlines(buf: bytes, pos: int, k: int) -> bool:
+    """True if at least ``k`` newlines exist at/after ``pos`` (find-walk,
+    O(span) not O(len(buf)))."""
+    for _ in range(k):
+        pos = buf.find(b"\n", pos)
+        if pos < 0:
+            return False
+        pos += 1
+    return True
+
+
 def _fastq_boundary_ok(buf: bytes, pos: int):
     """``True`` if ``buf[pos:]`` starts a well-formed FASTQ record: ``@`` id
     line, ``+`` third line, qual length == seq length, and (when present)
@@ -152,23 +163,32 @@ def _fastq_boundary_ok(buf: bytes, pos: int):
     return True
 
 
-def _reads_as_qual_line(path: str, abs_pos: int, qual_len: int, back: int = 1 << 20) -> bool:
+def _reads_as_qual_line(path: str, abs_pos: int, qual_len: int) -> bool:
     """True if the line starting at byte ``abs_pos`` is the QUALITY line of
     a complete well-formed record — i.e. the three preceding lines read as
     ``@id / seq / +`` with ``len(seq) == qual_len``. Disambiguates the EOF
     case where a ``@``-leading quality line would otherwise be taken for a
-    truncated final record."""
-    lo = max(0, abs_pos - back)
-    with open(path, "rb") as f:
-        f.seek(lo)
-        win = f.read(abs_pos - lo)
-    lines = win.split(b"\n")
-    if lines and lines[-1] == b"":
-        lines.pop()  # the newline immediately before abs_pos
-    if len(lines) < 3:
-        return False
-    idl, seql, plus = lines[-3], lines[-2], lines[-1]
-    return idl[:1] == b"@" and plus[:1] == b"+" and len(seql) == qual_len
+    truncated final record. The backward window GROWS until it holds three
+    complete preceding lines (long-read files have multi-MB lines; a fixed
+    window would truncate the seq line and mis-answer)."""
+    back = 1 << 20
+    while True:
+        lo = max(0, abs_pos - back)
+        with open(path, "rb") as f:
+            f.seek(lo)
+            win = f.read(abs_pos - lo)
+        lines = win.split(b"\n")
+        if lines and lines[-1] == b"":
+            lines.pop()  # the newline immediately before abs_pos
+        # need the 3 preceding lines COMPLETE: either a 4th boundary newline
+        # is in the window, or the window reaches the file start
+        if lo > 0 and len(lines) < 4:
+            back *= 2
+            continue
+        if len(lines) < 3:
+            return False
+        idl, seql, plus = lines[-3], lines[-2], lines[-1]
+        return idl[:1] == b"@" and plus[:1] == b"+" and len(seql) == qual_len
 
 
 def sync_offset(path: str, offset: int, fmt: str) -> int:
@@ -205,16 +225,19 @@ def sync_offset(path: str, offset: int, fmt: str) -> int:
                 if i < 0:
                     break
                 pos = i + 1
-                # the FASTQ shape check needs ~4 lines of lookahead: refill
-                # BEFORE judging a candidate near the buffer end, so a
-                # truncated quality line can neither falsely accept nor
-                # falsely reject a boundary
-                if fmt == "fastq" and not at_eof and len(buf) - pos < 4096:
+                # the FASTQ shape check needs the next 4 lines COMPLETE in
+                # the buffer (line 5's first byte too): refill BEFORE judging
+                # a candidate without them, so a truncated line can neither
+                # falsely accept nor falsely reject a boundary. Counting
+                # newlines, not bytes — long-read files have multi-MB lines.
+                if fmt == "fastq" and not at_eof and not _has_newlines(buf, pos, 5):
                     break  # refill and re-check this candidate with context
                 if fmt == "fasta":
                     return probe_start + pos
                 ok = _fastq_boundary_ok(buf, pos)
                 if ok == "partial":
+                    # only reachable at EOF (the guard above refilled
+                    # otherwise), so the first line is complete to file end
                     qual_len = len(buf[pos:].split(b"\n", 1)[0])
                     ok = not _reads_as_qual_line(path, probe_start + pos, qual_len)
                 if ok:

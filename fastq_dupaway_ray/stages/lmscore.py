@@ -59,7 +59,9 @@ def unigram_logprob_scores(
 
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         if len(df):
-            toks = df[text_col].str.split()
+            # null texts tokenize as empty (str.split leaves NaN, which
+            # np.concatenate chokes on and lens-masking mishandles)
+            toks = df[text_col].fillna("").str.split()
             flat = (
                 np.concatenate(toks.to_numpy()).astype(object)
                 if toks.str.len().sum()
@@ -127,7 +129,7 @@ def unigram_logprob_scores(
             out = {c: df[c] for c in id_cols}
             out["logprob"] = pd.Series([], dtype=np.float64)
             return pd.DataFrame(out)
-        toks = df[text_col].str.split()
+        toks = df[text_col].fillna("").str.split()
         lens = toks.str.len().to_numpy()
         nz = lens > 0
         flat = (

@@ -291,7 +291,7 @@ class BandIndexShard:
             }
         )
         pq.write_table(t, path)
-        return {"rows": t.num_rows, "sig_width": K}
+        return {"rows": t.num_rows, "sig_width": K, "max_bucket": self.max_bucket}
 
     def size(self) -> int:
         return sum(len(b[0]) for b in self.buckets.values())
@@ -652,6 +652,8 @@ def save_streaming_index(index, root: str, name: str) -> dict:
     for p in parts:
         if "sig_width" in p:
             extra["sig_width"] = max(extra.get("sig_width", 0), p["sig_width"])
+        if "max_bucket" in p:
+            extra["max_bucket"] = p["max_bucket"]
         if "n_cap" in p:
             extra["n_cap"] = p["n_cap"]
     manifest = {
@@ -664,8 +666,17 @@ def save_streaming_index(index, root: str, name: str) -> dict:
     }
     with open(os.path.join(tmp_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # crash-safe swap: the previous snapshot moves ASIDE (rename, atomic)
+    # before the new one moves in, so no crash window leaves zero snapshots
+    # on disk; load falls back to the .old dir if a crash lands between the
+    # two renames. rmtree-before-rename would violate the docstring's
+    # "previous snapshot intact" promise exactly when it matters.
+    old_dir = out_dir + ".old"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    if os.path.isdir(out_dir):
+        os.rename(out_dir, old_dir)
     os.rename(tmp_dir, out_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
     return manifest
 
 
@@ -681,6 +692,9 @@ def load_streaming_index(root: str, name: str):
     from ..state.checkpoint import MANIFEST
 
     out_dir = os.path.join(root, name)
+    if not os.path.isdir(out_dir) and os.path.isdir(out_dir + ".old"):
+        # a crash between save's two renames left only the aside copy
+        os.rename(out_dir + ".old", out_dir)
     with open(os.path.join(out_dir, MANIFEST)) as f:
         m = json.load(f)
     if not m.get("complete"):
@@ -689,7 +703,9 @@ def load_streaming_index(root: str, name: str):
     if kind == "exact":
         index = make_index(n_shards)
     elif kind == "band":
-        index = make_band_index(n_shards)
+        # restore the configured bucket bound too — defaulting it would
+        # silently change admit behavior for post-restore inserts
+        index = make_band_index(n_shards, max_bucket=m.get("max_bucket", 64))
     else:
         index = make_quota_index(m["n_cap"], n_shards)
     restores = []

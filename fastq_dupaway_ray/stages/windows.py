@@ -45,9 +45,13 @@ def _floor_to(ts: pa.ChunkedArray | pa.Array, minutes: int) -> pa.Array:
     """Floor timestamps to a multiple of ``minutes`` (us precision)."""
     us = minutes * 60_000_000
     # normalize to us FIRST: a pandas-born ns column cast straight to int64
-    # would floor in the wrong unit and mislabel the result
-    ints = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
-    return pc.cast(pc.multiply(pc.divide(ints, us), us), pa.timestamp("us"))
+    # would floor in the wrong unit and mislabel the result. numpy // floors
+    # toward -inf (pc.divide truncates toward zero, which would mis-window
+    # pre-epoch timestamps vs pandas dt.floor and DuckDB date_trunc)
+    iv = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    return pa.array((iv // us) * us).cast(pa.timestamp("us"))
 
 
 def _window_partial(
@@ -68,8 +72,10 @@ def _window_partial(
             )
         )
     ex = pa.concat_tables(pieces)
+    # count_all, not (value, count): Arrow's per-column count skips nulls,
+    # but the oracle (and the pandas 'size' this replaced) counts rows
     agg = pa.TableGroupBy(ex, [key_col, "window_start"]).aggregate(
-        [(value_col, "sum"), (value_col, "count")]
+        [(value_col, "sum"), ([], "count_all")]
     )
     agg = agg.rename_columns([key_col, "window_start", "sum_value", "n_events"])
     return agg.append_column(
@@ -159,8 +165,7 @@ def hopping_window(
     hop_us = hop_minutes * 60_000_000
 
     def partial(t: pa.Table) -> pa.Table:
-        base = _floor_to(t[ts_col], hop_minutes)
-        base_i = pc.cast(base, pa.int64())
+        base_i = pc.cast(_floor_to(t[ts_col], hop_minutes), pa.int64())
         starts = [
             pc.cast(pc.subtract(base_i, j * hop_us), pa.timestamp("us"))
             for j in range(k)

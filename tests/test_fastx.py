@@ -300,3 +300,42 @@ def test_split_read_dedup_matches_reference_semantics(ray_session, tmp_path):
     assert kept_urls[1 << 30] == kept_urls[512]
     # one kept record per distinct sequence that actually occurs
     assert len(kept_urls[512]) == len({s for s in open(p).read().split("\n")[1::2] if s})
+
+
+def test_sync_offset_long_read_lines(ray_session, tmp_path):
+    """Long-read FASTQ (lines far beyond any fixed lookahead window): the
+    shape check must refill by NEWLINE count, not byte count — a truncated
+    quality line used to mis-answer the boundary test, corrupting the
+    record at the shard seam."""
+    rng = np.random.default_rng(6)
+    p = str(tmp_path / "longread.fq")
+    with open(p, "w") as f:
+        for i in range(12):
+            L = int(rng.integers(6_000, 9_000))  # lines >> the old 4096 guard
+            seq = "".join(rng.choice(list("ACGTN"), size=L))
+            qual = "@" + "".join(rng.choice(list("!@#IJK"), size=L - 1))
+            f.write(f"@LR.{i} long read\n{seq}\n+\n{qual}\n")
+    from fastq_dupaway_ray.sources.fastx import sync_offset
+
+    data = open(p, "rb").read()
+    starts, pos = [], 0
+    for k, line in enumerate(data.split(b"\n")[:-1]):
+        if k % 4 == 0:
+            starts.append(pos)
+        pos += len(line) + 1
+    starts.append(len(data))
+    import bisect
+
+    # probe around every record boundary and across qual-line starts
+    probes = set()
+    for s in starts:
+        probes.update([max(0, s - 3), s, s + 1, s + 5_000])
+    for off in sorted(o for o in probes if o <= len(data)):
+        want = starts[bisect.bisect_left(starts, off)]
+        got = sync_offset(p, off, "fastq")
+        assert got == want, (off, got, want)
+    # end-to-end: sharded == whole at a split that lands mid-record
+    whole = _read_canon(p, split_bytes=1 << 30)
+    assert whole["_valid"].all()
+    for split in (10_000, 17_000):
+        pd.testing.assert_frame_equal(whole, _read_canon(p, split_bytes=split))

@@ -122,3 +122,26 @@ def test_keyed_set_op_bad_op(ray_session):
     a = rd.from_pandas(pd.DataFrame({"text": ["x"]}))
     with pytest.raises(ValueError, match="intersect"):
         keyed_set_op(a, a, "union")
+
+
+def test_tumbling_window_pre_epoch_and_null_values(ray_session):
+    """Floor must go toward -inf for pre-1970 timestamps (pc.divide
+    truncates toward zero) and n_events must count rows, not non-null
+    values — both match pandas and the SQL oracle."""
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 1], dtype=np.int64),
+            "ts": pd.to_datetime(
+                ["1969-12-31 23:30:00", "1969-12-31 23:45:00", "2025-01-01 10:10:00"]
+            ),
+            "value": [1.0, np.nan, 2.0],
+        }
+    )
+    got = (
+        tumbling_window(rd.from_pandas(df), width_minutes=60)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    assert got["window_start"].iloc[0] == pd.Timestamp("1969-12-31 23:00:00")
+    assert got["n_events"].tolist() == [2, 1]  # the null-value row counts
