@@ -1671,6 +1671,31 @@ SQL_UNIGRAM_LOGPROB_DOCS = r"""
 """
 
 
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.2}
+_SAMPLE_DEFAULT = 0.1
+
+
+def q_sample_per_lang_docs(sf_dir: str):
+    """Deterministic stratified sampling (the data-mixing primitive): keep
+    50% of en, 20% of de, 10% of everything else, by the repo's md5 id-hash
+    rule — stable under re-runs, resharding and retries, zero shuffles
+    (stages/sampling.py)."""
+    from .stages.sampling import stratified_sample
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "lang"])
+    return stratified_sample(
+        ds, strata_col="lang", fractions=_SAMPLE_FRACTIONS, default=_SAMPLE_DEFAULT
+    )
+
+
+def _sample_per_lang_sql() -> str:
+    from .stages.sampling import stratified_sample_sql_case
+
+    pred = stratified_sample_sql_case("lang", _SAMPLE_FRACTIONS, _SAMPLE_DEFAULT)
+    return f"SELECT doc_id, lang FROM documents WHERE {pred}"
+
+
+
 def q_length_quantiles_docs(sf_dir: str):
     """Exact p50/p90/p99 of document length via the distributed value
     histogram (no full sort — combiner + slim merge; stages/quantiles.py).
@@ -2424,6 +2449,7 @@ REGISTRY = {
     "decontamination_10k_docs": (q_decontamination_10k_docs, SQL_DECONTAMINATION_10K_DOCS),
     "cap_budget_per_source_docs": (q_cap_budget_per_source_docs, SQL_CAP_BUDGET_PER_SOURCE_DOCS),
     "unigram_logprob_docs": (q_unigram_logprob_docs, SQL_UNIGRAM_LOGPROB_DOCS),
+    "sample_per_lang_docs": (q_sample_per_lang_docs, _sample_per_lang_sql()),
     "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
     "dedup_tight_adjacency_docs": (q_dedup_tight_adjacency_docs, SQL_DEDUP_EXACT_DOCS),
     "containment_docs": (q_containment_docs, SQL_CONTAINMENT_DOCS),

@@ -332,3 +332,49 @@ def test_token_count_bpe_tokenizer_modes():
         assert real[1] == 0 and (real[:1] > 0).all()
     with pytest.raises(ValueError, match="unknown tokenizer"):
         textstats.token_count_bpe(texts, tokenizer="gpt5")
+
+
+def test_stratified_sample_deterministic_and_rate_accurate(ray_session):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from fastq_dupaway_ray.stages.sampling import (
+        fraction_threshold_hex,
+        stratified_sample,
+    )
+
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": np.where(np.arange(n) % 3 == 0, "en", "xx"),
+        }
+    )
+    out1 = stratified_sample(
+        rd.from_pandas(df).repartition(5), "lang", {"en": 0.5}, default=0.1
+    ).to_pandas()
+    out2 = stratified_sample(
+        rd.from_pandas(df).repartition(13), "lang", {"en": 0.5}, default=0.1
+    ).to_pandas()
+    # identical verdicts at any partitioning
+    assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])
+    # rates within ~2% at 20k rows
+    en = (df["lang"] == "en").sum()
+    got_en = (out1["lang"] == "en").sum()
+    assert abs(got_en / en - 0.5) < 0.02
+    assert abs((len(out1) - got_en) / (n - en) - 0.1) < 0.02
+    # the verdict matches the serial md5 rule exactly
+    for row in out1.head(50).itertuples():
+        frac = 0.5 if row.lang == "en" else 0.1
+        assert hashlib.md5(str(row.doc_id).encode()).hexdigest()[:8] < fraction_threshold_hex(frac)
+    # boundary fractions
+    all_kept = stratified_sample(rd.from_pandas(df), "lang", {}, default=1.0).to_pandas()
+    assert len(all_kept) == n
+    none_kept = stratified_sample(rd.from_pandas(df), "lang", {}, default=0.0).to_pandas()
+    assert len(none_kept) == 0
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(rd.from_pandas(df), "lang", {"en": 1.5})
