@@ -1695,6 +1695,37 @@ def _sample_per_lang_sql() -> str:
     return f"SELECT doc_id, lang FROM documents WHERE {pred}"
 
 
+_DUPSPAN_K = 30
+
+
+def q_dup_span_stats_docs(sf_dir: str):
+    """Cross-document duplicate-SPAN mass (Lee et al. substring-dedup
+    detector): per doc, how many of its 30-char windows occur in at least
+    one OTHER document, and the fraction of the doc that is. Exact 128-bit
+    window identities, two slim exchanges, text never shuffles
+    (stages/dupspans.py)."""
+    from .stages.dupspans import dup_span_stats
+
+    return dup_span_stats(_docs(sf_dir), k=_DUPSPAN_K)
+
+
+SQL_DUP_SPAN_STATS_DOCS = f"""
+    WITH mx AS (SELECT max(length(text)) AS m FROM documents),
+    idx AS (SELECT i FROM (SELECT unnest(range(1, (SELECT m FROM mx) + 1)) AS i)),
+    w AS (
+        SELECT d.doc_id, substr(d.text, idx.i::INT, {_DUPSPAN_K}) AS win
+        FROM documents d JOIN idx ON idx.i <= length(d.text) - {_DUPSPAN_K} + 1
+    ),
+    dupw AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2)
+    SELECT doc_id,
+           count(*) AS n_windows,
+           count(*) FILTER (WHERE win IN (SELECT win FROM dupw)) AS n_dup_windows,
+           round(count(*) FILTER (WHERE win IN (SELECT win FROM dupw))::DOUBLE
+                 / count(*), 6) AS dup_fraction
+    FROM w GROUP BY doc_id
+"""
+
+
 
 def q_length_quantiles_docs(sf_dir: str):
     """Exact p50/p90/p99 of document length via the distributed value
@@ -2450,6 +2481,7 @@ REGISTRY = {
     "cap_budget_per_source_docs": (q_cap_budget_per_source_docs, SQL_CAP_BUDGET_PER_SOURCE_DOCS),
     "unigram_logprob_docs": (q_unigram_logprob_docs, SQL_UNIGRAM_LOGPROB_DOCS),
     "sample_per_lang_docs": (q_sample_per_lang_docs, _sample_per_lang_sql()),
+    "dup_span_stats_docs": (q_dup_span_stats_docs, SQL_DUP_SPAN_STATS_DOCS),
     "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
     "dedup_tight_adjacency_docs": (q_dedup_tight_adjacency_docs, SQL_DEDUP_EXACT_DOCS),
     "containment_docs": (q_containment_docs, SQL_CONTAINMENT_DOCS),

@@ -1,0 +1,252 @@
+"""Cross-document duplicate-SPAN statistics — the detector behind
+substring-level training-data dedup (Lee et al., "Deduplicating Training
+Data Makes Language Models Better": duplicated >=k-length spans across
+documents are the harmful class that whole-doc and paragraph dedup miss).
+
+For every document: how many of its k-character windows also occur in at
+least one OTHER document, and what fraction of the document that is. The
+signal feeds filtering (drop docs past a dup-mass threshold) or marks span
+ranges for surgical removal.
+
+Shape (exact, two slim exchanges, text never shuffles):
+
+1. **Window pass (combiner).** Each batch rolls 128-bit window identities
+   over every doc's UTF-32 code points (two independent polynomial bases —
+   code points match SQL ``substr`` character semantics on any input) and
+   emits ONE row per distinct (window, doc): ``(w1, w2, doc_id,
+   positions-in-doc count)``. Volume ~= corpus characters x 28 B — the
+   honest price of EXACT cross-doc span accounting (MinHash is the cheap
+   approximation when this is too dear); within-doc repeats collapse in
+   the combiner.
+2. **Window-owner reduce.** Buckets own windows wholly (hash exchange on
+   w1), so "occurs in >= 2 distinct docs" is a per-bucket group size
+   check; each bucket emits (doc_id, dup-position partial) rows.
+3. **Per-doc merge.** The tiny (doc_id, n_windows) and (doc_id, n_dup)
+   sides union and merge in one bucketed Arrow aggregate.
+
+128-bit identities make a false window merge birthday-impossible
+(~1e-26 at 10^12 windows); the oracle compares the actual substrings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+_BASE1 = 1000003
+_BASE2 = 1000033  # second independent polynomial (both odd)
+
+
+def _window_hashes_u32(texts: np.ndarray, k: int):
+    """128-bit k-codepoint window identities for a batch of texts.
+
+    Returns (w1, w2, doc_idx, n_windows_per_doc): one entry per window
+    POSITION (multiplicity kept — the combiner collapses it per doc).
+    Windows are over UTF-32 code points, matching SQL ``substr`` character
+    counting for any input, not just ASCII.
+    """
+    from ..functions.hashing import _rolling_poly_hashes
+
+    enc = [t.encode("utf-32-le") for t in texts]
+    lens = np.array([len(e) // 4 for e in enc], dtype=np.int64)
+    counts = np.maximum(lens - k + 1, 0)
+    data = np.frombuffer(b"".join(enc), dtype=np.uint32).astype(np.uint64)
+    total = int(counts.sum())
+    w1 = np.empty(total, dtype=np.uint64)
+    w2 = np.empty(total, dtype=np.uint64)
+    if total == 0:
+        return w1, w2, np.empty(0, dtype=np.int64), counts
+    all1 = _rolling_poly_hashes(data, k, _BASE1)
+    all2 = _rolling_poly_hashes(data, k, _BASE2)
+    offsets = np.zeros(len(enc), dtype=np.int64)
+    offsets[1:] = np.cumsum(lens)[:-1]
+    has = counts > 0
+    hc, hs, ho = counts[has], (np.cumsum(counts) - counts)[has], offsets[has]
+    within = np.arange(total, dtype=np.int64) - np.repeat(hs, hc)
+    src = np.repeat(ho, hc) + within
+    dst = np.repeat(hs, hc) + within
+    w1[dst] = all1[src]
+    w2[dst] = all2[src]
+    doc_idx = np.repeat(np.arange(len(enc), dtype=np.int64), counts)
+    return w1, w2, doc_idx, counts
+
+
+def dup_span_stats(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 30,
+    num_buckets: int | None = None,
+    round_digits: int | None = 6,
+    rounds: int = 1,
+) -> ray.data.Dataset:
+    """(id, n_windows, n_dup_windows, dup_fraction) per document with >= 1
+    window (docs shorter than ``k`` characters have no windows and are
+    absent, like the SQL form). A window position counts as duplicated iff
+    its text occurs in at least one other document.
+
+    ``rounds``: the window exchange carries ~corpus-characters x 40 B —
+    the price of exactness. When that exceeds cluster memory (measured: a
+    1M x 400-char corpus overflows a 37 GB object store at rounds=1), set
+    ``rounds=R`` to process the disjoint window-hash ranges ``w1 % R == r``
+    in R sequential passes: in-flight exchange volume drops to ~1/R at the
+    cost of R cheap re-hash scans of the text (window membership is a pure
+    function of the hash, so the union of rounds is exactly the rounds=1
+    answer). Size R ~= corpus_chars x 40 / usable_memory.
+    """
+    from .minhash import _default_shuffle_buckets, _hash_exchange_tasks
+
+    B = num_buckets or _default_shuffle_buckets()
+    if rounds < 1:
+        raise ValueError("dup_span_stats needs rounds >= 1")
+
+    def window_rows(t: pa.Table, rnd: int = 0) -> pa.Table:
+        texts = t[text_col].to_numpy(zero_copy_only=False).astype(object)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        id_type = t.schema.field(id_col).type  # explicit: an empty group
+        # would infer a null-typed d column and break the concat/union
+        w1, w2, doc_idx, counts = _window_hashes_u32(texts, k)
+        if rounds > 1:
+            mine = (w1 % np.uint64(rounds)) == np.uint64(rnd)
+            w1, w2, doc_idx = w1[mine], w2[mine], doc_idx[mine]
+        # collapse to one row per (window, doc) carrying the position count
+        df = pd.DataFrame({"w1": w1, "w2": w2, "d": ids[doc_idx]})
+        g = df.groupby(["w1", "w2", "d"], sort=False).size().reset_index(name="cnt")
+        out = pa.table(
+            {
+                "w1": pa.array(g["w1"].to_numpy(), pa.uint64()),
+                "w2": pa.array(g["w2"].to_numpy(), pa.uint64()),
+                "d": pa.array(g["d"].to_numpy(), id_type),
+                "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
+                "_tag": pa.array(np.zeros(len(g), dtype=np.int8)),
+            }
+        )
+        # one (doc, total windows) row per doc rides along (tag 1, round 0
+        # only) so the final merge needs no second scan of the corpus. Their
+        # exchange key is the DOC hash, not a constant — a constant would
+        # funnel every total row into bucket 0 (corpus-row-count skew on one
+        # reducer); any bucket is correct since owner_reduce splits by tag.
+        has = (counts > 0) if rnd == 0 else np.zeros(len(counts), dtype=bool)
+        if has.any():
+            idh = ids[has]
+            if np.issubdtype(idh.dtype, np.integer):
+                tot_key = idh.astype(np.uint64)
+            else:
+                from ..functions.hashing import hash64
+
+                tot_key = hash64(idh.astype(object))
+        else:
+            tot_key = np.empty(0, dtype=np.uint64)
+        totals = pa.table(
+            {
+                "w1": pa.array(tot_key, pa.uint64()),
+                "w2": pa.array(np.zeros(int(has.sum()), dtype=np.uint64), pa.uint64()),
+                "d": pa.array(ids[has], id_type),
+                "cnt": pa.array(counts[has], pa.int64()),
+                "_tag": pa.array(np.ones(int(has.sum()), dtype=np.int8)),
+            }
+        )
+        return pa.concat_tables([out, totals])
+
+
+
+    def owner_reduce(t: pa.Table | None) -> pa.Table:
+        if t is None or t.num_rows == 0:
+            return pa.table(
+                {
+                    "d": pa.array([], pa.int64()),
+                    "n_windows": pa.array([], pa.int64()),
+                    "n_dup": pa.array([], pa.int64()),
+                }
+            )
+        df = t.to_pandas()
+        wins = df[df["_tag"] == 0]
+        totals = df[df["_tag"] == 1]
+        parts = []
+        if len(wins):
+            gsize = wins.groupby(["w1", "w2"], sort=False)["d"].transform("size")
+            dup = wins[gsize >= 2]
+            if len(dup):
+                per_doc = dup.groupby("d", sort=False)["cnt"].sum().reset_index()
+                parts.append(
+                    pd.DataFrame(
+                        {"d": per_doc["d"], "n_windows": 0, "n_dup": per_doc["cnt"]}
+                    )
+                )
+        if len(totals):
+            per_doc_t = totals.groupby("d", sort=False)["cnt"].sum().reset_index()
+            parts.append(
+                pd.DataFrame(
+                    {"d": per_doc_t["d"], "n_windows": per_doc_t["cnt"], "n_dup": 0}
+                )
+            )
+        if not parts:
+            return owner_reduce(None)
+        out = pd.concat(parts, ignore_index=True)
+        return pa.table(
+            {
+                "d": pa.array(out["d"].to_numpy()),
+                "n_windows": pa.array(out["n_windows"].to_numpy(), pa.int64()),
+                "n_dup": pa.array(out["n_dup"].to_numpy(), pa.int64()),
+            }
+        )
+
+    src_ds = ds.select_columns([id_col, text_col])
+    round_parts = []
+    for rnd in range(rounds):
+        slim = src_ds.map_batches(
+            window_rows, fn_kwargs={"rnd": rnd}, batch_format="pyarrow"
+        )
+        mat = _hash_exchange_tasks(slim, "w1", B, owner_reduce).materialize()
+        # an empty round's fallback schema types d as int64; keep it out of
+        # the union when ids are strings (count on a materialized dataset is
+        # metadata-only)
+        if mat.count() > 0 or not round_parts:
+            round_parts.append(mat)
+    partials = round_parts[0]
+    for extra in round_parts[1:]:
+        partials = partials.union(extra)
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        d = t["d"].combine_chunks()
+        if pa.types.is_integer(d.type):
+            bkt = d.to_numpy(zero_copy_only=False).astype(np.int64) % B
+        else:
+            from ..functions.hashing import hash64
+
+            bkt = (
+                hash64(d.to_numpy(zero_copy_only=False).astype(object)) % np.uint64(B)
+            ).astype(np.int64)
+        return t.append_column("_bkt", pa.array(bkt, pa.int64()))
+
+    def doc_merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_windows": pa.array([], pa.int64()),
+                    "n_dup_windows": pa.array([], pa.int64()),
+                    "dup_fraction": pa.array([], pa.float64()),
+                }
+            )
+        agg = pa.TableGroupBy(t.select(["d", "n_windows", "n_dup"]), "d").aggregate(
+            [("n_windows", "sum"), ("n_dup", "sum")]
+        )
+        agg = agg.rename_columns([id_col, "n_windows", "n_dup_windows"])
+        frac = pc.divide(
+            pc.cast(agg["n_dup_windows"], pa.float64()),
+            pc.cast(agg["n_windows"], pa.float64()),
+        )
+        if round_digits is not None:
+            frac = pc.round(frac, round_digits)
+        return agg.append_column("dup_fraction", frac)
+
+    return (
+        partials.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(doc_merge, batch_format="pyarrow")
+    )
