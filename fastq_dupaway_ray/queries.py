@@ -1726,6 +1726,52 @@ SQL_DUP_SPAN_STATS_DOCS = f"""
 """
 
 
+def q_remove_dup_spans_docs(sf_dir: str):
+    """Surgical cross-document duplicate-span REMOVAL (the Lee et al.
+    operation): every character covered by a 30-char window whose text also
+    occurs in a smaller-id document is excised; the first doc keeps its
+    copy, within-doc repeats untouched, rows never dropped
+    (stages/dupspans.py remove_dup_spans; rounds= bounds exchange memory at
+    scale)."""
+    from .stages.dupspans import remove_dup_spans
+
+    out = remove_dup_spans(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        k=_DUPSPAN_K,
+        recount_col=None,
+    )
+    return out.select_columns(["doc_id", "text", "n_removed_chars"])
+
+
+SQL_REMOVE_DUP_SPANS_DOCS = f"""
+    WITH mx AS (SELECT max(length(text)) AS m FROM documents),
+    idx AS (SELECT i FROM (SELECT unnest(range(1, (SELECT m FROM mx) + 1)) AS i)),
+    w AS (
+        SELECT d.doc_id, idx.i AS j, substr(d.text, idx.i::INT, {_DUPSPAN_K}) AS win
+        FROM documents d JOIN idx ON idx.i <= length(d.text) - {_DUPSPAN_K} + 1
+    ),
+    firstdoc AS (SELECT win, min(doc_id) AS fd FROM w GROUP BY win),
+    cutw AS (SELECT w.doc_id, w.j FROM w JOIN firstdoc f ON w.win = f.win
+             WHERE f.fd < w.doc_id),
+    pos AS (
+        SELECT d.doc_id, idx.i AS p FROM documents d JOIN idx ON idx.i <= length(d.text)
+    ),
+    cut AS (
+        SELECT DISTINCT p.doc_id, p.p FROM pos p
+        JOIN cutw x ON p.doc_id = x.doc_id AND p.p BETWEEN x.j AND x.j + {_DUPSPAN_K} - 1
+    ),
+    kept AS (
+        SELECT p.doc_id, p.p FROM pos p
+        WHERE NOT EXISTS (SELECT 1 FROM cut c WHERE c.doc_id = p.doc_id AND c.p = p.p)
+    )
+    SELECT d.doc_id,
+           coalesce(string_agg(substr(d.text, k.p::INT, 1), '' ORDER BY k.p), '') AS text,
+           length(d.text) - count(k.p) AS n_removed_chars
+    FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY d.doc_id, d.text
+"""
+
+
 
 def q_length_quantiles_docs(sf_dir: str):
     """Exact p50/p90/p99 of document length via the distributed value
@@ -2482,6 +2528,7 @@ REGISTRY = {
     "unigram_logprob_docs": (q_unigram_logprob_docs, SQL_UNIGRAM_LOGPROB_DOCS),
     "sample_per_lang_docs": (q_sample_per_lang_docs, _sample_per_lang_sql()),
     "dup_span_stats_docs": (q_dup_span_stats_docs, SQL_DUP_SPAN_STATS_DOCS),
+    "remove_dup_spans_docs": (q_remove_dup_spans_docs, SQL_REMOVE_DUP_SPANS_DOCS),
     "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
     "dedup_tight_adjacency_docs": (q_dedup_tight_adjacency_docs, SQL_DEDUP_EXACT_DOCS),
     "containment_docs": (q_containment_docs, SQL_CONTAINMENT_DOCS),

@@ -250,3 +250,286 @@ def dup_span_stats(
         .groupby("_bkt")
         .map_groups(doc_merge, batch_format="pyarrow")
     )
+
+
+def _excise(texts: np.ndarray, cut_ranges: list, k: int):
+    """Remove the characters covered by cut ranges; returns (clean texts
+    list, n_removed int64[n]). ``cut_ranges[i]`` is None or a pair of
+    arrays (starts, ends) — merged half-open [s, e) code-point intervals
+    for doc i. One flat delta/cumsum pass over the batch's concatenated
+    UTF-32 codes — no per-char Python."""
+    enc = [t.encode("utf-32-le") for t in texts]
+    lens = np.array([len(e) // 4 for e in enc], dtype=np.int64)
+    offsets = np.zeros(len(enc) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    delta = np.zeros(total + 1, dtype=np.int32)
+    for i, rng in enumerate(cut_ranges):
+        if rng is None:
+            continue
+        s, e = rng
+        if len(s) == 0:
+            continue
+        starts = offsets[i] + np.asarray(s, dtype=np.int64)
+        ends = offsets[i] + np.minimum(np.asarray(e, dtype=np.int64), lens[i])
+        np.add.at(delta, starts, 1)
+        np.add.at(delta, ends, -1)
+    covered = np.cumsum(delta[:-1]) > 0
+    keep = ~covered
+    codes = np.frombuffer(b"".join(enc), dtype=np.uint32)
+    kept_codes = codes[keep]
+    # prefix-sum segment counts (reduceat would misbehave at empty-doc
+    # boundaries, incl. an IndexError when the LAST doc is empty)
+    kc = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(keep, out=kc[1:])
+    kept_per_doc = kc[offsets[1:]] - kc[offsets[:-1]]
+    new_off = np.zeros(len(enc) + 1, dtype=np.int64)
+    np.cumsum(kept_per_doc, out=new_off[1:])
+    buf = kept_codes.tobytes()
+    clean = [
+        buf[new_off[i] * 4 : new_off[i + 1] * 4].decode("utf-32-le")
+        for i in range(len(enc))
+    ]
+    return clean, lens - kept_per_doc
+
+
+def remove_dup_spans(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 30,
+    num_buckets: int | None = None,
+    rounds: int = 1,
+    cut_broadcast_budget: int = 5_000_000,
+    recount_col: str | None = "n_chars",
+) -> ray.data.Dataset:
+    """Surgical cross-document duplicate-span REMOVAL (Lee et al.): every
+    character covered by a k-character window whose text also occurs in a
+    document with a SMALLER id is excised; the first document keeps its
+    copy, and within-document repeats are untouched (``dedup_lines_within``
+    / ``repetition`` own that axis). Documents are rebuilt in place; rows
+    are never dropped (a fully-duplicated doc becomes empty text).
+
+    Same window machinery and ``rounds`` memory bounding as
+    :func:`dup_span_stats`; the cut set (one (doc, window-start) row per
+    foreign-duplicated position) broadcasts READY under
+    ``cut_broadcast_budget``, else the rebuild falls back to ONE
+    payload exchange co-partitioning docs with their cuts by id hash —
+    text moves once either way.
+    """
+    from .minhash import (
+        _default_shuffle_buckets,
+        _fetch_cached,
+        _hash_exchange_tasks,
+    )
+
+    B = num_buckets or _default_shuffle_buckets()
+    if rounds < 1:
+        raise ValueError("remove_dup_spans needs rounds >= 1")
+
+    def window_rows(t: pa.Table, rnd: int = 0) -> pa.Table:
+        texts = t[text_col].to_numpy(zero_copy_only=False).astype(object)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        id_type = t.schema.field(id_col).type
+        w1, w2, doc_idx, counts = _window_hashes_u32(texts, k)
+        # window-start position within the doc
+        has = counts > 0
+        hc = counts[has]
+        within = (
+            np.arange(int(hc.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(hc) - hc, hc)
+        )
+        if rounds > 1:
+            mine = (w1 % np.uint64(rounds)) == np.uint64(rnd)
+            w1, w2, doc_idx, within = w1[mine], w2[mine], doc_idx[mine], within[mine]
+        return pa.table(
+            {
+                "w1": pa.array(w1, pa.uint64()),
+                "w2": pa.array(w2, pa.uint64()),
+                "d": pa.array(ids[doc_idx], id_type),
+                "j": pa.array(within, pa.int64()),
+            }
+        )
+
+    def owner_reduce(t: pa.Table | None) -> pa.Table:
+        if t is None or t.num_rows == 0:
+            return pa.table(
+                {"d": pa.array([], pa.int64()), "j": pa.array([], pa.int64())}
+            )
+        df = t.to_pandas()
+        fd = df.groupby(["w1", "w2"], sort=False)["d"].transform("min")
+        cut = df[df["d"] > fd]
+        return pa.table(
+            {
+                "d": pa.array(cut["d"].to_numpy(), t.schema.field("d").type),
+                "j": pa.array(cut["j"].to_numpy(), pa.int64()),
+            }
+        )
+
+    slim_src = ds.select_columns([id_col, text_col])
+    parts = []
+    for rnd in range(rounds):
+        slim = slim_src.map_batches(
+            window_rows, fn_kwargs={"rnd": rnd}, batch_format="pyarrow"
+        )
+        mat = _hash_exchange_tasks(slim, "w1", B, owner_reduce).materialize()
+        if mat.count() > 0 or not parts:
+            parts.append(mat)
+    cuts = parts[0]
+    for extra in parts[1:]:
+        cuts = cuts.union(extra)
+
+    # interval-merge exchange BEFORE the rebuild decision: per-position cut
+    # rows are corpus-mass-sized on duplicate-heavy corpora (measured 136M
+    # rows on a 36%-duplicate 1M-page corpus — it drowned the rebuild);
+    # merging each doc's [j, j+k) windows into maximal half-open ranges
+    # collapses an exactly-duplicated doc to ONE row, after which the
+    # broadcast limb almost always applies
+    from ..functions.hashing import hash64
+
+    def key_by_doc(t: pa.Table) -> pa.Table:
+        ids = t["d"].to_numpy(zero_copy_only=False)
+        if np.issubdtype(ids.dtype, np.integer):
+            kb = ids.astype(np.uint64)
+        else:
+            kb = hash64(ids.astype(object))
+        return t.append_column("_db", pa.array(kb, pa.uint64()))
+
+    def merge_intervals(t: pa.Table | None) -> pa.Table:
+        if t is None or t.num_rows == 0:
+            return pa.table(
+                {
+                    "d": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "e": pa.array([], pa.int64()),
+                }
+            )
+        df = t.select(["d", "j"]).to_pandas().sort_values(["d", "j"], kind="mergesort")
+        d = df["d"].to_numpy()
+        j = df["j"].to_numpy()
+        # a window starts a new range iff it's a new doc or past the
+        # previous running end; vectorized via the "gap" trick: within a
+        # doc, window i extends the range iff j[i] <= j[i-1] + k
+        new_doc = np.ones(len(d), dtype=bool)
+        new_doc[1:] = d[1:] != d[:-1]
+        gap = np.ones(len(d), dtype=bool)
+        gap[1:] = j[1:] > j[:-1] + k
+        start = new_doc | gap
+        grp = np.cumsum(start) - 1
+        s = j[start]
+        e = np.maximum.reduceat(j + k, np.nonzero(start)[0])
+        return pa.table(
+            {
+                "d": pa.array(d[start], t.schema.field("d").type),
+                "s": pa.array(s, pa.int64()),
+                "e": pa.array(e, pa.int64()),
+            }
+        )
+
+    cuts = _hash_exchange_tasks(
+        cuts.map_batches(key_by_doc, batch_format="pyarrow"), "_db", B, merge_intervals
+    ).materialize()
+    n_cuts = cuts.count()
+
+    def rebuild_batch(t: pa.Table, lookup) -> pa.Table:
+        texts = t[text_col].to_numpy(zero_copy_only=False).astype(object)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ranges = [lookup.get(d) for d in ids.tolist()]
+        clean, removed = _excise(texts, ranges, k)
+        arr = pa.array(clean, pa.string())
+        out = t.set_column(t.schema.get_field_index(text_col), text_col, arr)
+        if recount_col is not None and recount_col in t.column_names:
+            out = out.set_column(
+                out.schema.get_field_index(recount_col),
+                recount_col,
+                pc.utf8_length(arr).cast(out.schema.field(recount_col).type),
+            )
+        return out.append_column("n_removed_chars", pa.array(removed, pa.int64()))
+
+    if n_cuts == 0:
+        return ds.map_batches(
+            lambda t: t.append_column(
+                "n_removed_chars", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+
+    if n_cuts <= cut_broadcast_budget:
+        cut_tab = pa.concat_tables(
+            [x for x in ray.get(cuts.to_arrow_refs()) if x.num_rows > 0]
+        )
+        ref = ray.put(cut_tab)
+
+        def rebuild(t: pa.Table) -> pa.Table:
+            def build(tab):
+                dfc = tab.to_pandas()
+                return {
+                    d: (g["s"].to_numpy(), g["e"].to_numpy())
+                    for d, g in dfc.groupby("d", sort=False)
+                }
+
+            lookup = _fetch_cached(ref, build)
+            return rebuild_batch(t, lookup)
+
+        return ds.map_batches(rebuild, batch_format="pyarrow")
+
+    # payload-exchange fallback: co-partition docs with their cut RANGES by
+    # id hash — the doc payload moves through exactly one exchange
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if np.issubdtype(ids.dtype, np.integer):
+            bkt = ids.astype(np.int64) % B
+        else:
+            bkt = (hash64(ids.astype(object)) % np.uint64(B)).astype(np.int64)
+        return t.append_column("_bkt", pa.array(bkt, pa.int64()))
+
+    doc_schema = ds.take_batch(1, batch_format="pyarrow").schema
+    doc_fields = [(f.name, f.type) for f in doc_schema]
+
+    def pad_docs(t: pa.Table) -> pa.Table:
+        t = tag_docs(t)
+        return (
+            t.append_column("_cut_s", pa.nulls(t.num_rows, pa.int64()))
+            .append_column("_cut_e", pa.nulls(t.num_rows, pa.int64()))
+            .append_column("_is_cut", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+        )
+
+    def pad_cuts(t: pa.Table) -> pa.Table:
+        ids = t["d"].to_numpy(zero_copy_only=False)
+        if np.issubdtype(ids.dtype, np.integer):
+            bkt = ids.astype(np.int64) % B
+        else:
+            bkt = (hash64(ids.astype(object)) % np.uint64(B)).astype(np.int64)
+        cols = {}
+        for name, typ in doc_fields:
+            if name == id_col:
+                cols[name] = t["d"].cast(typ)
+            else:
+                cols[name] = pa.nulls(t.num_rows, typ)
+        cols["_bkt"] = pa.array(bkt, pa.int64())
+        cols["_cut_s"] = t["s"].cast(pa.int64())
+        cols["_cut_e"] = t["e"].cast(pa.int64())
+        cols["_is_cut"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    docs_tagged = ds.map_batches(pad_docs, batch_format="pyarrow")
+    cuts_tagged = cuts.map_batches(pad_cuts, batch_format="pyarrow")
+
+    def group_rebuild(t: pa.Table) -> pa.Table:
+        is_cut = pc.equal(t["_is_cut"], 1)
+        docs_t = t.filter(pc.invert(is_cut))
+        cuts_t = t.filter(is_cut)
+        dfc = pa.table(
+            {"d": cuts_t[id_col], "s": cuts_t["_cut_s"], "e": cuts_t["_cut_e"]}
+        ).to_pandas()
+        lookup = {
+            d: (g["s"].to_numpy(), g["e"].to_numpy())
+            for d, g in dfc.groupby("d", sort=False)
+        }
+        base_cols = [
+            c for c in docs_t.column_names if c not in ("_bkt", "_cut_s", "_cut_e", "_is_cut")
+        ]
+        return rebuild_batch(docs_t.select(base_cols), lookup)
+
+    unioned = docs_tagged.union(cuts_tagged)
+    return unioned.groupby("_bkt").map_groups(group_rebuild, batch_format="pyarrow")

@@ -113,3 +113,103 @@ def test_dup_span_stats_rounds_equivalent(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(one, four)
+
+
+# ---------------------------------------------------- surgical removal
+
+
+def _brute_remove(df, k):
+    first = {}
+    for row in df.sort_values("doc_id").itertuples():
+        t = row.text
+        for i in range(max(len(t) - k + 1, 0)):
+            w = t[i : i + k]
+            if w not in first:
+                first[w] = row.doc_id
+    out = []
+    for row in df.itertuples():
+        t = row.text
+        cover = np.zeros(len(t), dtype=bool)
+        for i in range(max(len(t) - k + 1, 0)):
+            if first[t[i : i + k]] < row.doc_id:
+                cover[i : i + k] = True
+        clean = "".join(c for c, m in zip(t, cover) if not m)
+        out.append((row.doc_id, clean, int(cover.sum())))
+    return pd.DataFrame(out, columns=["doc_id", "text", "n_removed_chars"])
+
+
+def _removal_corpus(n=120, seed=61):
+    rng = np.random.default_rng(seed)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    shared = " ".join(rng.choice(words, size=10))
+    texts = []
+    for i in range(n):
+        base = " ".join(rng.choice(words, size=rng.integers(2, 16)))
+        if i % 3 == 0:
+            base = base + " " + shared + " tail" + str(i)
+        texts.append(base)
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+
+
+def _check_removal(df, k=8, **kw):
+    from fastq_dupaway_ray.stages.dupspans import remove_dup_spans
+
+    got = (
+        remove_dup_spans(
+            rd.from_pandas(df).repartition(5), k=k, recount_col=None, **kw
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "text", "n_removed_chars"]]
+    )
+    exp = _brute_remove(df, k).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    return got
+
+
+def test_remove_dup_spans_matches_bruteforce(ray_session):
+    got = _check_removal(_removal_corpus())
+    assert (got["n_removed_chars"] > 0).any()
+    # first occurrence of the shared span survives intact (doc 0 has it)
+    assert got.loc[0, "n_removed_chars"] == 0
+
+
+def test_remove_dup_spans_fallback_limb_equal(ray_session):
+    """The payload-exchange fallback (cut set over budget) produces the
+    identical corpus to the broadcast limb."""
+    df = _removal_corpus(90, seed=77)
+    a = _check_removal(df)
+    b = _check_removal(df, cut_broadcast_budget=0 + 1)  # force fallback
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_remove_dup_spans_rounds_equal(ray_session):
+    df = _removal_corpus(90, seed=78)
+    a = _check_removal(df)
+    b = _check_removal(df, rounds=4)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_remove_dup_spans_no_dups_noop(ray_session):
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": ["completely unique first", "another different second", "third one"],
+        }
+    )
+    got = _check_removal(df, k=10)
+    assert (got["n_removed_chars"] == 0).all()
+    assert got["text"].tolist() == df["text"].tolist()
+
+
+def test_remove_dup_spans_unicode_and_empty(ray_session):
+    span = "héllo wörld 𝄞 caffé latte"
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": [span, span, ""],  # doc1 fully duplicated -> empty
+        }
+    )
+    got = _check_removal(df, k=6)
+    assert got.loc[1, "text"] == "" and got.loc[1, "n_removed_chars"] == len(span)
+    assert got.loc[0, "text"] == span
