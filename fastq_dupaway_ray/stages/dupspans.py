@@ -41,6 +41,18 @@ _BASE1 = 1000003
 _BASE2 = 1000033  # second independent polynomial (both odd)
 
 
+def _id_bucket(ids: np.ndarray, mod: int) -> np.ndarray:
+    """id column -> int64 bucket in [0, mod): identity for integer ids,
+    SipHash for strings — ONE definition so docs and their cut rows can
+    never silently stop co-locating."""
+    if np.issubdtype(ids.dtype, np.integer):
+        return (ids.astype(np.uint64) % np.uint64(mod)).astype(np.int64)
+    from ..functions.hashing import hash64
+
+    return (hash64(ids.astype(object)) % np.uint64(mod)).astype(np.int64)
+
+
+
 def _window_hashes_u32(texts: np.ndarray, k: int):
     """128-bit k-codepoint window identities for a batch of texts.
 
@@ -51,7 +63,9 @@ def _window_hashes_u32(texts: np.ndarray, k: int):
     """
     from ..functions.hashing import _rolling_poly_hashes
 
-    enc = [t.encode("utf-32-le") for t in texts]
+    # null texts window as empty (the SQL oracles' length(NULL) joins drop
+    # them the same way)
+    enc = [(t or "").encode("utf-32-le") for t in texts]
     lens = np.array([len(e) // 4 for e in enc], dtype=np.int64)
     counts = np.maximum(lens - k + 1, 0)
     data = np.frombuffer(b"".join(enc), dtype=np.uint32).astype(np.uint64)
@@ -92,8 +106,9 @@ def dup_span_stats(
     ``rounds``: the window exchange carries ~corpus-characters x 40 B —
     the price of exactness. When that exceeds cluster memory (measured: a
     1M x 400-char corpus overflows a 37 GB object store at rounds=1), set
-    ``rounds=R`` to process the disjoint window-hash ranges ``w1 % R == r``
-    in R sequential passes: in-flight exchange volume drops to ~1/R at the
+    ``rounds=R`` to process the disjoint window-hash ranges ``w2 % R == r``
+    in R sequential passes (keyed on the SECOND hash word — the exchange
+    buckets by ``w1 % B``, which small R values would alias): in-flight exchange volume drops to ~1/R at the
     cost of R cheap re-hash scans of the text (window membership is a pure
     function of the hash, so the union of rounds is exactly the rounds=1
     answer). Size R ~= corpus_chars x 40 / usable_memory.
@@ -111,7 +126,12 @@ def dup_span_stats(
         # would infer a null-typed d column and break the concat/union
         w1, w2, doc_idx, counts = _window_hashes_u32(texts, k)
         if rounds > 1:
-            mine = (w1 % np.uint64(rounds)) == np.uint64(rnd)
+            # partition on w2, NOT w1: the exchange buckets by w1 % B and
+            # B is a multiple of small rounds values, so w1 % rounds would
+            # alias — each round hitting only B/gcd reducers with the SAME
+            # per-reducer volume as rounds=1 (the overflow rounds exists
+            # to prevent)
+            mine = (w2 % np.uint64(rounds)) == np.uint64(rnd)
             w1, w2, doc_idx = w1[mine], w2[mine], doc_idx[mine]
         # collapse to one row per (window, doc) carrying the position count
         df = pd.DataFrame({"w1": w1, "w2": w2, "d": ids[doc_idx]})
@@ -156,9 +176,10 @@ def dup_span_stats(
 
     def owner_reduce(t: pa.Table | None) -> pa.Table:
         if t is None or t.num_rows == 0:
+            d_type = t.schema.field("d").type if t is not None else pa.int64()
             return pa.table(
                 {
-                    "d": pa.array([], pa.int64()),
+                    "d": pa.array([], d_type),
                     "n_windows": pa.array([], pa.int64()),
                     "n_dup": pa.array([], pa.int64()),
                 }
@@ -212,15 +233,7 @@ def dup_span_stats(
         partials = partials.union(extra)
 
     def add_doc_bucket(t: pa.Table) -> pa.Table:
-        d = t["d"].combine_chunks()
-        if pa.types.is_integer(d.type):
-            bkt = d.to_numpy(zero_copy_only=False).astype(np.int64) % B
-        else:
-            from ..functions.hashing import hash64
-
-            bkt = (
-                hash64(d.to_numpy(zero_copy_only=False).astype(object)) % np.uint64(B)
-            ).astype(np.int64)
+        bkt = _id_bucket(t["d"].to_numpy(zero_copy_only=False), B)
         return t.append_column("_bkt", pa.array(bkt, pa.int64()))
 
     def doc_merge(t: pa.Table) -> pa.Table:
@@ -340,7 +353,9 @@ def remove_dup_spans(
             - np.repeat(np.cumsum(hc) - hc, hc)
         )
         if rounds > 1:
-            mine = (w1 % np.uint64(rounds)) == np.uint64(rnd)
+            # w2, not w1 — see dup_span_stats: w1 % rounds aliases the
+            # w1 % B exchange bucketing
+            mine = (w2 % np.uint64(rounds)) == np.uint64(rnd)
             w1, w2, doc_idx, within = w1[mine], w2[mine], doc_idx[mine], within[mine]
         return pa.table(
             {
@@ -353,8 +368,9 @@ def remove_dup_spans(
 
     def owner_reduce(t: pa.Table | None) -> pa.Table:
         if t is None or t.num_rows == 0:
+            d_type = t.schema.field("d").type if t is not None else pa.int64()
             return pa.table(
-                {"d": pa.array([], pa.int64()), "j": pa.array([], pa.int64())}
+                {"d": pa.array([], d_type), "j": pa.array([], pa.int64())}
             )
         df = t.to_pandas()
         fd = df.groupby(["w1", "w2"], sort=False)["d"].transform("min")
@@ -388,18 +404,15 @@ def remove_dup_spans(
     from ..functions.hashing import hash64
 
     def key_by_doc(t: pa.Table) -> pa.Table:
-        ids = t["d"].to_numpy(zero_copy_only=False)
-        if np.issubdtype(ids.dtype, np.integer):
-            kb = ids.astype(np.uint64)
-        else:
-            kb = hash64(ids.astype(object))
-        return t.append_column("_db", pa.array(kb, pa.uint64()))
+        kb = _id_bucket(t["d"].to_numpy(zero_copy_only=False), B)
+        return t.append_column("_db", pa.array(kb, pa.int64()))
 
     def merge_intervals(t: pa.Table | None) -> pa.Table:
         if t is None or t.num_rows == 0:
+            d_type = t.schema.field("d").type if t is not None else pa.int64()
             return pa.table(
                 {
-                    "d": pa.array([], pa.int64()),
+                    "d": pa.array([], d_type),
                     "s": pa.array([], pa.int64()),
                     "e": pa.array([], pa.int64()),
                 }
@@ -415,7 +428,6 @@ def remove_dup_spans(
         gap = np.ones(len(d), dtype=bool)
         gap[1:] = j[1:] > j[:-1] + k
         start = new_doc | gap
-        grp = np.cumsum(start) - 1
         s = j[start]
         e = np.maximum.reduceat(j + k, np.nonzero(start)[0])
         return pa.table(
@@ -476,11 +488,7 @@ def remove_dup_spans(
     # payload-exchange fallback: co-partition docs with their cut RANGES by
     # id hash — the doc payload moves through exactly one exchange
     def tag_docs(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        if np.issubdtype(ids.dtype, np.integer):
-            bkt = ids.astype(np.int64) % B
-        else:
-            bkt = (hash64(ids.astype(object)) % np.uint64(B)).astype(np.int64)
+        bkt = _id_bucket(t[id_col].to_numpy(zero_copy_only=False), B)
         return t.append_column("_bkt", pa.array(bkt, pa.int64()))
 
     doc_schema = ds.take_batch(1, batch_format="pyarrow").schema
@@ -495,11 +503,7 @@ def remove_dup_spans(
         )
 
     def pad_cuts(t: pa.Table) -> pa.Table:
-        ids = t["d"].to_numpy(zero_copy_only=False)
-        if np.issubdtype(ids.dtype, np.integer):
-            bkt = ids.astype(np.int64) % B
-        else:
-            bkt = (hash64(ids.astype(object)) % np.uint64(B)).astype(np.int64)
+        bkt = _id_bucket(t["d"].to_numpy(zero_copy_only=False), B)
         cols = {}
         for name, typ in doc_fields:
             if name == id_col:

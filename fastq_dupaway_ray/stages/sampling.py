@@ -54,15 +54,22 @@ def stratified_sample(
     default_thr = fraction_threshold_hex(default)
 
     def keep(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
         from ..functions.hashing import md5_hex
 
         h8 = pc.utf8_slice_codeunits(md5_hex(t[id_col]), 0, 8)
-        strata = t[strata_col]
-        thr = pa.array(
-            [thresholds.get(s, default_thr) for s in strata.to_pylist()],
-            pa.string(),
+        # per-UNIQUE-stratum lookup, not per row: factorize the column and
+        # gather thresholds through the (few) codes
+        strata = t[strata_col].to_numpy(zero_copy_only=False)
+        codes, uniques = pd.factorize(strata)
+        thr_by_code = np.array(
+            [thresholds.get(u, default_thr) for u in uniques], dtype=object
         )
-        return t.filter(pc.less(h8, thr))
+        # factorize codes nulls as -1; null strata take the default rate
+        thr = np.where(codes >= 0, thr_by_code[np.maximum(codes, 0)], default_thr)
+        return t.filter(pc.less(h8, pa.array(thr, pa.string())))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 

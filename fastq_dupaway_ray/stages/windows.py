@@ -47,11 +47,18 @@ def _floor_to(ts: pa.ChunkedArray | pa.Array, minutes: int) -> pa.Array:
     # normalize to us FIRST: a pandas-born ns column cast straight to int64
     # would floor in the wrong unit and mislabel the result. numpy // floors
     # toward -inf (pc.divide truncates toward zero, which would mis-window
-    # pre-epoch timestamps vs pandas dt.floor and DuckDB date_trunc)
-    iv = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64()).to_numpy(
-        zero_copy_only=False
-    )
-    return pa.array((iv // us) * us).cast(pa.timestamp("us"))
+    # pre-epoch timestamps vs pandas dt.floor and DuckDB date_trunc).
+    # Nulls stay nulls (date_trunc(NULL) semantics): floor the null-filled
+    # buffer, then restore validity — a to_numpy on a null-bearing int64
+    # column would decay to float64/NaN and the final cast would throw.
+    a = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    iv = pc.fill_null(a, 0).to_numpy(zero_copy_only=False)
+    floored = pa.array((iv // us) * us).cast(pa.timestamp("us"))
+    if a.null_count:
+        floored = pc.if_else(pc.is_valid(a), floored, pa.scalar(None, pa.timestamp("us")))
+    return floored
 
 
 def _window_partial(

@@ -213,3 +213,48 @@ def test_remove_dup_spans_unicode_and_empty(ray_session):
     got = _check_removal(df, k=6)
     assert got.loc[1, "text"] == "" and got.loc[1, "n_removed_chars"] == len(span)
     assert got.loc[0, "text"] == span
+
+
+def test_dup_span_stats_null_text(ray_session):
+    """Null texts window as empty (absent from output) instead of crashing
+    the UTF-32 encoder."""
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": pd.array(
+                ["long enough text to have some windows", None,
+                 "long enough text to have some windows"], dtype=object
+            ),
+        }
+    )
+    got = (
+        dup_span_stats(rd.from_pandas(df), k=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [0, 2]
+    assert (got["n_dup_windows"] == got["n_windows"]).all()
+
+
+def test_dup_span_stats_string_ids_with_empty_buckets(ray_session):
+    """String doc ids survive the exchange even when some reduce buckets are
+    empty (the typed-empty fallback must not fabricate int64 d columns)."""
+    df = pd.DataFrame(
+        {
+            "doc_id": [f"u{i}" for i in range(6)],
+            "text": ["common shared window text here"] * 3
+            + ["zebra quail xylophone mnop", "fjord glyph vexing wizards quartz", "bright vixens jump dozy fowl"],
+        }
+    )
+    got = (
+        dup_span_stats(
+            rd.from_pandas(df), id_col="doc_id", k=10, num_buckets=64
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 6
+    dup = got[got["n_dup_windows"] > 0]["doc_id"].tolist()
+    assert dup == ["u0", "u1", "u2"]

@@ -145,3 +145,18 @@ def test_tumbling_window_pre_epoch_and_null_values(ray_session):
     )
     assert got["window_start"].iloc[0] == pd.Timestamp("1969-12-31 23:00:00")
     assert got["n_events"].tolist() == [2, 1]  # the null-value row counts
+
+
+def test_tumbling_window_null_timestamps(ray_session):
+    """Null timestamps form a NULL window group (date_trunc(NULL) semantics)
+    instead of crashing the floor kernel."""
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1], dtype=np.int64),
+            "ts": pd.to_datetime(["2025-01-01 10:10:00", None]),
+            "value": [1.0, 2.0],
+        }
+    )
+    got = tumbling_window(rd.from_pandas(df), width_minutes=60).to_pandas()
+    assert len(got) == 2
+    assert got["window_start"].isna().sum() == 1
