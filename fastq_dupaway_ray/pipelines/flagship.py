@@ -179,12 +179,23 @@ def run_flagship(
     threshold: float | None = None,
     signer_concurrency=None,
     verify: bool = True,
+    drop_broadcast_budget: int = 5_000_000,
 ):
     """Returns (kept: Dataset [lazy], clusters: Dataset, metrics: dict).
 
     metrics includes ``stage_seconds`` — wall time per executed stage —
     the --verbose counter surface (A7) extended with the timing breakdown a
-    cluster operator reads first."""
+    cluster operator reads first.
+
+    ``drop_broadcast_budget`` caps the exact-stage drop-set broadcast: web
+    corpora run 30-50% exact-duplicate, so at 10^12 docs the drop set is
+    ~10^11 entries — far past what the driver can ``ray.get`` and re-ship to
+    every filter task. Above the budget both the slim and the full-column
+    chains route through the value-comparing payload-shuffle dedup (the same
+    fallback the full-tie ``ambig`` path uses; stages.dedup_exact:378), which
+    exchanges each row once instead of funnelling the drop set through the
+    driver. The kept (url, warc_ts) set is identical on both limbs — keep-
+    first winners are a data property, not an execution-path property."""
     import time as _time
 
     metrics: dict = {"input": pages_path, "stage_seconds": {}}
@@ -230,15 +241,26 @@ def run_flagship(
                 drops, ckpt_root, "exact", fp0, extra={"n_valid": metrics["valid"]}
             )
     metrics["quarantined"] = total - metrics["valid"]
-    ambig_any = n_drops > 0 and any(
-        r[0] for r in ray.get([_any_true.remote(ref) for ref in drops.to_arrow_refs()])
+    over_budget = n_drops > drop_broadcast_budget
+    # over budget the paranoid shuffle compares actual values, so full-tie
+    # ambiguity is moot — skip the per-block scan
+    ambig_any = (
+        not over_budget
+        and n_drops > 0
+        and any(
+            r[0]
+            for r in ray.get([_any_true.remote(ref) for ref in drops.to_arrow_refs()])
+        )
     )
-    if ambig_any:
-        # a losing row fully ties its keep-first winner (same url, warc_ts
-        # AND content) — no slim key can name the loser alone. Rare by
-        # construction (full row-key ties); fall back to the value-comparing
-        # shuffle dedup for the exact stage. The kept (url, warc_ts) set is
-        # deterministic (content groups and their order minima are data
+    if ambig_any or over_budget:
+        # two reasons to abandon the drop-set broadcast: (a) a losing row
+        # fully ties its keep-first winner (same url, warc_ts AND content) —
+        # no slim key can name the loser alone; (b) the drop set exceeds the
+        # broadcast budget — ray.get-ing ~10^11 entries into the driver and
+        # re-shipping them per filter task is the one driver-side funnel this
+        # pipeline must never have at corpus scale. Both route to the
+        # value-comparing payload-shuffle dedup. The kept (url, warc_ts) set
+        # is deterministic (content groups and their order minima are data
         # properties), so the slim and full chains stay aligned.
         from ..stages.dedup_exact import dedup_exact as _dedup_exact
 
@@ -303,7 +325,7 @@ def run_flagship(
     # representative pick over the SLIM filtered projection; the keep-filter
     # applies to the lazy FULL-column chain (html decoded only when consumed)
     full_good, _ = split_quarantine(read_pages(pages_path))
-    if ambig_any:
+    if ambig_any or over_budget:
         from ..stages.dedup_exact import dedup_exact as _dedup_exact
 
         # same value-comparing dedup over the full columns; keeps the same

@@ -217,17 +217,22 @@ def dup_span_stats(
         )
 
     src_ds = ds.select_columns([id_col, text_col])
-    round_parts = []
-    for rnd in range(rounds):
-        slim = src_ds.map_batches(
-            window_rows, fn_kwargs={"rnd": rnd}, batch_format="pyarrow"
-        )
-        mat = _hash_exchange_tasks(slim, "w1", B, owner_reduce).materialize()
-        # an empty round's fallback schema types d as int64; keep it out of
-        # the union when ids are strings (count on a materialized dataset is
-        # metadata-only)
-        if mat.count() > 0 or not round_parts:
-            round_parts.append(mat)
+    round_mats = [
+        _hash_exchange_tasks(
+            src_ds.map_batches(
+                window_rows, fn_kwargs={"rnd": rnd}, batch_format="pyarrow"
+            ),
+            "w1",
+            B,
+            owner_reduce,
+        ).materialize()
+        for rnd in range(rounds)
+    ]
+    # an empty round's fallback schema types d as int64; keep empties out of
+    # the union whenever ANY round is non-empty (an empty round 0 must not
+    # poison a string-id union — counts on materialized datasets are
+    # metadata-only). All-empty keeps one mat: types are then consistent.
+    round_parts = [m for m in round_mats if m.count() > 0] or round_mats[:1]
     partials = round_parts[0]
     for extra in round_parts[1:]:
         partials = partials.union(extra)
@@ -383,14 +388,22 @@ def remove_dup_spans(
         )
 
     slim_src = ds.select_columns([id_col, text_col])
-    parts = []
-    for rnd in range(rounds):
-        slim = slim_src.map_batches(
-            window_rows, fn_kwargs={"rnd": rnd}, batch_format="pyarrow"
-        )
-        mat = _hash_exchange_tasks(slim, "w1", B, owner_reduce).materialize()
-        if mat.count() > 0 or not parts:
-            parts.append(mat)
+    mats = [
+        _hash_exchange_tasks(
+            slim_src.map_batches(
+                window_rows, fn_kwargs={"rnd": rnd}, batch_format="pyarrow"
+            ),
+            "w1",
+            B,
+            owner_reduce,
+        ).materialize()
+        for rnd in range(rounds)
+    ]
+    # drop empty rounds when any round produced cuts: an empty round's
+    # owner_reduce(None) fallback types d int64, and unioning that with a
+    # later string-id round fails at execution. All-empty keeps one mat
+    # (consistent types; only the n_cuts == 0 path consumes it).
+    parts = [m for m in mats if m.count() > 0] or mats[:1]
     cuts = parts[0]
     for extra in parts[1:]:
         cuts = cuts.union(extra)

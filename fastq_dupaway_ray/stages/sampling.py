@@ -67,8 +67,13 @@ def stratified_sample(
         thr_by_code = np.array(
             [thresholds.get(u, default_thr) for u in uniques], dtype=object
         )
-        # factorize codes nulls as -1; null strata take the default rate
-        thr = np.where(codes >= 0, thr_by_code[np.maximum(codes, 0)], default_thr)
+        # factorize codes nulls as -1; null strata take the default rate.
+        # Assign (not np.where) so an all-null batch — empty ``uniques``,
+        # every code -1 — never indexes the empty thr_by_code array
+        thr = np.full(len(codes), default_thr, dtype=object)
+        known = codes >= 0
+        if known.any():
+            thr[known] = thr_by_code[codes[known]]
         return t.filter(pc.less(h8, pa.array(thr, pa.string())))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -205,6 +205,51 @@ def test_flagship_handles_duplicate_and_tied_urls(ray_session, tmp_path):
     assert metrics2["kept"] == 2 and metrics2["after_exact"] == 2
 
 
+def test_flagship_drop_budget_gate_matches_broadcast_limb(ray_session, tmp_path):
+    """A drop set past ``drop_broadcast_budget`` must route BOTH the slim and
+    the full-column chain through the payload-shuffle dedup — never through
+    the driver-side broadcast — and keep exactly the same row set."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastq_dupaway_ray.pipelines.flagship import run_flagship
+
+    epoch = datetime.datetime(2025, 1, 1)
+    texts = [
+        f"document number {i} with enough distinct words to avoid minhash links "
+        * 3
+        for i in range(12)
+    ]
+    rows = []
+    sec = 0
+    for i, t in enumerate(texts):
+        for rep in range(4):  # 75% exact-duplicate corpus
+            rows.append(
+                {
+                    "url": f"u{i}-{rep}",
+                    "warc_ts": epoch + datetime.timedelta(seconds=sec),
+                    "html": t.encode(),
+                    "text": t,
+                    "lang": "en",
+                }
+            )
+            sec += 1
+    p = str(tmp_path / "budget_pages")
+    os.makedirs(p)
+    pq.write_table(pa.Table.from_pylist(rows), os.path.join(p, "part-0.parquet"))
+
+    kept_bc, cl_bc, m_bc = run_flagship(p)  # broadcast limb (budget 5M)
+    kept_sh, cl_sh, m_sh = run_flagship(p, drop_broadcast_budget=1)  # forced fallback
+    key = lambda df: sorted(zip(df["url"], df["warc_ts"], df["text"]))
+    assert key(kept_sh.to_pandas()) == key(kept_bc.to_pandas())
+    assert m_sh["after_exact"] == m_bc["after_exact"] == 12
+    assert m_sh["kept"] == m_bc["kept"]
+    assert cl_sh.count() == cl_bc.count()
+
+
 def test_hamming_scan_vec_matches_serial_reference():
     """_hamming_scan_vec (adjacent-pair prefilter + per-run matrix sweeps)
     is bit-exact vs the serial head-compare loop, incl. unicode, paired

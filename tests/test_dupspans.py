@@ -258,3 +258,48 @@ def test_dup_span_stats_string_ids_with_empty_buckets(ray_session):
     assert len(got) == 6
     dup = got[got["n_dup_windows"] > 0]["doc_id"].tolist()
     assert dup == ["u0", "u1", "u2"]
+
+
+def test_remove_dup_spans_string_ids_empty_round0(ray_session):
+    """rounds>1 with STRING doc ids where round 0's window slice is empty:
+    the int64-typed empty fallback must not poison the cross-round union
+    (advisor round-4 finding). The window is chosen at runtime so its
+    w2 %% rounds is provably nonzero."""
+    import numpy as np
+
+    from fastq_dupaway_ray.stages.dupspans import (
+        _window_hashes_u32,
+        remove_dup_spans,
+    )
+
+    k, rounds = 12, 3
+    span = None
+    for i in range(200):
+        cand = f"{i:06d} span!"[:k]
+        assert len(cand) == k
+        _, w2, _, _ = _window_hashes_u32(np.array([cand], dtype=object), k)
+        # exactly-one-window doc whose every round-0 slice is empty
+        if len(w2) == 1 and int(w2[0]) % rounds != 0:
+            span = cand
+            break
+    assert span is not None
+    df = pd.DataFrame(
+        {
+            "doc_id": ["a-first", "b-second"],
+            "text": [span, span],  # doc b fully duplicated
+        }
+    )
+    got = (
+        remove_dup_spans(
+            rd.from_pandas(df).repartition(2),
+            id_col="doc_id",
+            k=k,
+            rounds=rounds,
+            recount_col=None,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["text"].tolist() == [span, ""]
+    assert got["n_removed_chars"].tolist() == [0, k]

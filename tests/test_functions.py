@@ -378,3 +378,30 @@ def test_stratified_sample_deterministic_and_rate_accurate(ray_session):
     assert len(none_kept) == 0
     with pytest.raises(ValueError, match="fraction"):
         stratified_sample(rd.from_pandas(df), "lang", {"en": 1.5})
+
+
+def test_stratified_sample_null_strata_take_default(ray_session):
+    """An entirely-null strata batch must not crash (factorize returns empty
+    uniques) and null strata always sample at the default rate."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastq_dupaway_ray.stages.sampling import stratified_sample
+
+    all_null = pd.DataFrame({"doc_id": range(200), "lang": [None] * 200})
+    kept = stratified_sample(
+        rd.from_pandas(all_null), "lang", {"en": 0.0}, default=1.0
+    ).to_pandas()
+    assert len(kept) == 200  # default=1.0 keeps every null-stratum row
+    dropped = stratified_sample(
+        rd.from_pandas(all_null), "lang", {"en": 1.0}, default=0.0
+    ).to_pandas()
+    assert len(dropped) == 0
+    # mixed batch: nulls at default, 'en' at its configured rate
+    mixed = pd.DataFrame(
+        {"doc_id": range(400), "lang": ["en", None] * 200}
+    )
+    out = stratified_sample(
+        rd.from_pandas(mixed), "lang", {"en": 1.0}, default=0.0
+    ).to_pandas()
+    assert len(out) == 200 and (out["lang"] == "en").all()
