@@ -45,10 +45,10 @@ class MinHashSigner:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        k = self.hasher.params.shingle_k
-        sigs = np.stack(
-            [self.hasher.signature(char_ngram_hashes(t or "", k)) for t in texts]
-        )
+        # batched signing for every scheme (classic lexsort-unique +
+        # per-perm reduceat; OPH flat scatter-min) — bit-identical to the
+        # per-doc path, test-pinned in tests/test_neardup.py
+        sigs = self.hasher.signatures_batch(texts)
         sig_arr = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.ravel(), pa.uint64()), self.hasher.params.num_perms
         )

@@ -37,16 +37,40 @@ def _sig_col(i: int) -> str:
 
 
 def sign_simhash(batch: pa.Table, text_col: str = "text", token_ngram: int = 2,
-                 text_cols=None) -> pa.Table:
+                 text_cols=None, feature: str = "word", shingle_k: int = 8,
+                 length_key: bool = False) -> pa.Table:
     """Stateless task form: text -> 64-bit SimHash column (batch-vectorized
     feature hashing — one hash_array call per batch, segment-summed votes).
     ``text_cols`` with several entries signs each mate separately (paired
-    tail-hamming, reference EP3): one sig column per text column."""
+    tail-hamming, reference EP3): one sig column per text column.
+
+    ``length_key=True`` also emits ``_lenkey`` — a mixed hash of the
+    per-side codepoint lengths — for the candidate stage to fold into its
+    bucket keys. The reference's Hamming predicate requires EQUAL lengths
+    (/root/reference/src/seq_utils.cpp:65-72 asserts it), so same-length
+    bucketing loses no true pair while shattering the hot buckets that
+    narrow chunk widths (large Hamming balls) otherwise produce."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import combine_hash64
     from ..functions.sketches import simhash64_batch
 
-    for i, col in enumerate(list(text_cols) if text_cols else [text_col]):
-        sigs = simhash64_batch(batch[col].to_pylist(), token_ngram)
+    cols = list(text_cols) if text_cols else [text_col]
+    for i, col in enumerate(cols):
+        sigs = simhash64_batch(batch[col].to_pylist(), token_ngram,
+                               feature=feature, shingle_k=shingle_k)
         batch = batch.append_column(_sig_col(i), pa.array(sigs, pa.uint64()))
+    if length_key:
+        lens = [
+            pc.fill_null(pc.utf8_length(batch[c]), 0)
+            .cast(pa.uint64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+            for c in cols
+        ]
+        batch = batch.append_column(
+            "_lenkey", pa.array(combine_hash64(*lens), pa.uint64())
+        )
     return batch
 
 
@@ -56,17 +80,24 @@ class SimHashSigner:
     Prefer the task form (``sign_simhash``) — kept for callers that need a
     bounded pool."""
 
-    def __init__(self, text_col: str = "text", token_ngram: int = 2, text_cols=None):
+    def __init__(self, text_col: str = "text", token_ngram: int = 2, text_cols=None,
+                 feature: str = "word", shingle_k: int = 8, length_key: bool = False):
         self.text_col = text_col
         self.token_ngram = token_ngram
         self.text_cols = text_cols
+        self.feature = feature
+        self.shingle_k = shingle_k
+        self.length_key = length_key
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return sign_simhash(batch, self.text_col, self.token_ngram, self.text_cols)
+        return sign_simhash(batch, self.text_col, self.token_ngram, self.text_cols,
+                            feature=self.feature, shingle_k=self.shingle_k,
+                            length_key=self.length_key)
 
 
 def emit_chunk_keys(batch: pa.Table, distance: int, id_col: str = "url",
-                    order_cols=("warc_ts",), n_sides: int = 1) -> pa.Table:
+                    order_cols=("warc_ts",), n_sides: int = 1,
+                    length_col: str | None = None) -> pa.Table:
     """Explode each signed row into d+1 (chunk_key, id, sig...) rows.
 
     Paired mode pigeonholes on the FIRST mate's signature only — a pair
@@ -75,6 +106,14 @@ def emit_chunk_keys(batch: pa.Table, distance: int, id_col: str = "url",
     side exactly."""
     sig = np.asarray(batch[SIMHASH_COL].to_numpy(zero_copy_only=False), dtype=np.uint64)
     keys = simhash_chunks(sig, distance)  # (n, d+1)
+    if length_col is not None:
+        # same-length bucketing (see sign_simhash): equal-length docs keep
+        # their chunk collisions; different lengths can never be reference
+        # duplicates, so separating them costs no recall
+        lk = np.asarray(
+            batch[length_col].to_numpy(zero_copy_only=False), dtype=np.uint64
+        )
+        keys ^= lk[:, None]
     n, c = keys.shape
     idx = np.repeat(np.arange(n, dtype=np.int64), c)
     take = pa.array(idx)
@@ -110,7 +149,11 @@ def simhash_candidate_edges(
     text_col: str = "text",
     order_cols=("warc_ts", "url"),
     token_ngram: int = 2,
+    feature: str = "word",
+    shingle_k: int = 8,
+    length_bucket: bool = False,
     max_bucket: int = 512,
+    dense_limit: int = 64,
     signer_concurrency=None,
     text_cols=None,
     exchange: str = "tasks",
@@ -133,15 +176,23 @@ def simhash_candidate_edges(
 
     Verification inside the chunk bucket compares every member against the
     bucket head (first by order) — vectorized popcount, O(n) per bucket —
-    plus a dense all-pairs pass for small buckets so non-head pairs are kept
-    when the head itself is not a near-dup of them.
+    plus a dense all-pairs pass for buckets up to ``dense_limit`` members so
+    non-head pairs are kept when the head itself is not a near-dup of them.
+    Buckets past ``dense_limit`` fall back to star-only (a pair both far
+    from the head loses its direct edge) — the recall/cost knob for narrow
+    chunk widths: at ``distance`` 8 a 64-bit signature leaves 7-bit chunks,
+    buckets densify, and reference-parity recall work should raise
+    ``dense_limit`` to ~256 (bounded ~32k vectorized popcounts per bucket);
+    scale configs (``distance`` <= 6, 9+-bit chunks) keep the default.
     """
     order_cols = [c for c in order_cols]
     tcols = list(text_cols) if text_cols else [text_col]
     n_sides = len(tcols)
     sig_cols = [_sig_col(i) for i in range(n_sides)]
     slim = pages.select_columns(sorted(set([id_col, *tcols, *order_cols])))
-    sign_kwargs = {"text_col": text_col, "token_ngram": token_ngram, "text_cols": tcols}
+    sign_kwargs = {"text_col": text_col, "token_ngram": token_ngram, "text_cols": tcols,
+                   "feature": feature, "shingle_k": shingle_k,
+                   "length_key": length_bucket}
     if signer_concurrency is None:
         # default: elastic task pool — scales to free CPUs, no actor startup
         signed = slim.map_batches(
@@ -158,7 +209,8 @@ def simhash_candidate_edges(
     signed = signed.drop_columns(tcols)
     chunk_rows = signed.map_batches(
         lambda t: emit_chunk_keys(t, distance, id_col=id_col, order_cols=order_cols,
-                                  n_sides=n_sides),
+                                  n_sides=n_sides,
+                                  length_col="_lenkey" if length_bucket else None),
         batch_format="pyarrow",
     )
 
@@ -221,7 +273,7 @@ def simhash_candidate_edges(
             return d
 
         ai, bi = _star_edge_indices(ck, max_bucket)
-        dai, dbi = _dense_pair_indices(ck)
+        dai, dbi = _dense_pair_indices(ck, hi=dense_limit)
         ai = np.concatenate([ai, dai])
         bi = np.concatenate([bi, dbi])
         if len(ai) == 0:

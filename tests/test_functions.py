@@ -283,6 +283,29 @@ def test_oph_batch_signatures_bit_identical():
     assert np.array_equal(h.signatures_batch(texts), batch)
 
 
+def test_classic_batch_signatures_bit_identical():
+    """signatures_classic_batch (lexsort-unique + per-perm reduceat) must be
+    bit-identical to the per-doc signature(shingles_of(text)) path, incl.
+    empty docs, sub-shingle docs, exact dups and a chunk-boundary batch."""
+    from fastq_dupaway_ray.functions.sketches import MinHasher, MinHashParams
+
+    p = MinHashParams()  # classic scheme, char shingles
+    h = MinHasher(p)
+    base = [
+        "the quick brown fox jumps over the lazy dog " * 4,
+        "", "short", "the quick brown fox jumps over the lazy dog " * 4,
+        "tiny", "a" * 7, "b" * 8, "common prefix with divergent tails A",
+        "common prefix with divergent tails B", None,
+    ]
+    # exceed CLASSIC_CHUNK_DOCS so the chunked recursion seam is exercised
+    texts = (base * ((h.CLASSIC_CHUNK_DOCS // len(base)) + 2))[: h.CLASSIC_CHUNK_DOCS + 7]
+    batch = h.signatures_classic_batch(texts)
+    for i, t in enumerate(texts):
+        per = h.signature(p.shingles_of(t or ""))
+        assert np.array_equal(batch[i], per), (i, t)
+    assert np.array_equal(h.signatures_batch(texts), batch)
+
+
 def test_redact_pii_kernel():
     import pyarrow as pa
 

@@ -457,3 +457,59 @@ def test_pair_lookup_pos_scans_equal_h1_runs():
     pos, found = _pair_lookup_pos(h1s, h2s, q1, q2)
     assert found.tolist() == [True, True, False, True, False]
     assert pos[0] == 3 and pos[1] == 1 and pos[3] == 4
+
+
+def test_simhash_char_feature_and_length_bucket_recall(ray_session):
+    """The reference-parity SimHash config (char shingles + length_bucket +
+    raised dense_limit) must recover >= 0.99 of the serial reference
+    mirror's dup pairs on a planted corpus — the north-rule recall bar at
+    test scale (the committed full-size run lives in RECALL_r05.json)."""
+    import itertools
+
+    import ray.data as rd
+
+    from fastq_dupaway_ray import refmodel
+    from fastq_dupaway_ray.corpus import CorpusSpec, generate_pages
+    from fastq_dupaway_ray.stages.simhash import simhash_candidate_edges
+
+    table = generate_pages(
+        CorpusSpec(n_base=1200, exact_dup_rate=0.15, prefix_chain_rate=0.05,
+                   hamming_rate=0.35, jaccard_rate=0.03, seed=5)
+    )
+    rows = table.select(["url", "warc_ts", "text"]).to_pylist()
+    gt = refmodel.dedup_sorted(rows, mode="hamming", distance=2)
+    gt_pairs = set()
+    for members in gt.clusters.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            gt_pairs.add((a, b))
+    assert len(gt_pairs) > 100
+
+    edges = simhash_candidate_edges(
+        rd.from_arrow(table).repartition(8),
+        distance=8, feature="char", shingle_k=6,
+        length_bucket=True, dense_limit=256,
+    ).to_pandas()
+    labels = refmodel.union_find_components(list(zip(edges["a"], edges["b"])))
+    by_label: dict = {}
+    for m, lab in labels.items():
+        by_label.setdefault(lab, []).append(m)
+    found = set()
+    for members in by_label.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            found.add((a, b))
+    recall = len(found & gt_pairs) / len(gt_pairs)
+    assert recall >= 0.99, recall
+
+    # length_bucket costs no recall vs the same config without it
+    edges_nb = simhash_candidate_edges(
+        rd.from_arrow(table).repartition(8),
+        distance=8, feature="char", shingle_k=6, dense_limit=256,
+    ).to_pandas()
+    nb_set = set(map(tuple, edges_nb[["a", "b"]].itertuples(index=False)))
+    lb_set = set(map(tuple, edges[["a", "b"]].itertuples(index=False)))
+    # every same-length edge survives bucketing by length
+    texts = {r["url"]: r["text"] for r in rows}
+    same_len_nb = {
+        (a, b) for a, b in nb_set if len(texts[a]) == len(texts[b])
+    }
+    assert same_len_nb <= lb_set
