@@ -1743,6 +1743,23 @@ def q_remove_dup_spans_docs(sf_dir: str):
     return out.select_columns(["doc_id", "text", "n_removed_chars"])
 
 
+def q_remove_dup_spans_prefilter_docs(sf_dir: str):
+    """remove_dup_spans through the stats-prefiltered limb: clean docs
+    (zero duplicated windows -> all their windows globally unique) are
+    excluded from the removal exchange entirely, which is EXACT — singleton
+    window groups can neither receive cuts nor shift a group minimum — and
+    sizes the exchange by duplicated mass (stages/dupspans.py)."""
+    from .stages.dupspans import remove_dup_spans
+
+    out = remove_dup_spans(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        k=_DUPSPAN_K,
+        recount_col=None,
+        prefilter=True,
+    )
+    return out.select_columns(["doc_id", "text", "n_removed_chars"])
+
+
 SQL_REMOVE_DUP_SPANS_DOCS = f"""
     WITH mx AS (SELECT max(length(text)) AS m FROM documents),
     idx AS (SELECT i FROM (SELECT unnest(range(1, (SELECT m FROM mx) + 1)) AS i)),
@@ -2508,56 +2525,9 @@ REGISTRY = {
     # (3) long-stable cheap queries rotated past the cap (all were
     # driver-witnessed green in earlier rounds).  When adding a query, insert
     # it BEFORE the stable tail so the next round's gate witnesses it.
-    "fingerprint_docs": (q_fingerprint_docs, SQL_FINGERPRINT_DOCS),
-    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
-    "pages_flagship": (q_pages_flagship, SQL_PAGES_FLAGSHIP),
-    "minhash_dedup_docs": (q_minhash_dedup_docs, SQL_NEAR_KEPT),
-    "minhash_oph_dedup_docs": (q_minhash_oph_dedup_docs, SQL_NEAR_KEPT),
-    "ngram_jaccard_dedup_docs": (q_ngram_jaccard_dedup_docs, SQL_NEAR_KEPT),
-    "simhash_dedup_docs": (q_simhash_dedup_docs, SQL_NEAR_KEPT_SIM),
-    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
-    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_TOPK),
-    "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
-    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
-    "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP),
-    "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
-    "events_window": (q_events_window, SQL_EVENTS_WINDOW),
-    "shuffle_rank_docs": (q_shuffle_rank_docs, SQL_SHUFFLE_RANK_DOCS),
-    "decontamination_10k_docs": (q_decontamination_10k_docs, SQL_DECONTAMINATION_10K_DOCS),
-    "cap_budget_per_source_docs": (q_cap_budget_per_source_docs, SQL_CAP_BUDGET_PER_SOURCE_DOCS),
-    "unigram_logprob_docs": (q_unigram_logprob_docs, SQL_UNIGRAM_LOGPROB_DOCS),
-    "sample_per_lang_docs": (q_sample_per_lang_docs, _sample_per_lang_sql()),
-    "dup_span_stats_docs": (q_dup_span_stats_docs, SQL_DUP_SPAN_STATS_DOCS),
-    "remove_dup_spans_docs": (q_remove_dup_spans_docs, SQL_REMOVE_DUP_SPANS_DOCS),
-    "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
-    "dedup_tight_adjacency_docs": (q_dedup_tight_adjacency_docs, SQL_DEDUP_EXACT_DOCS),
-    "containment_docs": (q_containment_docs, SQL_CONTAINMENT_DOCS),
-    "containment_sa_docs": (q_containment_sa_docs, SQL_CONTAINMENT_DOCS),
-    "doc_frequency_docs": (q_doc_frequency_docs, SQL_DOC_FREQUENCY_DOCS),
-    "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
-    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
-    "dedup_exact_composite_docs": (q_dedup_exact_composite_docs, SQL_DEDUP_EXACT_COMPOSITE_DOCS),
-    "dedup_exact_paranoid_docs": (q_dedup_exact_paranoid_docs, SQL_DEDUP_EXACT_DOCS),
-    "clusters_exact_docs": (q_clusters_exact_docs, SQL_CLUSTERS_EXACT_DOCS),
-    "dedup_loose_docs": (q_dedup_loose_docs, SQL_DEDUP_LOOSE_DOCS),
-    "dedup_loose_paired_docs": (q_dedup_loose_paired_docs, SQL_DEDUP_LOOSE_PAIRED_DOCS),
-    "dedup_tight_paired_docs": (q_dedup_tight_paired_docs, SQL_DEDUP_TIGHT_PAIRED_DOCS),
-    "training_pipeline_docs": (q_training_pipeline_docs, SQL_TRAINING_PIPELINE_DOCS),
-    "training_pipeline_full_docs": (q_training_pipeline_full_docs, SQL_TRAINING_PIPELINE_FULL_DOCS),
-    "streaming_dedup_docs": (q_streaming_dedup_docs, SQL_STREAMING_DEDUP_DOCS),
-    "streaming_neardup_docs": (q_streaming_neardup_docs, SQL_STREAMING_NEARDUP_DOCS),
-    "broadcast_join_customer_nation": (q_broadcast_join_customer_nation, SQL_BROADCAST_JOIN_CUSTOMER_NATION),
-    "asof_join_events_orders": (q_asof_join_events_orders, SQL_ASOF_JOIN_EVENTS_ORDERS),
-    "range_join_events_sessions": (q_range_join_events_sessions, SQL_RANGE_JOIN_EVENTS_SESSIONS),
-    "join_orders_customer": (q_join_orders_customer, SQL_JOIN_ORDERS_CUSTOMER),
-    "unordered_join_dedup_docs": (q_unordered_join_dedup_docs, SQL_UNORDERED_JOIN_DEDUP_DOCS),
-    "join_unmatched_counts": (q_join_unmatched_counts, SQL_JOIN_UNMATCHED_COUNTS),
-    "anti_join_customers_orders": (q_anti_join_customers_orders, SQL_ANTI_JOIN_CUSTOMERS_ORDERS),
-    "streaming_quota_docs": (q_streaming_quota_docs, SQL_STREAMING_QUOTA_DOCS),
-    "decontamination_docs": (q_decontamination_docs, SQL_DECONTAMINATION_DOCS),
-    "token_counts_bpe_docs": (q_token_counts_bpe_docs, SQL_TOKEN_COUNTS_BPE_DOCS),
-    "repetition_docs": (q_repetition_docs, SQL_REPETITION_DOCS),
-    "cap_per_source_docs": (q_cap_per_source_docs, SQL_CAP_PER_SOURCE_DOCS),
+    # Round-5 rotation: the 21 r04-unwitnessed entries lead, then the new
+    # prefilter query, round-5-code-touched re-witnesses, the six round-4
+    # additions, and the heavy dedup family; entries 51+ are the stable tail.
     "paragraph_dedup_docs": (q_paragraph_dedup_docs, SQL_PARAGRAPH_DEDUP_DOCS),
     "dedup_lines_within_docs": (q_dedup_lines_within_docs, SQL_DEDUP_LINES_WITHIN_DOCS),
     "cross_dedup_exact_docs": (q_cross_dedup_exact_docs, SQL_CROSS_DEDUP_EXACT_DOCS),
@@ -2579,5 +2549,56 @@ REGISTRY = {
     "cluster_size_hist_docs": (q_cluster_size_hist_docs, SQL_CLUSTER_SIZE_HIST_DOCS),
     "dedup_counts_docs": (q_dedup_counts_docs, SQL_DEDUP_COUNTS_DOCS),
     "line_repetition_docs": (q_line_repetition_docs, SQL_LINE_REPETITION_DOCS),
+    "remove_dup_spans_prefilter_docs": (q_remove_dup_spans_prefilter_docs, SQL_REMOVE_DUP_SPANS_DOCS),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "pages_flagship": (q_pages_flagship, SQL_PAGES_FLAGSHIP),
+    "minhash_dedup_docs": (q_minhash_dedup_docs, SQL_NEAR_KEPT),
+    "minhash_oph_dedup_docs": (q_minhash_oph_dedup_docs, SQL_NEAR_KEPT),
+    "ngram_jaccard_dedup_docs": (q_ngram_jaccard_dedup_docs, SQL_NEAR_KEPT),
+    "simhash_dedup_docs": (q_simhash_dedup_docs, SQL_NEAR_KEPT_SIM),
+    "anti_join_customers_orders": (q_anti_join_customers_orders, SQL_ANTI_JOIN_CUSTOMERS_ORDERS),
+    "decontamination_10k_docs": (q_decontamination_10k_docs, SQL_DECONTAMINATION_10K_DOCS),
+    "cap_budget_per_source_docs": (q_cap_budget_per_source_docs, SQL_CAP_BUDGET_PER_SOURCE_DOCS),
+    "unigram_logprob_docs": (q_unigram_logprob_docs, SQL_UNIGRAM_LOGPROB_DOCS),
+    "sample_per_lang_docs": (q_sample_per_lang_docs, _sample_per_lang_sql()),
+    "dup_span_stats_docs": (q_dup_span_stats_docs, SQL_DUP_SPAN_STATS_DOCS),
+    "remove_dup_spans_docs": (q_remove_dup_spans_docs, SQL_REMOVE_DUP_SPANS_DOCS),
+    "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
+    "dedup_exact_composite_docs": (q_dedup_exact_composite_docs, SQL_DEDUP_EXACT_COMPOSITE_DOCS),
+    "dedup_exact_paranoid_docs": (q_dedup_exact_paranoid_docs, SQL_DEDUP_EXACT_DOCS),
+    "dedup_tight_adjacency_docs": (q_dedup_tight_adjacency_docs, SQL_DEDUP_EXACT_DOCS),
+    "dedup_loose_docs": (q_dedup_loose_docs, SQL_DEDUP_LOOSE_DOCS),
+    "dedup_loose_paired_docs": (q_dedup_loose_paired_docs, SQL_DEDUP_LOOSE_PAIRED_DOCS),
+    "dedup_tight_paired_docs": (q_dedup_tight_paired_docs, SQL_DEDUP_TIGHT_PAIRED_DOCS),
+    "containment_docs": (q_containment_docs, SQL_CONTAINMENT_DOCS),
+    "containment_sa_docs": (q_containment_sa_docs, SQL_CONTAINMENT_DOCS),
+    "clusters_exact_docs": (q_clusters_exact_docs, SQL_CLUSTERS_EXACT_DOCS),
+    "streaming_dedup_docs": (q_streaming_dedup_docs, SQL_STREAMING_DEDUP_DOCS),
+    "streaming_neardup_docs": (q_streaming_neardup_docs, SQL_STREAMING_NEARDUP_DOCS),
+    "streaming_quota_docs": (q_streaming_quota_docs, SQL_STREAMING_QUOTA_DOCS),
+    "fingerprint_docs": (q_fingerprint_docs, SQL_FINGERPRINT_DOCS),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_TOPK),
+    "embedding_dedup": (q_embedding_dedup, SQL_EMBEDDING_DEDUP),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP),
+    "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+    "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+    "shuffle_rank_docs": (q_shuffle_rank_docs, SQL_SHUFFLE_RANK_DOCS),
+    "doc_frequency_docs": (q_doc_frequency_docs, SQL_DOC_FREQUENCY_DOCS),
+    "events_sliding_window": (q_events_sliding_window, SQL_EVENTS_SLIDING_WINDOW),
+    "training_pipeline_docs": (q_training_pipeline_docs, SQL_TRAINING_PIPELINE_DOCS),
+    "training_pipeline_full_docs": (q_training_pipeline_full_docs, SQL_TRAINING_PIPELINE_FULL_DOCS),
+    "broadcast_join_customer_nation": (q_broadcast_join_customer_nation, SQL_BROADCAST_JOIN_CUSTOMER_NATION),
+    "asof_join_events_orders": (q_asof_join_events_orders, SQL_ASOF_JOIN_EVENTS_ORDERS),
+    "range_join_events_sessions": (q_range_join_events_sessions, SQL_RANGE_JOIN_EVENTS_SESSIONS),
+    "join_orders_customer": (q_join_orders_customer, SQL_JOIN_ORDERS_CUSTOMER),
+    "unordered_join_dedup_docs": (q_unordered_join_dedup_docs, SQL_UNORDERED_JOIN_DEDUP_DOCS),
+    "join_unmatched_counts": (q_join_unmatched_counts, SQL_JOIN_UNMATCHED_COUNTS),
+    "decontamination_docs": (q_decontamination_docs, SQL_DECONTAMINATION_DOCS),
+    "token_counts_bpe_docs": (q_token_counts_bpe_docs, SQL_TOKEN_COUNTS_BPE_DOCS),
+    "repetition_docs": (q_repetition_docs, SQL_REPETITION_DOCS),
+    "cap_per_source_docs": (q_cap_per_source_docs, SQL_CAP_PER_SOURCE_DOCS),
 }
 

@@ -19,6 +19,7 @@ from dataclasses import dataclass
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..util import coalesce_schema_blocks, default_join_partitions
@@ -259,9 +260,11 @@ def anti_join(
     Small right side (by raw row count — conservative): its distinct keys
     broadcast once as a sorted array and a zero-copy Arrow searchsorted
     filter runs over the left — no shuffle, payload untouched. Large right:
-    distinct keys come out of the slim task exchange and a hash-partitioned
-    ``left_outer`` join against a marker column keeps the marker-null rows —
-    the left payload moves exactly once.
+    one side-tagged task hash-exchange co-locates the left payload with the
+    right's deduped keys by key hash; each bucket drops left rows whose key
+    has a marker neighbour — the left payload moves exactly once and no
+    aggregator actors pin CPUs (``num_partitions`` is accepted for API
+    compatibility; the exchange sizes its own fan-out).
     """
     import numpy as np
     import ray as _ray
@@ -286,39 +289,76 @@ def anti_join(
 
         return left.map_batches(keep_unmatched, batch_format="pyarrow")
 
+    # Above budget: ONE side-tagged task hash-exchange co-locates the left
+    # payload with the right side's (per-batch-deduped) keys by key hash;
+    # each bucket filters locally with a sorted-array membership test.
+    # Replaces the aggregator-actor ``Dataset.join`` limb (measured 15.6 s
+    # at 4.12M x 2.06M rows in round 3 — the join's flat machinery cost,
+    # not bytes moved; see BASELINE.md round-5 for the exchange timing).
     B = _default_shuffle_buckets()
+    mat_left = left.materialize()
+    if mat_left.count() == 0:
+        return mat_left
+    lschema = mat_left.take_batch(1, batch_format="pyarrow").schema
+    lcols = list(lschema.names)
+    key_type = lschema.field(key).type
 
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.drop_duplicates(subset=[key]).copy()
-        out["_kbkt"] = (
-            pd.util.hash_array(out[key].to_numpy(dtype=object)) % np.uint64(B)
-        ).astype(np.int64)
-        return out
+    def _key_hash(vals: np.ndarray) -> np.ndarray:
+        return pd.util.hash_array(np.asarray(vals, dtype=object)).astype(np.uint64)
 
-    def distinct_keys(t: pa.Table | None) -> pa.Table:
+    def tag_left(t: pa.Table) -> pa.Table:
+        kh = _key_hash(t[key].to_numpy(zero_copy_only=False))
+        return t.append_column("_kh", pa.array(kh, pa.uint64())).append_column(
+            "_am", pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        )
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(subset=[key])
+        cols = {}
+        for f in lschema:
+            if f.name == key:
+                cols[key] = out[key].to_numpy()
+            else:
+                cols[f.name] = pd.Series([None] * len(out), dtype=object)
+        res = pd.DataFrame(cols)
+        res["_kh"] = _key_hash(out[key].to_numpy())
+        res["_am"] = np.int8(1)
+        return res
+
+    def pad_right_arrow(df: pd.DataFrame) -> pa.Table:
+        res = tag_right(df)
+        arrays = []
+        fields = []
+        for f in lschema:
+            if f.name == key:
+                arrays.append(pa.array(res[key], f.type))
+            else:
+                arrays.append(pa.nulls(len(res), f.type))
+            fields.append(f)
+        arrays.append(pa.array(res["_kh"].to_numpy(), pa.uint64()))
+        fields.append(pa.field("_kh", pa.uint64()))
+        arrays.append(pa.array(res["_am"].to_numpy(), pa.int8()))
+        fields.append(pa.field("_am", pa.int8()))
+        return pa.table(dict(zip([f.name for f in fields], arrays)))
+
+    def bucket_filter(t: pa.Table | None) -> pa.Table:
         if t is None:
-            # only reachable when the whole exchange is empty (single table)
-            return pa.table({key: pa.array([], pa.string()), "_m": pa.array([], pa.int8())})
-        # zero-row reduces still carry the real schema — derive the key type
-        # from it so int-keyed datasets don't mix string/int64 blocks
-        schema = pa.schema([t.schema.field(key), pa.field("_m", pa.int8())])
-        if t.num_rows == 0:
-            return schema.empty_table()
-        df = t.to_pandas().drop_duplicates(subset=[key])
-        df["_m"] = np.int8(1)
-        return pa.Table.from_pandas(df[[key, "_m"]], preserve_index=False, schema=schema)
+            return pa.schema(
+                [pa.field(n, lschema.field(n).type) for n in lcols]
+            ).empty_table()
+        is_marker = pc.equal(t["_am"], 1)
+        lrows = t.filter(pc.invert(is_marker)).select(lcols)
+        if lrows.num_rows == 0:
+            return lrows
+        mk = t.filter(is_marker)
+        if mk.num_rows == 0:
+            return lrows
+        ks = np.unique(mk[key].to_numpy(zero_copy_only=False))
+        v = lrows[key].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ks, v), len(ks) - 1)
+        return lrows.filter(pa.array(ks[pos] != v))
 
-    marker = _hash_exchange_tasks(
-        slim.map_batches(bucketize, batch_format="pandas"), "_kbkt", B, distinct_keys
+    tagged = mat_left.map_batches(tag_left, batch_format="pyarrow").union(
+        slim.map_batches(pad_right_arrow, batch_format="pandas")
     )
-    joined = coalesce_schema_blocks(left).materialize().join(
-        coalesce_schema_blocks(marker).materialize(),
-        "left_outer",
-        num_partitions=num_partitions or default_join_partitions(),
-        on=(key,),
-    )
-
-    def null_marker(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["_m"].isna()].drop(columns=["_m"])
-
-    return joined.map_batches(null_marker, batch_format="pandas")
+    return _hash_exchange_tasks(tagged, "_kh", B, bucket_filter)

@@ -193,28 +193,65 @@ def sessionize(
     value_col: str = "value",
     gap_minutes: int = 30,
     round_digits: int | None = 6,
+    time_chunk_minutes: int | None = 1440,
 ) -> ray.data.Dataset:
     """Inactivity-gap sessions per key:
-    (key, session_start, session_end, n_events, sum_value)."""
+    (key, session_start, session_end, n_events, sum_value).
+
+    Hot-key hardening (default ON): events bucket by (key, ts //
+    ``time_chunk_minutes``), so one key's history spreads over many bucket
+    workers — a 10^6-event user costs each worker only its time slice.
+    Chunk-LOCAL sessions resolve exactly as before (the chunk boundary is
+    just an extra forced break); then only each (key, chunk)'s FIRST and
+    LAST sessions — interior sessions can never reach past their chunk,
+    because > ``gap`` of inactivity separates them from the chunk edges —
+    take a second, session-level exchange keyed by key alone, where
+    consecutive summaries merge when ``next.start - prev.end <= gap``.
+    Exact: same break positions, same per-session event sets; the
+    boundary-merge volume is <= 2 rows per (key, chunk). Set
+    ``time_chunk_minutes=None`` for the legacy single-exchange path (each
+    key's whole history on one worker)."""
     B = _bucket_count()
     gap_us = gap_minutes * 60_000_000
+    chunk_us = (
+        time_chunk_minutes * 60_000_000 if time_chunk_minutes else None
+    )
+
+    def _chunk_of(t: pa.Table) -> np.ndarray:
+        a = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        iv = pc.fill_null(a, 0).to_numpy(zero_copy_only=False)
+        return iv // chunk_us
 
     def bucketize(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "_bkt", pa.array(_key_bucket(t[key_col], B), pa.int64())
+        kb = _key_bucket(t[key_col], B)
+        if chunk_us is None:
+            return t.append_column("_bkt", pa.array(kb, pa.int64()))
+        from ..functions.hashing import combine_hash64
+
+        chk = _chunk_of(t)
+        bkt = (
+            combine_hash64(kb.astype(np.uint64), chk.astype(np.uint64))
+            % np.uint64(B)
+        ).astype(np.int64)
+        return t.append_column("_bkt", pa.array(bkt, pa.int64()))
+
+    def _empty_sessions(key_type) -> pa.Table:
+        return pa.table(
+            {
+                key_col: pa.array([], key_type),
+                "session_start": pa.array([], pa.timestamp("us")),
+                "session_end": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+                "sum_value": pa.array([], pa.float64()),
+                "_boundary": pa.array([], pa.bool_()),
+            }
         )
 
     def resolve(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table(
-                {
-                    key_col: pa.array([], t.schema.field(key_col).type),
-                    "session_start": pa.array([], pa.timestamp("us")),
-                    "session_end": pa.array([], pa.timestamp("us")),
-                    "n_events": pa.array([], pa.int64()),
-                    "sum_value": pa.array([], pa.float64()),
-                }
-            )
+            return _empty_sessions(t.schema.field(key_col).type)
         order = pc.sort_indices(
             t, sort_keys=[(key_col, "ascending"), (ts_col, "ascending")]
         )
@@ -225,15 +262,38 @@ def sessionize(
         vals = t[value_col].take(order).to_numpy(zero_copy_only=False).astype(np.float64)
         kn = keys.to_numpy(zero_copy_only=False)
         n = len(ts)
-        new_sess = np.ones(n, dtype=bool)
+        new_key = np.ones(n, dtype=bool)
         if n > 1:
-            new_sess[1:] = (kn[1:] != kn[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+            new_key[1:] = kn[1:] != kn[:-1]
+        new_sess = new_key.copy()
+        if n > 1:
+            new_sess[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        if chunk_us is not None and n > 1:
+            # the chunk boundary forces a break; stage 2 re-merges it when
+            # the real gap allows (chunk ids are ts-monotone per key)
+            chk = ts // chunk_us
+            new_sess[1:] |= chk[1:] != chk[:-1]
         starts = np.nonzero(new_sess)[0]
         ends = np.concatenate([starts[1:], [n]]) - 1
         out_ts = ts.astype("datetime64[us]")
         sums = np.add.reduceat(vals, starts)
-        if round_digits is not None:
-            sums = np.round(sums, round_digits)
+        if chunk_us is None:
+            boundary = np.zeros(len(starts), dtype=bool)
+            if round_digits is not None:
+                sums = np.round(sums, round_digits)
+        else:
+            # first/last session per (key, chunk) run — only they can merge
+            # across chunks. Interior sums round HERE (they are final);
+            # boundary sums round after the stage-2 merge.
+            skey = kn[starts]
+            schk = (ts // chunk_us)[starts]
+            first = np.ones(len(starts), dtype=bool)
+            if len(starts) > 1:
+                first[1:] = (skey[1:] != skey[:-1]) | (schk[1:] != schk[:-1])
+            last = np.concatenate([first[1:], [True]])
+            boundary = first | last
+            if round_digits is not None:
+                sums[~boundary] = np.round(sums[~boundary], round_digits)
         return pa.table(
             {
                 key_col: keys.take(pa.array(starts)),
@@ -241,11 +301,73 @@ def sessionize(
                 "session_end": pa.array(out_ts[ends], pa.timestamp("us")),
                 "n_events": pa.array(np.diff(np.concatenate([starts, [n]])), pa.int64()),
                 "sum_value": pa.array(sums, pa.float64()),
+                "_boundary": pa.array(boundary, pa.bool_()),
             }
         )
 
-    return (
+    sessions = (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_bkt")
         .map_groups(resolve, batch_format="pyarrow")
     )
+    if chunk_us is None:
+        return sessions.map_batches(
+            lambda t: t.drop_columns(["_boundary"]), batch_format="pyarrow"
+        )
+
+    sessions = sessions.materialize()
+    final = sessions.map_batches(
+        lambda t: t.filter(pc.invert(t["_boundary"])).drop_columns(["_boundary"]),
+        batch_format="pyarrow",
+    )
+
+    def merge_boundary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_sessions(t.schema.field(key_col).type).drop_columns(
+                ["_boundary"]
+            )
+        order = pc.sort_indices(
+            t, sort_keys=[(key_col, "ascending"), ("session_start", "ascending")]
+        )
+        keys = t[key_col].take(order)
+        kn = keys.to_numpy(zero_copy_only=False)
+        ss = pc.cast(t["session_start"].take(order), pa.int64()).to_numpy()
+        se = pc.cast(t["session_end"].take(order), pa.int64()).to_numpy()
+        ne = t["n_events"].take(order).to_numpy()
+        sv = t["sum_value"].take(order).to_numpy()
+        n = len(ss)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            # chunk-local sessions are time-disjoint per key, so plain
+            # start-vs-previous-end chaining is the exact gap rule
+            brk[1:] = (kn[1:] != kn[:-1]) | ((ss[1:] - se[:-1]) > gap_us)
+        gs = np.nonzero(brk)[0]
+        ge = np.concatenate([gs[1:], [n]]) - 1
+        sums = np.add.reduceat(sv, gs)
+        if round_digits is not None:
+            sums = np.round(sums, round_digits)
+        return pa.table(
+            {
+                key_col: keys.take(pa.array(gs)),
+                "session_start": pa.array(ss[gs].astype("datetime64[us]"), pa.timestamp("us")),
+                "session_end": pa.array(se[ge].astype("datetime64[us]"), pa.timestamp("us")),
+                "n_events": pa.array(np.add.reduceat(ne, gs), pa.int64()),
+                "sum_value": pa.array(sums, pa.float64()),
+            }
+        )
+
+    merged = (
+        sessions.map_batches(
+            lambda t: t.filter(t["_boundary"]).drop_columns(["_boundary"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: t.append_column(
+                "_bkt", pa.array(_key_bucket(t[key_col], B), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_bkt")
+        .map_groups(merge_boundary, batch_format="pyarrow")
+    )
+    return final.union(merged)

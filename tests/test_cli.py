@@ -222,3 +222,15 @@ def test_cli_paired_one_sided_column_survives(tmp_path, ray_session):
     assert "crawl_batch" in t1.column_names
     assert "crawl_batch" in t2.column_names
     assert set(t1["crawl_batch"].to_pylist()) == {"b0"}
+
+
+def test_cli_mem_limit_bounds(paths, capsys, ray_session):
+    """--mem-limit outside [500, 10240] is rejected with the reference's
+    error surface (/root/reference/src/main.cpp:136-144) before any work."""
+    src, out = paths
+    for bad in ("10", "499", "10241"):
+        assert main(["-i", src, "-o", out, "--fast", "-m", bad]) == 2
+        err = capsys.readouterr().err
+        assert "unsupported range" in err and "--mem-limit" in err
+    # boundary values are accepted
+    assert main(["-i", src, "-o", out, "--fast", "-m", "500"]) == 0

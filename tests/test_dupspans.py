@@ -303,3 +303,52 @@ def test_remove_dup_spans_string_ids_empty_round0(ray_session):
     )
     assert got["text"].tolist() == [span, ""]
     assert got["n_removed_chars"].tolist() == [0, k]
+
+
+def test_remove_dup_spans_prefilter_limb_equal(ray_session):
+    """prefilter=True (stats pass + presence/position split emission) must
+    produce exactly the unfiltered result, incl. with rounds>1, a forced
+    over-budget prefilter (which disables itself) and a no-dup corpus."""
+    df = _removal_corpus(90, seed=79)
+    a = _check_removal(df)
+    b = _check_removal(df, prefilter=True)
+    pd.testing.assert_frame_equal(a, b)
+    c = _check_removal(df, prefilter=True, rounds=4)
+    pd.testing.assert_frame_equal(a, c)
+    # over-budget: prefilter disables itself, unfiltered limb runs
+    d = _check_removal(df, prefilter=True, dup_doc_broadcast_budget=0)
+    pd.testing.assert_frame_equal(a, d)
+    # clean corpus: empty dup set -> all presence rows -> noop
+    clean = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": ["totally unique first text", "different second words", "third unlike any"],
+        }
+    )
+    got = _check_removal(clean, k=10, prefilter=True)
+    assert (got["n_removed_chars"] == 0).all()
+
+
+def test_remove_dup_spans_prefilter_string_ids(ray_session):
+    """String doc ids through the prefilter membership hash."""
+    span = "a shared duplicated span of text!"
+    df = pd.DataFrame(
+        {
+            "doc_id": ["a-one", "b-two", "c-three"],
+            "text": [span, span + " plus unique tail", "unrelated body entirely"],
+        }
+    )
+    from fastq_dupaway_ray.stages.dupspans import remove_dup_spans
+
+    got = (
+        remove_dup_spans(
+            rd.from_pandas(df).repartition(2), id_col="doc_id", k=8,
+            recount_col=None, prefilter=True,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.loc[0, "n_removed_chars"] == 0
+    assert got.loc[1, "n_removed_chars"] > 0
+    assert got.loc[2, "n_removed_chars"] == 0

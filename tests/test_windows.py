@@ -160,3 +160,68 @@ def test_tumbling_window_null_timestamps(ray_session):
     got = tumbling_window(rd.from_pandas(df), width_minutes=60).to_pandas()
     assert len(got) == 2
     assert got["window_start"].isna().sum() == 1
+
+
+def test_sessionize_hot_key_chunked_exact(ray_session):
+    """One user with ~1e6 events (plus normal keys) resolves identically
+    through the chunked two-stage path, the legacy single-exchange path and
+    a serial reference scan — the hot-key hardening is exact, and sessions
+    spanning MANY time chunks re-merge correctly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fastq_dupaway_ray.stages.windows import sessionize
+
+    rng = np.random.default_rng(11)
+    n_hot = 1_000_000
+    # hot user: mostly sub-gap deltas so long sessions cross chunk borders,
+    # with occasional > gap breaks
+    deltas = np.where(
+        rng.random(n_hot) < 0.0005,
+        rng.integers(31, 300, n_hot),  # minutes — breaks
+        rng.integers(0, 20, n_hot),    # minutes — same session
+    ).astype("int64")
+    hot_ts = pd.Timestamp("2025-01-01").value // 1000 + np.cumsum(deltas) * 60_000_000
+    cold_n = 5_000
+    cold_ts = (
+        pd.Timestamp("2025-01-01").value // 1000
+        + rng.integers(0, 90 * 24 * 60, cold_n) * 60_000_000
+    )
+    df = pd.DataFrame(
+        {
+            "user_id": np.concatenate(
+                [np.zeros(n_hot, dtype=np.int64), rng.integers(1, 50, cold_n)]
+            ),
+            "ts": np.concatenate([hot_ts, cold_ts]).astype("datetime64[us]"),
+            "value": np.ones(n_hot + cold_n),  # exact float sums
+        }
+    )
+
+    def canon(out):
+        return (
+            out.to_pandas()
+            .sort_values(["user_id", "session_start"])
+            .reset_index(drop=True)
+        )
+
+    src = rd.from_pandas(df).repartition(16)
+    chunked = canon(sessionize(src, gap_minutes=30, round_digits=None))
+    legacy = canon(
+        sessionize(src, gap_minutes=30, round_digits=None, time_chunk_minutes=None)
+    )
+    pd.testing.assert_frame_equal(chunked, legacy)
+
+    # serial reference for the hot key alone
+    hs = np.sort(hot_ts)
+    brk = np.ones(n_hot, dtype=bool)
+    brk[1:] = (hs[1:] - hs[:-1]) > 30 * 60_000_000
+    n_sessions_hot = int(brk.sum())
+    got_hot = chunked[chunked["user_id"] == 0]
+    assert len(got_hot) == n_sessions_hot
+    assert int(got_hot["n_events"].sum()) == n_hot
+    # at least one merged session spans multiple 1440-minute chunks
+    span_min = (
+        got_hot["session_end"] - got_hot["session_start"]
+    ).dt.total_seconds().max() / 60
+    assert span_min > 1440
