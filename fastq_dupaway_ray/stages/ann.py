@@ -25,6 +25,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..util import round_half_away
+
 
 def _batch_embeddings(batch: pa.Table, vec_col: str) -> np.ndarray:
     col = batch[vec_col]
@@ -343,7 +345,7 @@ def embedding_neardup_exact(
             {
                 "a": pa.array(ids_b[bi]),
                 "b": pa.array(ids_a[ai]),
-                "cos_sim": pa.array(np.round(sims[bi, ai], 6), pa.float64()),
+                "cos_sim": pa.array(round_half_away(sims[bi, ai], 6), pa.float64()),
             }
         )
 
@@ -418,7 +420,7 @@ def embedding_neardup_lsh(
             m = sims[iu, ju] >= threshold
             out_a.append(ids[iu[m]])
             out_b.append(ids[ju[m]])
-            out_s.append(np.round(sims[iu[m], ju[m]], 6))
+            out_s.append(round_half_away(sims[iu[m], ju[m]], 6))
         if not out_a:
             return pd.DataFrame({"a": [], "b": [], "cos_sim": []})
         return pd.DataFrame(

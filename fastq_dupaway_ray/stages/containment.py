@@ -210,9 +210,14 @@ def containment_edges(
 
     ``anchors=None`` selects the exact mode (broadcast min-shingle semi-join,
     zero false negatives for texts with len >= shingle_k); an integer selects
-    the bottom-k approximate scale path. Anchor groups above ``max_bucket``
-    are truncated to the longest members (containers survive; deeply-nested
-    short members may be missed — the documented hot-anchor knob).
+    the bottom-k approximate scale path. In the APPROXIMATE mode, anchor
+    groups above ``max_bucket`` are truncated to the longest members
+    (containers survive; deeply-nested short members may be missed — the
+    documented hot-anchor knob). The exact mode never truncates — a silent
+    cap broke exactness the first time a min-shingle group outgrew 512
+    members (caught by the sf0.1 sweep, 5 missing pairs at 5k docs); a hot
+    group there costs one task O(members x haystack), the stated price of
+    exactness (the anchors mode is the scale path).
 
     ``exchange="tasks"`` (default) co-locates buckets with the manual hash
     exchange and fuses the duplicate-edge dedup onto an ``_ebucket`` key
@@ -238,6 +243,7 @@ def containment_edges(
     from .simhash import dedup_edge_list
 
     B = num_shuffle_buckets or _default_shuffle_buckets()
+    group_cap = max_bucket if anchors is not None else None
     slim = pages.select_columns(sorted({id_col, text_col}))
     min_ref = None
     if anchors is None:
@@ -275,7 +281,9 @@ def containment_edges(
             if len(grp) < 2:
                 continue
             grp = grp.sort_values(["_len", id_col], ascending=[False, True],
-                                  kind="mergesort").head(max_bucket)
+                                  kind="mergesort")
+            if group_cap is not None:
+                grp = grp.head(group_cap)
             ids = grp[id_col].tolist()
             lens = grp["_len"].tolist()
             concat = ""
@@ -323,7 +331,9 @@ def containment_edges(
             if len(grp) < 2:
                 continue
             grp = grp.sort_values(["_len", id_col], ascending=[False, True],
-                                  kind="mergesort").head(max_bucket)
+                                  kind="mergesort")
+            if group_cap is not None:
+                grp = grp.head(group_cap)
             ids = grp[id_col].tolist()
             lens = grp["_len"].tolist()  # char lengths — the oracle's compare
             enc = [(texts.get(d) or "").encode("utf-8") for d in ids]

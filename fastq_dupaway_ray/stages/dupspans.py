@@ -260,7 +260,8 @@ def dup_span_stats(
             pc.cast(agg["n_windows"], pa.float64()),
         )
         if round_digits is not None:
-            frac = pc.round(frac, round_digits)
+            # SQL ROUND is half-away-from-zero; Arrow defaults to half-to-even
+            frac = pc.round(frac, round_digits, round_mode="half_towards_infinity")
         return agg.append_column("dup_fraction", frac)
 
     return (

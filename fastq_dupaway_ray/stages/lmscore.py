@@ -35,6 +35,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..util import round_half_away
+
 
 def unigram_logprob_scores(
     ds: ray.data.Dataset,
@@ -144,7 +146,7 @@ def unigram_logprob_scores(
         seg = np.concatenate([[0], np.cumsum(lens[nz])[:-1]]).astype(np.int64)
         means = np.add.reduceat(v, seg) / lens[nz] if len(v) else np.empty(0)
         if round_digits is not None:
-            means = np.round(means, round_digits)
+            means = round_half_away(means, round_digits)
         out = {c: df[c].to_numpy()[nz] for c in id_cols}
         out["logprob"] = means
         return pd.DataFrame(out)

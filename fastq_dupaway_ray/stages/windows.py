@@ -34,6 +34,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..util import round_half_away
+
 
 def _bucket_count() -> int:
     from .minhash import _default_shuffle_buckets
@@ -125,7 +127,7 @@ def _window_merge(key_col: str, round_digits: int | None):
             agg = agg.set_column(
                 agg.schema.get_field_index("sum_value"),
                 "sum_value",
-                pc.round(agg["sum_value"], round_digits),
+                pc.round(agg["sum_value"], round_digits, round_mode="half_towards_infinity"),
             )
         return agg
 
@@ -280,7 +282,7 @@ def sessionize(
         if chunk_us is None:
             boundary = np.zeros(len(starts), dtype=bool)
             if round_digits is not None:
-                sums = np.round(sums, round_digits)
+                sums = round_half_away(sums, round_digits)
         else:
             # first/last session per (key, chunk) run — only they can merge
             # across chunks. Interior sums round HERE (they are final);
@@ -293,7 +295,7 @@ def sessionize(
             last = np.concatenate([first[1:], [True]])
             boundary = first | last
             if round_digits is not None:
-                sums[~boundary] = np.round(sums[~boundary], round_digits)
+                sums[~boundary] = round_half_away(sums[~boundary], round_digits)
         return pa.table(
             {
                 key_col: keys.take(pa.array(starts)),
@@ -345,7 +347,7 @@ def sessionize(
         ge = np.concatenate([gs[1:], [n]]) - 1
         sums = np.add.reduceat(sv, gs)
         if round_digits is not None:
-            sums = np.round(sums, round_digits)
+            sums = round_half_away(sums, round_digits)
         return pa.table(
             {
                 key_col: keys.take(pa.array(gs)),

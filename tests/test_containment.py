@@ -146,3 +146,39 @@ def test_suffix_array_mode_hot_anchor_skew():
     got_find = _edge_set(containment_edges(ds, anchors=None, id_col="doc_id"))
     assert got_sa == expected
     assert got_find == expected
+
+
+def test_containment_exact_mode_never_truncates_hot_groups(ray_session):
+    """Exact mode (anchors=None) must not cap a hot min-shingle group at
+    max_bucket — the sf0.1 sweep caught 5 missing pairs when a group
+    outgrew 512 members. All docs here share one min-shingle."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastq_dupaway_ray.stages.containment import containment_edges
+
+    # every doc starts with the same 8-char shingle that hashes minimal
+    # within each doc (prefix "aaaaaaaa" has a very low rolling hash for
+    # typical bases; regardless, sharing the full prefix guarantees a
+    # shared shingle and dense anchor groups)
+    n = 40
+    docs = []
+    for i in range(n):
+        docs.append(("aaaaaaaa" + f" doc {i:04d} " + "body " * (i + 1)).strip())
+    # plant containments: doc i contains doc's text of i-1? Build nested
+    nested = ["aaaaaaaa nested core"]
+    for i in range(1, 6):
+        nested.append(nested[-1] + f" layer{i}")
+    texts = docs + nested
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    edges = containment_edges(
+        rd.from_pandas(df).repartition(4), anchors=None, id_col="doc_id",
+        max_bucket=4,  # force "hot" groups far below the member count
+    ).to_pandas()
+    got = set(map(tuple, edges[["a", "b"]].itertuples(index=False)))
+    want = {
+        (len(docs) + i, len(docs) + j)
+        for i in range(1, 6)
+        for j in range(i)
+    }
+    assert want <= got, want - got

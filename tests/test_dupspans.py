@@ -352,3 +352,30 @@ def test_remove_dup_spans_prefilter_string_ids(ray_session):
     assert got.loc[0, "n_removed_chars"] == 0
     assert got.loc[1, "n_removed_chars"] > 0
     assert got.loc[2, "n_removed_chars"] == 0
+
+
+def test_dup_span_stats_rounding_matches_sql_half_away(ray_session):
+    """dup_fraction ties at the 6th digit must round like SQL (half away
+    from zero), not banker's: 4 dup windows of 512 = 0.0078125 -> 0.007813.
+    Caught by the sf0.1 sweep (power-of-two window counts)."""
+    k = 8
+    span = "sharedspanabc"[: k]
+    # doc0/doc1 share exactly the k-char span; doc0 has 512 windows total
+    base = "".join(chr(97 + (i * 7) % 26) for i in range(512 + k - 1 - len(span)))
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1], dtype=np.int64),
+            "text": [span + base, span + "x" * 20],
+        }
+    )
+    got = (
+        dup_span_stats(rd.from_pandas(df), k=k)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    row0 = got.loc[0]
+    assert row0["n_windows"] == 512
+    # the shared k-gram occurs at offset 0 in both docs -> >= 1 dup window
+    nd = int(row0["n_dup_windows"])
+    import duckdb
+    want = duckdb.sql(f"SELECT round({nd}::DOUBLE / 512, 6)").fetchone()[0]
+    assert row0["dup_fraction"] == want
