@@ -10,17 +10,19 @@ the engine's standard combiner + bucketed-merge form:
   (key, window, partial sum, partial count) rows only — corpus values never
   move twice. Hopping windows explode each event into width/hop window
   starts inside the combiner (an event belongs to that many windows).
-* ``sessionize`` — inactivity-gap sessions are order-dependent per key, so
-  events hash-bucket by key and each bucket resolves sessions in one
-  vectorized pass: sort by (key, ts), mark gap/key breaks, and aggregate
-  contiguous session runs with ``np.add.reduceat`` — no pandas groupby, no
-  per-session Python.
+* ``sessionize`` — inactivity-gap sessions are order-dependent per key.
+  Events hash-bucket by (key, time chunk) — default 1440-minute chunks —
+  and each bucket resolves its chunk-local sessions in one vectorized
+  pass: sort by (key, ts), mark gap/key/chunk breaks, aggregate contiguous
+  runs with ``np.add.reduceat``. Only each (key, chunk)'s first/last
+  sessions (interior ones are > gap from both edges by construction) take
+  a tiny second session-level task exchange that re-merges across chunk
+  borders — exact, and no single worker ever needs one key's whole
+  history (hot-key hardening; a 10^6-event user costs each worker only
+  its time slice).
 
 All three stages are ``batch_format="pyarrow"`` end-to-end (pyarrow.compute
-kernels; the only pandas left in the window family is gone). Each key's
-whole event history must fit a bucket worker for sessionize — the same
-partitioning assumption every per-key streaming window makes; salt hot keys
-upstream if one user exceeds a worker.
+kernels; the only pandas left in the window family is gone).
 
 Generalizes the reference's run-summary aggregation (SURVEY.md A7,
 /root/reference/src/seq_dup_remover.hpp:104-109) from one global counter to
@@ -323,11 +325,12 @@ def sessionize(
         batch_format="pyarrow",
     )
 
-    def merge_boundary(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _empty_sessions(t.schema.field(key_col).type).drop_columns(
-                ["_boundary"]
+    def merge_boundary(t: pa.Table | None) -> pa.Table:
+        if t is None or t.num_rows == 0:
+            key_type = (
+                t.schema.field(key_col).type if t is not None else pa.int64()
             )
+            return _empty_sessions(key_type).drop_columns(["_boundary"])
         order = pc.sort_indices(
             t, sort_keys=[(key_col, "ascending"), ("session_start", "ascending")]
         )
@@ -358,18 +361,25 @@ def sessionize(
             }
         )
 
-    merged = (
-        sessions.map_batches(
-            lambda t: t.filter(t["_boundary"]).drop_columns(["_boundary"]),
-            batch_format="pyarrow",
-        )
-        .map_batches(
-            lambda t: t.append_column(
-                "_bkt", pa.array(_key_bucket(t[key_col], B), pa.int64())
+    from .minhash import _hash_exchange_tasks
+
+    # task exchange, not Dataset groupby: the boundary set is tiny (<= 2
+    # rows per (key, chunk)) and the Dataset sort-groupby's flat machinery
+    # cost dominated it (bench events_sessionize 0.75 -> 1.69 s when this
+    # was a second groupby; the exchange restores ~0.9 s)
+    boundary = sessions.map_batches(
+        lambda t: t.filter(t["_boundary"])
+        .drop_columns(["_boundary"])
+        .append_column(
+            "_kh",
+            pa.array(
+                _key_bucket(t.filter(t["_boundary"])[key_col], B).astype(np.uint64),
+                pa.uint64(),
             ),
-            batch_format="pyarrow",
-        )
-        .groupby("_bkt")
-        .map_groups(merge_boundary, batch_format="pyarrow")
+        ),
+        batch_format="pyarrow",
+    )
+    merged = _hash_exchange_tasks(
+        boundary, "_kh", B, lambda t: merge_boundary(t.drop_columns(["_kh"]) if t is not None and "_kh" in t.column_names else t)
     )
     return final.union(merged)
