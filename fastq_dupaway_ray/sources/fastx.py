@@ -387,3 +387,60 @@ def write_fastx(ds: ray.data.Dataset, path: str, fmt: str | None = None) -> int:
                 f.write(rec)
                 n += 1
     return n
+
+
+def write_fastx_sharded(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    ext: str = "fastq",
+    order_col: str = "warc_ts",
+) -> int:
+    """Kept pages -> MANY fastx files (one per sorted block) whose
+    name-ordered concatenation is byte-identical to :func:`write_fastx`'s
+    single file — the parallel/resumable form of the reference sink.
+
+    ``Dataset.sort`` range-partitions, so block i's records all precede
+    block i+1's: files ``part-00000.<ext>`` ... concatenate in name order
+    into the exact single-file byte stream (test-pinned). Each block writes
+    in its own Ray task (parallel gzip, no driver funnel), to a temp name
+    with a crash-safe rename — a re-run skips finished parts, the
+    resumable-output contract. ``ext`` ending in ``.gz`` gzips per shard
+    (concatenated gzip members are a valid gzip stream by RFC 1952).
+    Returns the total records written (incl. previously-finished parts).
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    sorted_ds = ds.sort(order_col).materialize()
+
+    @ray.remote
+    def _write_part(block, path: str) -> int:
+        import gzip as _gzip
+        import os as _os
+
+        from ..stages.minhash import _as_arrow_block
+
+        block = _as_arrow_block(block)  # internal refs can be pandas blocks
+        if block.num_rows == 0:
+            return 0
+        tmp = path + ".tmp"
+        op = _gzip.open if path.endswith(".gz") else open
+        with op(tmp, "wb") as f:
+            for rec in block["html"].to_pylist():
+                f.write(rec)
+        _os.replace(tmp, path)
+        return block.num_rows
+
+    pending, done = [], 0
+    idx = 0
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows == 0:
+                continue
+            part = os.path.join(out_dir, f"part-{idx:05d}.{ext}")
+            idx += 1
+            if os.path.exists(part):
+                done += meta.num_rows or 0  # finished in a prior run
+                continue
+            pending.append(_write_part.remote(ref, part))
+    return done + sum(ray.get(pending))

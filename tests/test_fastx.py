@@ -339,3 +339,55 @@ def test_sync_offset_long_read_lines(ray_session, tmp_path):
     assert whole["_valid"].all()
     for split in (10_000, 17_000):
         pd.testing.assert_frame_equal(whole, _read_canon(p, split_bytes=split))
+
+
+def test_write_fastx_sharded_concat_identical(ray_session, tmp_path):
+    """The sharded sink's name-ordered file concatenation must be
+    byte-identical to the single-file writer, in both plain and gzip
+    forms, and a re-run must skip finished parts (resumable)."""
+    import glob
+
+    from fastq_dupaway_ray.sources.fastx import write_fastx, write_fastx_sharded
+
+    recs = b"".join(
+        f"@r{i:04d}\n{'ACGT'[(i % 4)] * (3 + i % 7)}\n+\n{'I' * (3 + i % 7)}\n".encode()
+        for i in range(503)
+    )
+    p = str(tmp_path / "in.fq")
+    with open(p, "wb") as f:
+        f.write(recs)
+    from fastq_dupaway_ray.sources.fastx import read_fastx
+
+    ds = (
+        read_fastx(p)
+        .map_batches(
+            lambda t: t.filter(t["_valid"]).drop_columns(["_valid"]),
+            batch_format="pyarrow",
+        )
+        .repartition(7)
+    )
+    single = str(tmp_path / "single.fq")
+    n1 = write_fastx(ds, single)
+
+    out = str(tmp_path / "shards")
+    n2 = write_fastx_sharded(ds, out, ext="fastq")
+    assert n1 == n2 == 503
+    parts = sorted(glob.glob(out + "/part-*.fastq"))
+    assert len(parts) > 1  # actually sharded
+    concat = b"".join(open(f, "rb").read() for f in parts)
+    assert concat == open(single, "rb").read()
+
+    # resumability: a second run rewrites nothing (same counts, same mtimes)
+    import os
+
+    mtimes = {f: os.path.getmtime(f) for f in parts}
+    n3 = write_fastx_sharded(ds, out, ext="fastq")
+    assert n3 == 503
+    assert {f: os.path.getmtime(f) for f in parts} == mtimes
+
+    # gz form: concatenated gzip members decode to the same byte stream
+    outgz = str(tmp_path / "shards_gz")
+    write_fastx_sharded(ds, outgz, ext="fastq.gz")
+    partsgz = sorted(glob.glob(outgz + "/part-*.fastq.gz"))
+    cat = b"".join(open(f, "rb").read() for f in partsgz)
+    assert gzip.decompress(cat) == open(single, "rb").read()
