@@ -236,7 +236,13 @@ def run_flagship(
         drops = exact_drop_ids(good_slim, counters=ctr).materialize()
         n_drops = drops.count()
         metrics["valid"] = ctr["n_input"]
-        if ckpt_root:
+        if ckpt_root and n_drops <= drop_broadcast_budget:
+            # an over-budget drop set is about to be DISCARDED for the
+            # value-comparing shuffle — persisting it would write the one
+            # artifact this gate exists to avoid. (The slim drop exchange
+            # itself still ran before the count — accepted: slim rows are
+            # ~1-2% of the paranoid pass's payload bytes, and the count is
+            # what decides the limb.)
             drops = checkpoint(
                 drops, ckpt_root, "exact", fp0, extra={"n_valid": metrics["valid"]}
             )

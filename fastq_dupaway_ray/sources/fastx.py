@@ -403,11 +403,19 @@ def write_fastx_sharded(
     block i+1's: files ``part-00000.<ext>`` ... concatenate in name order
     into the exact single-file byte stream (test-pinned). Each block writes
     in its own Ray task (parallel gzip, no driver funnel), to a temp name
-    with a crash-safe rename — a re-run skips finished parts, the
-    resumable-output contract. ``ext`` ending in ``.gz`` gzips per shard
+    with a crash-safe rename. ``ext`` ending in ``.gz`` gzips per shard
     (concatenated gzip members are a valid gzip stream by RFC 1952).
     Returns the total records written (incl. previously-finished parts).
+
+    Resume is MANIFEST-VALIDATED: part indices are positional in this
+    run's sorted block layout, and Ray's sample-based range partitioning
+    need not reproduce boundaries across runs — skipping a part by
+    filename alone could silently mix two runs' partitions. A `_MANIFEST`
+    (per-part row counts) is written before any part; a re-run skips
+    existing parts only when its own layout matches the manifest exactly,
+    else it wipes the directory's parts and starts fresh.
     """
+    import json as _json
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -431,16 +439,40 @@ def write_fastx_sharded(
         _os.replace(tmp, path)
         return block.num_rows
 
+    blocks = [
+        (ref, meta)
+        for bundle in sorted_ds.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows
+    ]
+    layout = [int(m.num_rows) for _, m in blocks]
+    man_path = os.path.join(out_dir, "_MANIFEST")
+    manifest = {"ext": ext, "order_col": order_col, "layout": layout}
+    prior = None
+    if os.path.exists(man_path):
+        try:
+            with open(man_path) as f:
+                prior = _json.load(f)
+        except Exception:
+            prior = None
+    if prior != manifest:
+        # different run layout (or unknown provenance): existing parts are
+        # positionally meaningless for THIS layout — wipe, never mix
+        import glob as _glob
+
+        for f in _glob.glob(os.path.join(out_dir, f"part-*.{ext}")) + _glob.glob(
+            os.path.join(out_dir, f"part-*.{ext}.tmp")
+        ):
+            os.remove(f)
+        tmp = man_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f)
+        os.replace(tmp, man_path)
     pending, done = [], 0
-    idx = 0
-    for bundle in sorted_ds.iter_internal_ref_bundles():
-        for ref, meta in bundle.blocks:
-            if meta.num_rows == 0:
-                continue
-            part = os.path.join(out_dir, f"part-{idx:05d}.{ext}")
-            idx += 1
-            if os.path.exists(part):
-                done += meta.num_rows or 0  # finished in a prior run
-                continue
-            pending.append(_write_part.remote(ref, part))
+    for idx, (ref, meta) in enumerate(blocks):
+        part = os.path.join(out_dir, f"part-{idx:05d}.{ext}")
+        if os.path.exists(part):
+            done += layout[idx]  # finished under THIS validated layout
+            continue
+        pending.append(_write_part.remote(ref, part))
     return done + sum(ray.get(pending))

@@ -379,42 +379,41 @@ def remove_dup_spans(
                 num_buckets=num_buckets,
                 rounds=rounds,
             )
-        dup_docs = (
-            stats.map_batches(
-                lambda t: t.filter(pc.greater(t["n_dup_windows"], 0)).select(
-                    [id_col]
-                ),
-                batch_format="pyarrow",
-            )
+        def dup_id_hashes(t: pa.Table) -> pa.Table:
+            # hash to uint64 REMOTELY: the driver collects 8-byte hashes,
+            # never the raw id strings (no driver funnel — at 20M urls the
+            # strings are ~1+ GB, the hashes ~160 MB)
+            sub = t.filter(pc.greater(t["n_dup_windows"], 0))
+            vals = sub[id_col].to_numpy(zero_copy_only=False)
+            if len(vals) and np.issubdtype(vals.dtype, np.integer):
+                h = vals.astype(np.uint64)
+            else:
+                h = hash64(vals.astype(object))
+            return pa.table({"h": pa.array(h, pa.uint64())})
+
+        dup_docs = stats.map_batches(
+            dup_id_hashes, batch_format="pyarrow"
         ).materialize()
         if dup_docs.count() <= dup_doc_broadcast_budget:
-            hs = []
-            for blk in ray.get(dup_docs.to_arrow_refs()):
-                if blk.num_rows == 0:
-                    continue
-                vals = blk[id_col].to_numpy(zero_copy_only=False)
-                if np.issubdtype(vals.dtype, np.integer):
-                    hs.append(vals.astype(np.uint64))
-                else:
-                    hs.append(hash64(vals.astype(object)))
+            hs = [
+                blk["h"].to_numpy()
+                for blk in ray.get(dup_docs.to_arrow_refs())
+                if blk.num_rows > 0
+            ]
             dup_ref = ray.put(
                 np.sort(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
             )
 
     def _dup_mask(ids: np.ndarray, sorted_hashes: np.ndarray) -> np.ndarray:
+        from ..util import sorted_isin
+
         if np.issubdtype(ids.dtype, np.integer):
             q = ids.astype(np.uint64)
         else:
             from ..functions.hashing import hash64
 
             q = hash64(ids.astype(object))
-        pos = np.searchsorted(sorted_hashes, q)
-        pos = np.minimum(pos, max(len(sorted_hashes) - 1, 0))
-        return (
-            sorted_hashes[pos] == q
-            if len(sorted_hashes)
-            else np.zeros(len(q), dtype=bool)
-        )
+        return sorted_isin(q, sorted_hashes)
 
     def window_rows(t: pa.Table, rnd: int = 0) -> pa.Table:
         texts = t[text_col].to_numpy(zero_copy_only=False).astype(object)

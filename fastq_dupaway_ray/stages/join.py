@@ -271,9 +271,18 @@ def anti_join(
 
     from .minhash import _default_shuffle_buckets, _fetch_cached, _hash_exchange_tasks
 
+    from ..util import sorted_isin
+
     slim = right.select_columns([key]).materialize()
     if slim.count() <= broadcast_budget:
-        tabs = [t for t in _ray.get(slim.to_arrow_refs()) if t.num_rows > 0]
+        # null right keys match nothing (SQL equality) — drop before unique,
+        # which would otherwise raise sorting None in an object array
+        tabs = [
+            t.filter(pc.is_valid(t[key]))
+            for t in _ray.get(slim.to_arrow_refs())
+            if t.num_rows > 0
+        ]
+        tabs = [t for t in tabs if t.num_rows > 0]
         if not tabs:
             return left  # empty right: every left row is unmatched
         keys = np.unique(
@@ -284,8 +293,8 @@ def anti_join(
         def keep_unmatched(t: pa.Table) -> pa.Table:
             ks = _fetch_cached(ref)
             v = t[key].to_numpy(zero_copy_only=False)
-            pos = np.minimum(np.searchsorted(ks, v), len(ks) - 1)
-            return t.filter(pa.array(ks[pos] != v))
+            # null-keyed left rows match nothing and survive
+            return t.filter(pa.array(~sorted_isin(v, ks)))
 
         return left.map_batches(keep_unmatched, batch_format="pyarrow")
 
@@ -296,7 +305,10 @@ def anti_join(
     # at 4.12M x 2.06M rows in round 3 — the join's flat machinery cost,
     # not bytes moved; see BASELINE.md round-5 for the exchange timing).
     B = _default_shuffle_buckets()
-    mat_left = left.materialize()
+    # coalesce first: groupby-born datasets carry schema-less empty pandas
+    # blocks (the failure util.coalesce_schema_blocks exists for), and the
+    # per-block tag/exchange below needs one uniform Arrow schema
+    mat_left = coalesce_schema_blocks(left).materialize()
     if mat_left.count() == 0:
         return mat_left
     lschema = mat_left.take_batch(1, batch_format="pyarrow").schema
@@ -312,34 +324,20 @@ def anti_join(
             "_am", pa.array(np.zeros(t.num_rows, dtype=np.int8))
         )
 
-    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+    def pad_right_arrow(df: pd.DataFrame) -> pa.Table:
+        # dedupe per batch and drop null keys (they match nothing); non-key
+        # left columns pad as typed nulls directly — no throwaway pandas
         out = df.drop_duplicates(subset=[key])
+        out = out[out[key].notna()]
+        kv = out[key].to_numpy()
         cols = {}
         for f in lschema:
-            if f.name == key:
-                cols[key] = out[key].to_numpy()
-            else:
-                cols[f.name] = pd.Series([None] * len(out), dtype=object)
-        res = pd.DataFrame(cols)
-        res["_kh"] = _key_hash(out[key].to_numpy())
-        res["_am"] = np.int8(1)
-        return res
-
-    def pad_right_arrow(df: pd.DataFrame) -> pa.Table:
-        res = tag_right(df)
-        arrays = []
-        fields = []
-        for f in lschema:
-            if f.name == key:
-                arrays.append(pa.array(res[key], f.type))
-            else:
-                arrays.append(pa.nulls(len(res), f.type))
-            fields.append(f)
-        arrays.append(pa.array(res["_kh"].to_numpy(), pa.uint64()))
-        fields.append(pa.field("_kh", pa.uint64()))
-        arrays.append(pa.array(res["_am"].to_numpy(), pa.int8()))
-        fields.append(pa.field("_am", pa.int8()))
-        return pa.table(dict(zip([f.name for f in fields], arrays)))
+            cols[f.name] = (
+                pa.array(kv, f.type) if f.name == key else pa.nulls(len(out), f.type)
+            )
+        cols["_kh"] = pa.array(_key_hash(kv), pa.uint64())
+        cols["_am"] = pa.array(np.full(len(out), 1, dtype=np.int8))
+        return pa.table(cols)
 
     def bucket_filter(t: pa.Table | None) -> pa.Table:
         if t is None:
@@ -355,8 +353,7 @@ def anti_join(
             return lrows
         ks = np.unique(mk[key].to_numpy(zero_copy_only=False))
         v = lrows[key].to_numpy(zero_copy_only=False)
-        pos = np.minimum(np.searchsorted(ks, v), len(ks) - 1)
-        return lrows.filter(pa.array(ks[pos] != v))
+        return lrows.filter(pa.array(~sorted_isin(v, ks)))
 
     tagged = mat_left.map_batches(tag_left, batch_format="pyarrow").union(
         slim.map_batches(pad_right_arrow, batch_format="pandas")

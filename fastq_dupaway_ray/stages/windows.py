@@ -363,23 +363,29 @@ def sessionize(
 
     from .minhash import _hash_exchange_tasks
 
+    def tag_boundary(t: pa.Table) -> pa.Table:
+        tf = t.filter(t["_boundary"]).drop_columns(["_boundary"])
+        return tf.append_column(
+            "_kh",
+            pa.array(_key_bucket(tf[key_col], B).astype(np.uint64), pa.uint64()),
+        )
+
     # task exchange, not Dataset groupby: the boundary set is tiny (<= 2
     # rows per (key, chunk)) and the Dataset sort-groupby's flat machinery
     # cost dominated it (bench events_sessionize 0.75 -> 1.69 s when this
     # was a second groupby; the exchange restores ~0.9 s)
-    boundary = sessions.map_batches(
-        lambda t: t.filter(t["_boundary"])
-        .drop_columns(["_boundary"])
-        .append_column(
-            "_kh",
-            pa.array(
-                _key_bucket(t.filter(t["_boundary"])[key_col], B).astype(np.uint64),
-                pa.uint64(),
-            ),
-        ),
-        batch_format="pyarrow",
-    )
+    boundary = sessions.map_batches(tag_boundary, batch_format="pyarrow").materialize()
+    if boundary.count() == 0:
+        # skip the union: the exchange's fn(None) fallback cannot know the
+        # key type, and an int64-typed empty would poison a string-keyed
+        # union (the engine's typed-empty invariant)
+        return final
     merged = _hash_exchange_tasks(
-        boundary, "_kh", B, lambda t: merge_boundary(t.drop_columns(["_kh"]) if t is not None and "_kh" in t.column_names else t)
+        boundary,
+        "_kh",
+        B,
+        lambda t: merge_boundary(
+            t.drop_columns(["_kh"]) if t is not None and "_kh" in t.column_names else t
+        ),
     )
     return final.union(merged)

@@ -63,3 +63,35 @@ def round_half_away(values, digits: int):
     p = 10.0 ** digits
     a = np.asarray(values, dtype=np.float64)
     return np.copysign(np.floor(np.abs(a) * p + 0.5), a) / p
+
+
+def sorted_isin(values, sorted_keys):
+    """Membership of ``values`` in a SORTED uint64/values array — the
+    searchsorted + clamp + positional-equality idiom, in one place (it
+    previously lived in three subtly-different copies across join.py and
+    dupspans.py). Null (None/NaN) probe values are never members: SQL key
+    equality is null-hostile, and np.searchsorted raises on None in object
+    arrays. ``sorted_keys`` must be null-free (callers drop nulls when
+    building the set — a null key matches nothing).
+    """
+    import numpy as np
+
+    values = np.asarray(values)
+    out = np.zeros(len(values), dtype=bool)
+    if len(sorted_keys) == 0 or len(values) == 0:
+        return out
+    if values.dtype == object:
+        valid = np.fromiter(
+            (v is not None and v == v for v in values), dtype=bool, count=len(values)
+        )
+    elif values.dtype.kind == "f":
+        valid = ~np.isnan(values)
+    else:
+        valid = np.ones(len(values), dtype=bool)
+    if not valid.any():
+        return out
+    v = values[valid]
+    pos = np.minimum(np.searchsorted(sorted_keys, v), len(sorted_keys) - 1)
+    hit = np.asarray(sorted_keys)[pos] == v
+    out[np.nonzero(valid)[0]] = hit
+    return out

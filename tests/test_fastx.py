@@ -377,13 +377,26 @@ def test_write_fastx_sharded_concat_identical(ray_session, tmp_path):
     concat = b"".join(open(f, "rb").read() for f in parts)
     assert concat == open(single, "rb").read()
 
-    # resumability: a second run rewrites nothing (same counts, same mtimes)
-    import os
-
-    mtimes = {f: os.path.getmtime(f) for f in parts}
+    # re-run: byte-correct regardless of whether the new sort reproduces
+    # the layout (matching layout -> parts skipped; differing -> wiped and
+    # rewritten — never positionally mixed)
     n3 = write_fastx_sharded(ds, out, ext="fastq")
     assert n3 == 503
-    assert {f: os.path.getmtime(f) for f in parts} == mtimes
+    parts3 = sorted(glob.glob(out + "/part-*.fastq"))
+    assert b"".join(open(f, "rb").read() for f in parts3) == open(single, "rb").read()
+
+    # deterministic skip path: single-block layout always reproduces, and a
+    # crashed run's surviving part (manifest present, layout match) is kept
+    import os
+    import time
+
+    out1 = str(tmp_path / "one_shard")
+    write_fastx_sharded(ds.repartition(1), out1, ext="fastq")
+    (part1,) = glob.glob(out1 + "/part-*.fastq")
+    mtime = os.path.getmtime(part1)
+    time.sleep(0.05)
+    n4 = write_fastx_sharded(ds.repartition(1), out1, ext="fastq")
+    assert n4 == 503 and os.path.getmtime(part1) == mtime  # skipped, not rewritten
 
     # gz form: concatenated gzip members decode to the same byte stream
     outgz = str(tmp_path / "shards_gz")
@@ -391,3 +404,48 @@ def test_write_fastx_sharded_concat_identical(ray_session, tmp_path):
     partsgz = sorted(glob.glob(outgz + "/part-*.fastq.gz"))
     cat = b"".join(open(f, "rb").read() for f in partsgz)
     assert gzip.decompress(cat) == open(single, "rb").read()
+
+
+def test_write_fastx_sharded_layout_change_wipes_stale_parts(ray_session, tmp_path):
+    """A re-run whose sorted block layout differs from the manifest must
+    wipe the old parts instead of positionally mixing two runs' output."""
+    import glob
+
+    from fastq_dupaway_ray.sources.fastx import read_fastx, write_fastx_sharded
+
+    def mk(n):
+        return b"".join(
+            f"@q{i:03d}\nAC\n+\nII\n".encode() for i in range(n)
+        )
+
+    p1 = str(tmp_path / "a.fq")
+    open(p1, "wb").write(mk(60))
+    ds1 = (
+        read_fastx(p1)
+        .map_batches(
+            lambda t: t.filter(t["_valid"]).drop_columns(["_valid"]),
+            batch_format="pyarrow",
+        )
+        .repartition(6)
+    )
+    out = str(tmp_path / "sh")
+    n1 = write_fastx_sharded(ds1, out, ext="fastq")
+    assert n1 == 60
+    parts1 = set(glob.glob(out + "/part-*.fastq"))
+
+    # different partitioning -> different layout -> full rewrite
+    ds2 = (
+        read_fastx(p1)
+        .map_batches(
+            lambda t: t.filter(t["_valid"]).drop_columns(["_valid"]),
+            batch_format="pyarrow",
+        )
+        .repartition(3)
+    )
+    n2 = write_fastx_sharded(ds2, out, ext="fastq")
+    assert n2 == 60
+    parts2 = sorted(glob.glob(out + "/part-*.fastq"))
+    concat = b"".join(open(f, "rb").read() for f in parts2)
+    # concatenation is the full record stream — no mixed/stale leftovers
+    assert concat.count(b"@q") == 60
+    assert len(parts2) <= 3 + 1  # old 6-part layout is gone

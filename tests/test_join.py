@@ -139,3 +139,49 @@ def test_anti_join_fallback_int_keys(ray_session):
     ).to_pandas()
     assert sorted(got["key"].unique()) == [1, 3, 5]
     assert len(got) == 6000
+
+
+def test_anti_join_null_keys_survive_both_limbs(ray_session):
+    """Null-keyed left rows match nothing and must be KEPT (SQL equality);
+    null right keys match nothing. Both limbs, string keys."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastq_dupaway_ray.stages.join import anti_join
+
+    L = pd.DataFrame({"key": ["a", None, "b", "c", None], "v": range(5)})
+    R = pd.DataFrame({"key": ["b", None, "x"]})
+    for budget in (1_000_000, 1):  # broadcast limb, then exchange limb
+        got = (
+            anti_join(
+                rd.from_pandas(L).repartition(2),
+                rd.from_pandas(R).repartition(2),
+                "key",
+                broadcast_budget=budget,
+            )
+            .to_pandas()
+            .sort_values("v")
+        )
+        assert got["v"].tolist() == [0, 1, 3, 4], budget
+
+
+def test_anti_join_groupby_born_left_blocks(ray_session):
+    """A left dataset born from groupby().map_groups() (which can emit
+    schema-less empty blocks) must pass through the exchange limb."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastq_dupaway_ray.stages.join import anti_join
+
+    L = pd.DataFrame({"key": [f"k{i%7}" for i in range(60)], "v": range(60)})
+    lds = (
+        rd.from_pandas(L)
+        .repartition(8)
+        .groupby("key")
+        .map_groups(lambda df: df, batch_format="pandas")
+    )
+    R = pd.DataFrame({"key": ["k0", "k1"]})
+    got = anti_join(
+        lds, rd.from_pandas(R), "key", broadcast_budget=1
+    ).to_pandas()
+    assert sorted(got["key"].unique()) == ["k2", "k3", "k4", "k5", "k6"]

@@ -225,3 +225,37 @@ def test_sessionize_hot_key_chunked_exact(ray_session):
         got_hot["session_end"] - got_hot["session_start"]
     ).dt.total_seconds().max() / 60
     assert span_min > 1440
+
+
+def test_sessionize_empty_and_string_keys(ray_session):
+    """Empty input with STRING keys through the chunked default: the
+    boundary exchange's typed-empty fallback must not poison the union
+    (int64 vs string key type)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastq_dupaway_ray.stages.windows import sessionize
+
+    df = pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype=str),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "value": pd.Series([], dtype=float),
+        }
+    )
+    out = sessionize(rd.from_pandas(df)).to_pandas()
+    assert len(out) == 0
+    # and a tiny string-keyed input still resolves
+    df2 = pd.DataFrame(
+        {
+            "user_id": ["u", "u", "v"],
+            "ts": pd.to_datetime(
+                ["2025-01-01 00:00", "2025-01-01 00:10", "2025-01-02 09:00"]
+            ),
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    out2 = (
+        sessionize(rd.from_pandas(df2)).to_pandas().sort_values("user_id")
+    )
+    assert out2["n_events"].tolist() == [2, 1]
