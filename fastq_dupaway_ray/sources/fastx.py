@@ -411,9 +411,15 @@ def write_fastx_sharded(
     run's sorted block layout, and Ray's sample-based range partitioning
     need not reproduce boundaries across runs — skipping a part by
     filename alone could silently mix two runs' partitions. A `_MANIFEST`
-    (per-part row counts) is written before any part; a re-run skips
-    existing parts only when its own layout matches the manifest exactly,
-    else it wipes the directory's parts and starts fresh.
+    (per-part row count + first/last order-key) is written before any
+    part; a re-run skips existing parts only when its own layout matches
+    the manifest exactly, else it wipes ALL part files (any extension —
+    an ext change alone must not leave the old run's parts behind) and
+    starts fresh. When an order-key TIE straddles a block boundary the
+    count+endpoint fingerprint cannot prove the partition assignment
+    reproduced, so such layouts are marked non-resumable and always
+    rewrite (unique order keys — e.g. warc_ts from the fastx reader —
+    never hit this).
     """
     import json as _json
     import os
@@ -439,15 +445,38 @@ def write_fastx_sharded(
         _os.replace(tmp, path)
         return block.num_rows
 
-    blocks = [
+    @ray.remote
+    def _block_stats(block) -> tuple:
+        from ..stages.minhash import _as_arrow_block
+
+        block = _as_arrow_block(block)
+        if block.num_rows == 0:
+            return (0, None, None)
+        col = block[order_col]
+        return (block.num_rows, str(col[0].as_py()), str(col[-1].as_py()))
+
+    raw = [
         (ref, meta)
         for bundle in sorted_ds.iter_internal_ref_bundles()
         for ref, meta in bundle.blocks
-        if meta.num_rows
+        # num_rows None = unknown, NOT empty — resolve remotely below
+        if meta.num_rows is None or meta.num_rows > 0
     ]
-    layout = [int(m.num_rows) for _, m in blocks]
+    stats = ray.get([_block_stats.remote(ref) for ref, _ in raw])
+    blocks = [(ref, st) for (ref, _), st in zip(raw, stats) if st[0] > 0]
+    layout = [[n, lo, hi] for _, (n, lo, hi) in blocks]
+    # an order tie straddling a boundary means count+endpoints cannot prove
+    # which side of the seam each tied record landed on — never resume
+    seam_tie = any(
+        layout[i][2] == layout[i + 1][1] for i in range(len(layout) - 1)
+    )
     man_path = os.path.join(out_dir, "_MANIFEST")
-    manifest = {"ext": ext, "order_col": order_col, "layout": layout}
+    manifest = {
+        "ext": ext,
+        "order_col": order_col,
+        "layout": layout,
+        "resumable": not seam_tie,
+    }
     prior = None
     if os.path.exists(man_path):
         try:
@@ -455,24 +484,23 @@ def write_fastx_sharded(
                 prior = _json.load(f)
         except Exception:
             prior = None
-    if prior != manifest:
-        # different run layout (or unknown provenance): existing parts are
-        # positionally meaningless for THIS layout — wipe, never mix
+    if prior != manifest or seam_tie:
+        # different run layout, ext change, or unprovable seam: existing
+        # parts are positionally meaningless for THIS layout — wipe every
+        # part file regardless of extension, never mix
         import glob as _glob
 
-        for f in _glob.glob(os.path.join(out_dir, f"part-*.{ext}")) + _glob.glob(
-            os.path.join(out_dir, f"part-*.{ext}.tmp")
-        ):
+        for f in _glob.glob(os.path.join(out_dir, "part-*")):
             os.remove(f)
         tmp = man_path + ".tmp"
         with open(tmp, "w") as f:
             _json.dump(manifest, f)
         os.replace(tmp, man_path)
     pending, done = [], 0
-    for idx, (ref, meta) in enumerate(blocks):
+    for idx, (ref, _st) in enumerate(blocks):
         part = os.path.join(out_dir, f"part-{idx:05d}.{ext}")
         if os.path.exists(part):
-            done += layout[idx]  # finished under THIS validated layout
+            done += layout[idx][0]  # finished under THIS validated layout
             continue
         pending.append(_write_part.remote(ref, part))
     return done + sum(ray.get(pending))

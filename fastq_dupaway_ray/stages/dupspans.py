@@ -41,15 +41,22 @@ _BASE1 = 1000003
 _BASE2 = 1000033  # second independent polynomial (both odd)
 
 
-def _id_bucket(ids: np.ndarray, mod: int) -> np.ndarray:
-    """id column -> int64 bucket in [0, mod): identity for integer ids,
-    SipHash for strings — ONE definition so docs and their cut rows can
-    never silently stop co-locating."""
+def _id_hash64(ids: np.ndarray) -> np.ndarray:
+    """id column -> uint64: identity for integer ids, SipHash for strings.
+    ONE definition — the dup-doc broadcast set is BUILT and PROBED with
+    this mapping, and _id_bucket derives from it; a divergent copy would
+    silently declare duplicated docs clean (breaking the prefilter's
+    exactness) or stop co-locating docs with their cut rows."""
     if np.issubdtype(ids.dtype, np.integer):
-        return (ids.astype(np.uint64) % np.uint64(mod)).astype(np.int64)
+        return ids.astype(np.uint64)
     from ..functions.hashing import hash64
 
-    return (hash64(ids.astype(object)) % np.uint64(mod)).astype(np.int64)
+    return hash64(ids.astype(object))
+
+
+def _id_bucket(ids: np.ndarray, mod: int) -> np.ndarray:
+    """id column -> int64 bucket in [0, mod) (see _id_hash64)."""
+    return (_id_hash64(ids) % np.uint64(mod)).astype(np.int64)
 
 
 
@@ -364,8 +371,6 @@ def remove_dup_spans(
 
     dup_ref = None
     if prefilter:
-        from ..functions.hashing import hash64
-
         if stats is None:
             # triage flows that already ran dup_span_stats should pass it in
             # via ``stats=`` — the pass costs ~1/6 of the removal and paying
@@ -385,11 +390,7 @@ def remove_dup_spans(
             # strings are ~1+ GB, the hashes ~160 MB)
             sub = t.filter(pc.greater(t["n_dup_windows"], 0))
             vals = sub[id_col].to_numpy(zero_copy_only=False)
-            if len(vals) and np.issubdtype(vals.dtype, np.integer):
-                h = vals.astype(np.uint64)
-            else:
-                h = hash64(vals.astype(object))
-            return pa.table({"h": pa.array(h, pa.uint64())})
+            return pa.table({"h": pa.array(_id_hash64(vals), pa.uint64())})
 
         dup_docs = stats.map_batches(
             dup_id_hashes, batch_format="pyarrow"
@@ -407,13 +408,7 @@ def remove_dup_spans(
     def _dup_mask(ids: np.ndarray, sorted_hashes: np.ndarray) -> np.ndarray:
         from ..util import sorted_isin
 
-        if np.issubdtype(ids.dtype, np.integer):
-            q = ids.astype(np.uint64)
-        else:
-            from ..functions.hashing import hash64
-
-            q = hash64(ids.astype(object))
-        return sorted_isin(q, sorted_hashes)
+        return sorted_isin(_id_hash64(ids), sorted_hashes)
 
     def window_rows(t: pa.Table, rnd: int = 0) -> pa.Table:
         texts = t[text_col].to_numpy(zero_copy_only=False).astype(object)

@@ -76,16 +76,16 @@ def sorted_isin(values, sorted_keys):
     """
     import numpy as np
 
+    import pandas as pd
+
     values = np.asarray(values)
     out = np.zeros(len(values), dtype=bool)
     if len(sorted_keys) == 0 or len(values) == 0:
         return out
-    if values.dtype == object:
-        valid = np.fromiter(
-            (v is not None and v == v for v in values), dtype=bool, count=len(values)
-        )
-    elif values.dtype.kind == "f":
-        valid = ~np.isnan(values)
+    if values.dtype == object or values.dtype.kind == "f":
+        # vectorized C null scan (covers None, NaN, pd.NA — a Python
+        # `v == v` loop both costs a per-element trip and crashes on pd.NA)
+        valid = pd.notna(values)
     else:
         valid = np.ones(len(values), dtype=bool)
     if not valid.any():

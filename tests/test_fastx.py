@@ -449,3 +449,41 @@ def test_write_fastx_sharded_layout_change_wipes_stale_parts(ray_session, tmp_pa
     # concatenation is the full record stream — no mixed/stale leftovers
     assert concat.count(b"@q") == 60
     assert len(parts2) <= 3 + 1  # old 6-part layout is gone
+
+
+def test_write_fastx_sharded_ext_change_and_seam_ties(ray_session, tmp_path):
+    """(a) Changing ext wipes the previous run's parts (no mixed dirs);
+    (b) an order-key tie straddling a block boundary disables resume
+    (always rewrites) because counts+endpoints can't prove assignment."""
+    import glob
+
+    import pandas as pd
+    import ray.data as rd
+
+    from fastq_dupaway_ray.sources.fastx import write_fastx_sharded
+
+    rec = b"@r\nAC\n+\nII\n"
+    df = pd.DataFrame(
+        {
+            "html": [rec] * 30,
+            "warc_ts": pd.to_datetime([f"2025-01-01 00:00:{i:02d}" for i in range(30)]),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(3)
+    out = str(tmp_path / "extsw")
+    write_fastx_sharded(ds, out, ext="fastq")
+    write_fastx_sharded(ds, out, ext="fastq.gz")
+    assert glob.glob(out + "/part-*.fastq") == []  # old ext wiped
+    assert len(glob.glob(out + "/part-*.fastq.gz")) >= 1
+
+    # seam tie: every row shares one order value -> non-resumable
+    df2 = pd.DataFrame(
+        {"html": [rec] * 30, "warc_ts": [pd.Timestamp("2025-01-01")] * 30}
+    )
+    ds2 = rd.from_pandas(df2).repartition(3)
+    out2 = str(tmp_path / "ties")
+    n1 = write_fastx_sharded(ds2, out2, ext="fastq")
+    n2 = write_fastx_sharded(ds2, out2, ext="fastq")
+    assert n1 == n2 == 30
+    parts = sorted(glob.glob(out2 + "/part-*.fastq"))
+    assert b"".join(open(f, "rb").read() for f in parts).count(b"@r\n") == 30
