@@ -41,6 +41,15 @@ class DedupConfig:
     text_cols: tuple | None = None  # two entries => paired adjacency (EP3)
     order_cols: tuple = ("warc_ts", "url")
     distance: int = 2  # hamming / simhash threshold (--distance analogue)
+    # simhash feature space: "word" n-grams (generic web text) or "char"
+    # shingles (the reference-parity recall config — see RECALL_r05.json);
+    # length_bucket folds text length into the pigeonhole key (the
+    # reference predicate requires equal lengths, so it costs no recall
+    # while shattering hot buckets at large Hamming balls)
+    simhash_feature: str = "word"
+    simhash_shingle_k: int = 8
+    simhash_length_bucket: bool = False
+    simhash_dense_limit: int = 64
     minhash: MinHashParams = field(default_factory=MinHashParams)
     threshold: float | None = None  # jaccard verify threshold (None => from bands)
     verify: bool = True
@@ -128,6 +137,10 @@ def run_dedup(ds: ray.data.Dataset, cfg: DedupConfig = DedupConfig()) -> DedupOu
                 text_col=cfg.text_col,
                 text_cols=cfg.text_cols,  # paired: both mates within distance
                 order_cols=cfg.order_cols,
+                feature=cfg.simhash_feature,
+                shingle_k=cfg.simhash_shingle_k,
+                length_bucket=cfg.simhash_length_bucket,
+                dense_limit=cfg.simhash_dense_limit,
                 signer_concurrency=cfg.signer_concurrency,
             )
         labels = _comp.connected_components(edges.materialize()).materialize()

@@ -513,3 +513,40 @@ def test_simhash_char_feature_and_length_bucket_recall(ray_session):
         (a, b) for a, b in nb_set if len(texts[a]) == len(texts[b])
     }
     assert same_len_nb <= lb_set
+
+
+def test_dedup_config_simhash_parity_knobs(ray_session):
+    """DedupConfig's simhash_* knobs reach the stage: the char-shingle
+    parity config at ball 8 links a 1-char-substituted near copy that the
+    default word-bigram ball 3 cannot reliably see."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fastq_dupaway_ray.pipelines.dedup import DedupConfig, run_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    near = base.replace("gamma", "gamma", 1)[:-1] + "x"  # same length, 1 sub
+    assert len(near) == len(base)
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [base, near, "another body entirely different words " * 6],
+            "warc_ts": [0, 1, 2],
+        }
+    )
+    out = run_dedup(
+        rd.from_pandas(df),
+        DedupConfig(
+            mode="simhash",
+            id_col="doc_id",
+            order_cols=("doc_id",),
+            distance=8,
+            simhash_feature="char",
+            simhash_shingle_k=6,
+            simhash_length_bucket=True,
+            simhash_dense_limit=256,
+            emit_clusters=False,
+        ),
+    )
+    kept = sorted(out.kept.to_pandas()["doc_id"])
+    assert kept == [0, 2]  # the near copy merged with its original
