@@ -17,7 +17,9 @@ Flag translation:
 * ``--compare-seq loose``   -> prefix-containment adjacency (A4)
 * ``--compare-seq tail-hamming --distance D`` -> SimHash Hamming-ball near-dup
   (the scalable generalization; ``--exact-mirror`` selects the bit-exact
-  serial-order adjacency mirror instead)
+  serial-order adjacency mirror instead; ``--simhash-parity`` selects the
+  measured >=0.99-recall config — char 6-shingles, same-length bucketing,
+  ball >= 8 — see RECALL_r05.json)
 * ``--minhash``             -> MinHash/LSH near-dup (north rule; no reference analogue)
 * ``-u SECOND --unordered`` -> inner id-join on ``url`` with unmatched counts first
 * ``--write-clusters``      -> clusters Parquet next to the output (S9)
@@ -53,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--minhash", action="store_true", help="MinHash/LSH near-dup (north rule)")
     p.add_argument("--exact-mirror", action="store_true",
                    help="with tail-hamming: bit-exact serial adjacency instead of SimHash")
+    p.add_argument("--simhash-parity", action="store_true",
+                   help="with tail-hamming (SimHash path): the reference-parity "
+                        "recall config — char 6-shingle features, same-length "
+                        "bucketing, dense_limit=256 (>=0.99 dup-pair recall vs "
+                        "the reference clusters; see RECALL_r05.json)")
     p.add_argument("--unordered", action="store_true", help="id-join paired inputs first (fast mode only)")
     p.add_argument("--write-clusters", action="store_true")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -168,8 +175,24 @@ def main(argv=None) -> int:
         # likewise verifies both mates within --distance
         text_cols=key_cols if (paired and mode in ("tight", "loose", "hamming", "simhash")) else None,
         order_cols=order_cols,
-        distance=args.distance,
+        distance=(
+            # the parity recall measurement holds at ball 8; honor a larger
+            # user --distance, never shrink below the measured config
+            max(args.distance, 8)
+            if (args.simhash_parity and mode == "simhash")
+            else args.distance
+        ),
         emit_clusters=args.write_clusters,
+        **(
+            {
+                "simhash_feature": "char",
+                "simhash_shingle_k": 6,
+                "simhash_length_bucket": True,
+                "simhash_dense_limit": 256,
+            }
+            if (args.simhash_parity and mode == "simhash")
+            else {}
+        ),
     )
     out = run_dedup(ds, cfg)
     from .sources.fastx import write_fastx

@@ -234,3 +234,14 @@ def test_cli_mem_limit_bounds(paths, capsys, ray_session):
         assert "unsupported range" in err and "--mem-limit" in err
     # boundary values are accepted
     assert main(["-i", src, "-o", out, "--fast", "-m", "500"]) == 0
+
+
+def test_cli_simhash_parity_flag(paths, ray_session):
+    """--compare-seq tail-hamming --simhash-parity selects the char-shingle
+    length-bucketed SimHash config (the measured >=0.99-recall path)."""
+    src, out = paths
+    assert main(
+        ["-i", src, "-o", out, "--compare-seq", "tail-hamming", "--simhash-parity"]
+    ) == 0
+    t = pq.read_table(out)
+    assert t.num_rows > 0
