@@ -256,3 +256,74 @@ def test_pack_sequences_equals_serial_scan(ray_session, toks, seq_len, parts):
     assert got["n_tokens"].tolist() == n_tok.tolist()
     assert got["tok_offset"].tolist() == off.tolist()
     assert got["seq_id"].tolist() == (off // seq_len).tolist()
+
+
+def test_sessionize_chunked_equals_legacy_randomized(ray_session):
+    """Differential: random event streams through the chunked default and
+    the legacy single-exchange path must produce identical sessions, over
+    several gap/chunk configurations including chunk < gap."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fastq_dupaway_ray.stages.windows import sessionize
+
+    rng = np.random.default_rng(99)
+    for trial, (gap_m, chunk_m) in enumerate(
+        [(30, 1440), (30, 60), (90, 45), (7, 1)]
+    ):
+        n = 4000
+        df = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 25, n),
+                "ts": (
+                    pd.Timestamp("2025-03-01").value // 1000
+                    + rng.integers(0, 14 * 24 * 60, n) * 60_000_000
+                    + rng.integers(0, 60_000_000, n)
+                ).astype("datetime64[us]"),
+                "value": np.round(rng.random(n), 2),
+            }
+        )
+        src = rd.from_pandas(df).repartition(7)
+        canon = lambda out: (
+            out.to_pandas()
+            .sort_values(["user_id", "session_start"])
+            .reset_index(drop=True)
+        )
+        a = canon(
+            sessionize(src, gap_minutes=gap_m, time_chunk_minutes=chunk_m)
+        )
+        b = canon(
+            sessionize(src, gap_minutes=gap_m, time_chunk_minutes=None)
+        )
+        pd.testing.assert_frame_equal(a, b), (trial, gap_m, chunk_m)
+
+
+def test_round_half_away_matches_duckdb_randomized():
+    """round_half_away must agree with DuckDB ROUND on random values AND
+    on constructed power-of-two ties at every digit count used."""
+    import duckdb
+    import numpy as np
+
+    from fastq_dupaway_ray.util import round_half_away
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.random(300) * 2000 - 1000,
+            np.array([k / 512 for k in range(-8, 9)]),  # exact 6-digit ties
+            np.array([k / 8 for k in range(-9, 9)]),  # exact 1-3 digit ties
+        ]
+    )
+    for digits in (1, 2, 6):
+        got = round_half_away(vals, digits)
+        want = np.array(
+            duckdb.sql(
+                "SELECT round(v, $d) FROM (SELECT unnest($v::DOUBLE[]) AS v)",
+                params={"v": [float(x) for x in vals], "d": digits},
+            ).fetchall()
+        ).ravel()
+        assert np.allclose(got, want, rtol=0, atol=0), (
+            digits,
+            [(v, g, w) for v, g, w in zip(vals, got, want) if g != w][:5],
+        )
