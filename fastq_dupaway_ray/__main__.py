@@ -82,6 +82,12 @@ def main(argv=None) -> int:
         print("--unordered argument can only be used with --fast mode and paired inputs!",
               file=sys.stderr)
         return 2
+    if args.simhash_parity and (
+        args.exact_mirror or args.compare_seq != "tail-hamming"
+    ):
+        print("--simhash-parity applies only to --compare-seq tail-hamming "
+              "(without --exact-mirror)!", file=sys.stderr)
+        return 2
     if not (500 <= args.mem_limit <= 10240):
         print("Value of unsupported range provided for --mem-limit option!", file=sys.stderr)
         return 2

@@ -245,3 +245,14 @@ def test_cli_simhash_parity_flag(paths, ray_session):
     ) == 0
     t = pq.read_table(out)
     assert t.num_rows > 0
+
+
+def test_cli_simhash_parity_conflicts(paths, capsys, ray_session):
+    src, out = paths
+    for bad in (
+        ["--fast", "--simhash-parity"],
+        ["--compare-seq", "tail-hamming", "--exact-mirror", "--simhash-parity"],
+        ["--compare-seq", "loose", "--simhash-parity"],
+    ):
+        assert main(["-i", src, "-o", out, *bad]) == 2
+        assert "simhash-parity" in capsys.readouterr().err
