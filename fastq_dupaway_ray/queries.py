@@ -1743,6 +1743,66 @@ def q_remove_dup_spans_docs(sf_dir: str):
     return out.select_columns(["doc_id", "text", "n_removed_chars"])
 
 
+_URL_VARIANTS_PY = [
+    "https://docs.example/page/{p}",
+    "HTTPS://DOCS.Example:443/page/{p}#section",
+    "https://docs.example/page/{p}?utm_source=feed",
+    "https://docs.example/page/{p}?ref=1&utm_campaign=x",
+    "https://docs.example/page/{p}?ref=1",
+    "https://docs.example:443/page/{p}?utm_medium=m&ref=1",
+]
+
+
+def q_url_canonical_dedup_docs(sf_dir: str):
+    """Canonical-URL dedup — the Common-Crawl step before any content pass:
+    messy crawl URLs (case/default-port/fragment/tracking-param variants,
+    built deterministically from doc_id; two consecutive ids share one
+    logical page) normalize through ``functions.urlnorm`` (RE2 rule chain,
+    byte-identical to the SQL oracle's regexp_replace chain by
+    construction) and dedup keep-first by doc_id on the canonical form via
+    the standard slim-identity exact-dedup stage."""
+    import pyarrow as _pa
+
+    from .functions.urlnorm import normalize_urls
+    from .stages.dedup_exact import dedup_exact
+
+    def build(t: _pa.Table) -> _pa.Table:
+        import numpy as _np
+
+        ids = t["doc_id"].to_numpy()
+        pages = ids // 2
+        variant = ids % 6
+        urls = _np.empty(len(ids), dtype=object)
+        for v, tpl in enumerate(_URL_VARIANTS_PY):
+            m = variant == v
+            urls[m] = [tpl.format(p=p) for p in pages[m]]
+        canon = normalize_urls(_pa.array(urls, _pa.string()))
+        return _pa.table({"doc_id": t["doc_id"], "url_canon": canon})
+
+    messy = _docs(sf_dir).select_columns(["doc_id"]).map_batches(
+        build, batch_format="pyarrow"
+    )
+    kept = dedup_exact(messy, key_cols=("url_canon",), order_cols=("doc_id",))
+    return kept.select_columns(["doc_id", "url_canon"])
+
+
+def _url_canonical_sql() -> str:
+    from .functions.urlnorm import sql_normalize_expr
+
+    cases = " ".join(
+        f"WHEN {v} THEN '{tpl.split('{p}')[0]}' || (doc_id // 2)::VARCHAR || '{tpl.split('{p}')[1]}'"
+        for v, tpl in enumerate(_URL_VARIANTS_PY)
+    )
+    return f"""
+    WITH u AS (
+        SELECT doc_id, CASE doc_id % 6 {cases} END AS url FROM documents
+    ),
+    c AS (SELECT doc_id, {sql_normalize_expr('url')} AS url_canon FROM u)
+    SELECT doc_id, url_canon FROM c
+    QUALIFY row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) = 1
+    """
+
+
 def q_remove_dup_spans_prefilter_docs(sf_dir: str):
     """remove_dup_spans through the stats-prefiltered limb: clean docs
     (zero duplicated windows -> all their windows globally unique) are
@@ -2550,6 +2610,7 @@ REGISTRY = {
     "dedup_counts_docs": (q_dedup_counts_docs, SQL_DEDUP_COUNTS_DOCS),
     "line_repetition_docs": (q_line_repetition_docs, SQL_LINE_REPETITION_DOCS),
     "remove_dup_spans_prefilter_docs": (q_remove_dup_spans_prefilter_docs, SQL_REMOVE_DUP_SPANS_DOCS),
+    "url_canonical_dedup_docs": (q_url_canonical_dedup_docs, _url_canonical_sql()),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "pages_flagship": (q_pages_flagship, SQL_PAGES_FLAGSHIP),
     "minhash_dedup_docs": (q_minhash_dedup_docs, SQL_NEAR_KEPT),

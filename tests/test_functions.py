@@ -428,3 +428,44 @@ def test_stratified_sample_null_strata_take_default(ray_session):
         rd.from_pandas(mixed), "lang", {"en": 1.0}, default=0.0
     ).to_pandas()
     assert len(out) == 200 and (out["lang"] == "en").all()
+
+
+def test_url_normalization_kernel_and_sql_parity():
+    """normalize_urls and sql_normalize_expr are the SAME RE2 rule chain:
+    byte-identical outputs, order-insensitive tracking-param removal,
+    case/port/fragment canonicalization, non-URL passthrough."""
+    import duckdb
+    import pyarrow as pa
+
+    from fastq_dupaway_ray.functions.urlnorm import (
+        normalize_urls,
+        sql_normalize_expr,
+    )
+
+    urls = [
+        "HTTPS://WWW.Example.COM:443/Path?a=1&utm_source=x&b=2#frag",
+        "http://example.com:80/?utm_campaign=z",
+        "https://e.com/p?utm_a=1&utm_b=2&x=3",
+        "https://e.com/p?x=3&utm_a=1&utm_b=2",
+        "https://e.com/p?utm_a=1&utm_b=2",
+        "https://e.com/p?gclid=g&fbclid=f",
+        "ftp://Weird.Host/X",
+        "no-scheme/path?utm_medium=m",
+        "http://example.com:8080/keep-port",
+        "https://example.com/CaseSensitive/Path",
+        "",
+    ]
+    got = normalize_urls(pa.array(urls)).to_pylist()
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {sql_normalize_expr('u')} FROM (SELECT unnest($u::VARCHAR[]) AS u)",
+            params={"u": urls},
+        ).fetchall()
+    ]
+    assert got == want
+    assert got[0] == "https://www.example.com/Path?a=1&b=2"
+    assert got[2] == got[3] == "https://e.com/p?x=3"  # order-insensitive
+    assert got[4] == got[5] == "https://e.com/p"
+    assert got[8] == "http://example.com:8080/keep-port"  # non-default port kept
+    assert got[9] == "https://example.com/CaseSensitive/Path"  # path case kept
