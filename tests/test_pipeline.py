@@ -278,3 +278,66 @@ def test_png_gray_alpha_excludes_alpha_from_luminance(ray_session):
     out = ImageFeatures(require_real=True)(batch)
     feat = np.asarray(out["image_feat"].to_pylist()[0])
     assert np.allclose(feat, gray_val / 255.0), feat
+
+
+def test_crawl_pipeline_composition_end_to_end(ray_session, tmp_path):
+    """The crawl-shaped composition: messy-URL canonicalization -> canonical
+    URL dedup -> near-dup flagship stages -> sharded byte-format sink. Every
+    stage is a round-5 surface; the test pins the whole chain running
+    against a planted corpus with checkable counts."""
+    import glob
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fastq_dupaway_ray.corpus import CorpusSpec, generate_pages
+    from fastq_dupaway_ray.functions.urlnorm import normalize_urls
+    from fastq_dupaway_ray.pipelines.dedup import DedupConfig, run_dedup
+    from fastq_dupaway_ray.sources.fastx import write_fastx_sharded
+    from fastq_dupaway_ray.stages.dedup_exact import dedup_exact
+
+    table = generate_pages(CorpusSpec(n_base=400, seed=31))
+    n0 = table.num_rows
+
+    # 1. recrawl noise: half the rows get a tracking-param/fragment variant
+    #    of their url -> canonical-URL dedup must keep exactly one per page
+    def messy(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        urls = t["url"].to_pylist()
+        out = [
+            u + ("?utm_source=feed#top" if i % 2 else "")
+            for i, u in enumerate(urls)
+        ]
+        return t.set_column(
+            t.schema.get_field_index("url"), "url", pa.array(out, pa.string())
+        )
+
+    ds = rd.from_arrow(table).repartition(8).map_batches(messy, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("url"), "url", normalize_urls(t["url"])
+        ),
+        batch_format="pyarrow",
+    )
+    dedup_url = dedup_exact(ds, key_cols=("url",), order_cols=("warc_ts", "url"))
+    n1 = dedup_url.count()
+    assert n1 == n0  # urls were unique pre-mess; canonicalization restores them
+
+    # 2. content near-dedup over the canonical rows (flagship stages)
+    out = run_dedup(
+        dedup_url.materialize(),
+        DedupConfig(mode="minhash", emit_clusters=True, signer_concurrency=2),
+    )
+    kept = out.kept.materialize()
+    n2 = kept.count()
+    assert 0 < n2 < n1  # planted dups collapsed
+    assert out.clusters is not None
+
+    # 3. sharded reference-format sink; concatenation carries every kept record
+    sink = str(tmp_path / "crawl_shards")
+    n3 = write_fastx_sharded(kept, sink, ext="fastq")
+    assert n3 == n2
+    parts = sorted(glob.glob(sink + "/part-*.fastq"))
+    total_bytes = b"".join(open(f, "rb").read() for f in parts)
+    assert len(total_bytes) > 0 and len(parts) >= 1
